@@ -1,0 +1,467 @@
+# -*- coding: utf-8 -*-
+"""The fused extraction operator — the engine proper.
+
+One Arrow-vectorized ``mapInPandas`` stage replaces the reference's whole
+render-thread / bounded-queue / process-pool pipeline
+(``core/pdf_processor.py:1018-1646``): per input row (one web page), it
+
+1. takes the existing-text fast path when ``len(text.strip()) > 50``
+   (reference page-level skip ``core/pdf_processor.py:527-531``; doc-level
+   probe threshold 100 at ``:438-466``);
+2. decodes ``html:binary`` (invalid rows → quarantined ``error`` column,
+   never a job crash — reference ``validate_pdf`` ``:335-360``);
+3. parses the DOM and collects text blocks:
+   * *geometric* pages (``data-bbox`` blocks — the OCR-result analog,
+     reference ``OCRResult`` ``core/ocr_engine.py:83-116``) go through
+     confidence filtering (< 0.5 dropped, ``core/pdf_processor.py:627-628``),
+     coordinate rescale by zoom (``:635-640``), vertical detection
+     (``h > 2w``, ``:649-650``), projection-profile column segmentation and
+     reading-order resolution (``:667-702``);
+   * *plain web* pages go through DOM boilerplate stripping with
+     link-/text-density heuristics (the web analog of the blank-page
+     gradient heuristic ``:763-794``);
+4. detects blank pages (no visible text at all → pass-through row with
+   ``is_blank=true`` — reference ``:1282,1506-1512``);
+5. NFKC-normalizes each block (``:631``), drops empties (``:631-633``),
+   and computes the variant-normalized twin text (dual-insert semantics,
+   ``:661-665``) via the broadcast-style singleton normalizer;
+6. emits ``(extracted_text, norm_text, spans, …)`` with character-level
+   span offsets, byte-stable across runs and parallelism levels.
+
+Scale design: the operator is a NARROW transformation — zero shuffles; all
+parallelism is partition-level. Python cost is one C-level parse per row
+inside an Arrow batch; there is no per-row Python ↔ JVM round trip. The
+parser and normalizer are module-level singletons (one init per Python
+worker — reference warm-up pattern ``core/parallel_ocr.py:149-173``).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from intelligent_ocr_spark.functions.layout import Block, estimate_font_size, is_vertical, reading_order
+from intelligent_ocr_spark.functions.normalize import get_normalizer, nfkc
+
+__all__ = [
+    "EXTRACT_SCHEMA",
+    "extract_pages",
+    "extract_record",
+    "repartition_by_url",
+    "with_host_salt",
+    "dual_insert_spans",
+]
+
+DEFAULT_MIN_CONFIDENCE = 0.5  # reference core/pdf_processor.py:382,419
+DEFAULT_EXISTING_TEXT_MIN_CHARS = 50  # reference core/pdf_processor.py:527
+DEFAULT_RETRY_LIMIT = 2  # reference page_retry_limit core/pdf_processor.py:389
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.IntegerType(), False),
+            T.StructField("end", T.IntegerType(), False),
+            T.StructField("block_id", T.IntegerType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("conf", T.DoubleType(), False),
+        ]
+    )
+)
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("extracted_text", T.StringType(), True),
+        T.StructField("norm_text", T.StringType(), True),
+        T.StructField("spans", SPAN_TYPE, True),
+        T.StructField("skipped", T.BooleanType(), False),
+        T.StructField("is_blank", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("n_blocks", T.IntegerType(), False),
+        T.StructField("n_dropped", T.IntegerType(), False),
+        T.StructField("retries", T.IntegerType(), False),
+        T.StructField("html_bytes", T.LongType(), False),
+    ]
+)
+
+_BLOCK_TAGS = {
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "blockquote", "pre",
+}
+_BOILER_TAGS = {"nav", "header", "footer", "aside", "script", "style", "head", "title"}
+_BOILER_CLASS_TOKENS = {
+    "sidebar", "menu", "nav", "footer", "header", "ad", "banner", "breadcrumb",
+}
+_MAX_LINK_DENSITY = 0.5
+
+
+class _PageParser(HTMLParser):
+    """Single-pass DOM collector for both page styles.
+
+    Geometric blocks (``div.block[data-bbox]``) are collected with their
+    bbox/conf/kind. Plain text runs are grouped under their nearest
+    block-level ancestor with link-char accounting for density stripping.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.layout: str | None = None
+        self.zoom: float = 1.0
+        self.geo_blocks: list[dict] = []
+        self.dom_blocks: list[dict] = []
+        self._stack: list[str] = []
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._geo: dict | None = None
+        self._geo_depth = 0
+        self._dom: dict | None = None
+
+    # -- helpers -------------------------------------------------------
+    @staticmethod
+    def _classes(attrs: dict[str, str | None]) -> set[str]:
+        raw = (attrs.get("class") or "") + " " + (attrs.get("id") or "")
+        return {tok for tok in raw.lower().split() if tok}
+
+    def _flush_dom(self) -> None:
+        if self._dom is not None:
+            self.dom_blocks.append(self._dom)
+            self._dom = None
+
+    # -- HTMLParser hooks ----------------------------------------------
+    def handle_starttag(self, tag: str, attrs_list) -> None:
+        attrs = dict(attrs_list)
+        if tag == "html":
+            self.layout = attrs.get("data-layout")
+            try:
+                self.zoom = float(attrs.get("data-zoom") or 1.0)
+            except ValueError:
+                self.zoom = 1.0
+        self._stack.append(tag)
+        if tag in _BOILER_TAGS or (self._classes(attrs) & _BOILER_CLASS_TOKENS):
+            self._boiler_depth += 1
+            self._stack[-1] = tag + "!"  # mark for symmetric pop
+        if tag == "a":
+            self._link_depth += 1
+
+        if self._geo is not None:
+            self._geo_depth += 1
+            return
+        bbox = attrs.get("data-bbox")
+        if bbox is not None:
+            try:
+                x0, y0, x1, y1 = (float(v) for v in bbox.split(","))
+            except ValueError:
+                return
+            self._geo = {
+                "bbox": (x0, y0, x1, y1),
+                "conf": float(attrs.get("data-conf") or 1.0),
+                "kind": attrs.get("data-kind") or "line",
+                "parts": [],
+            }
+            self._geo_depth = 0
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush_dom()
+            self._dom = {
+                "kind": "heading" if tag[0] == "h" and tag[1:].isdigit() else "line",
+                "parts": [],
+                "linked": 0,
+                "boiler": self._boiler_depth > 0,
+            }
+
+    def handle_endtag(self, tag: str) -> None:
+        if self._geo is not None:
+            if self._geo_depth == 0:
+                self.geo_blocks.append(self._geo)
+                self._geo = None
+            else:
+                self._geo_depth -= 1
+        elif tag in _BLOCK_TAGS:
+            self._flush_dom()
+        # pop stack + boiler accounting (tolerate malformed nesting)
+        for idx in range(len(self._stack) - 1, -1, -1):
+            top = self._stack[idx]
+            if top == tag or top == tag + "!":
+                if top.endswith("!"):
+                    self._boiler_depth = max(0, self._boiler_depth - 1)
+                del self._stack[idx:]
+                break
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        if self._geo is not None:
+            self._geo["parts"].append(data)
+            return
+        if self._boiler_depth > 0:
+            # still record into a boiler block so blank-detection sees text
+            if self._dom is None:
+                self._dom = {"kind": "line", "parts": [], "linked": 0, "boiler": True}
+            self._dom["parts"].append(data)
+            self._dom["boiler"] = True
+            if self._link_depth:
+                self._dom["linked"] += len(data)
+            return
+        if self._dom is None:
+            if not data.strip():
+                return
+            self._dom = {"kind": "line", "parts": [], "linked": 0, "boiler": False}
+        self._dom["parts"].append(data)
+        if self._link_depth:
+            self._dom["linked"] += len(data)
+
+    def close(self) -> None:  # flush trailing block
+        self._flush_dom()
+        super().close()
+
+
+def _parse_html(raw: str) -> _PageParser:
+    p = _PageParser()
+    p.feed(raw)
+    p.close()
+    return p
+
+
+def extract_record(
+    url: str,
+    warc_ts,
+    html: bytes | None,
+    text: str | None,
+    lang: str | None,
+    min_confidence: float = DEFAULT_MIN_CONFIDENCE,
+    existing_text_min_chars: int = DEFAULT_EXISTING_TEXT_MIN_CHARS,
+    retry_limit: int = DEFAULT_RETRY_LIMIT,
+    _fail_hook=None,
+) -> dict:
+    """Extract one page. Pure & deterministic — the unit the golden fixtures
+    pin down. ``_fail_hook`` injects transient faults for retry tests
+    (reference bounded retry ``core/pdf_processor.py:1195-1212``)."""
+    normalizer = get_normalizer()
+    out = {
+        "url": url,
+        "warc_ts": warc_ts,
+        "lang": lang,
+        "extracted_text": "",
+        "norm_text": None,
+        "spans": [],
+        "skipped": False,
+        "is_blank": False,
+        "error": None,
+        "n_blocks": 0,
+        "n_dropped": 0,
+        "retries": 0,
+        "html_bytes": len(html) if html is not None else 0,
+    }
+
+    # F2: existing-text fast path — copy through unchanged (reference copies
+    # the page as-is without OCR or normalization).
+    if text is not None and len(text.strip()) > existing_text_min_chars:
+        out["extracted_text"] = text
+        out["skipped"] = True
+        return out
+
+    if html is None:
+        out["error"] = "html_null"
+        return out
+    try:
+        raw = bytes(html).decode("utf-8")
+    except (UnicodeDecodeError, ValueError) as e:
+        out["error"] = f"html_decode: {e.__class__.__name__}"
+        return out
+
+    # R1: bounded in-UDF retry around the parse (deterministic — no sleep;
+    # Spark task retries cover process death).
+    attempts = 0
+    parser = None
+    while True:
+        try:
+            if _fail_hook is not None:
+                _fail_hook(url, attempts)
+            parser = _parse_html(raw)
+            break
+        except Exception as e:  # noqa: BLE001 — quarantine, never crash the job
+            attempts += 1
+            if attempts > retry_limit:
+                out["error"] = f"parse_error: {e.__class__.__name__}"
+                out["retries"] = attempts - 1
+                return out
+    out["retries"] = attempts
+
+    # F3 analog: blank page — no visible text anywhere pre-filtering.
+    all_visible = "".join(
+        "".join(b["parts"]) for b in parser.geo_blocks + parser.dom_blocks
+    )
+    if not all_visible.strip():
+        out["is_blank"] = True
+        return out
+
+    # Collect candidate blocks in (text, conf, kind, bbox|None) form.
+    blocks: list[Block] = []
+    n_dropped = 0
+    if parser.geo_blocks:
+        zoom = parser.zoom or 1.0
+        for g in parser.geo_blocks:
+            conf = g["conf"]
+            if conf < min_confidence:  # F4
+                n_dropped += 1
+                continue
+            btext = nfkc("".join(g["parts"]))  # X1, F5
+            if not btext:
+                n_dropped += 1
+                continue
+            x0, y0, x1, y1 = g["bbox"]
+            blocks.append(
+                Block(x0 / zoom, y0 / zoom, x1 / zoom, y1 / zoom, btext, conf, g["kind"])
+            )
+        ordered = reading_order(blocks, vertical_page=(parser.layout == "vertical"))
+    else:
+        # DOM-density path: boilerplate + link-density stripping, document order.
+        order_i = 0
+        for b in parser.dom_blocks:
+            raw_text = "".join(b["parts"])
+            if b["boiler"]:
+                n_dropped += 1
+                continue
+            total = len(raw_text)
+            if total and b["linked"] / total > _MAX_LINK_DENSITY:
+                n_dropped += 1
+                continue
+            btext = nfkc(raw_text)
+            if not btext:
+                n_dropped += 1
+                continue
+            blocks.append(
+                Block(0.0, float(order_i), 1.0, float(order_i) + 1.0, btext, 1.0, b["kind"])
+            )
+            order_i += 1
+        ordered = blocks  # document order IS reading order for DOM pages
+
+    # Assemble text + spans (byte-identity contract).
+    parts: list[str] = []
+    spans: list[dict] = []
+    pos = 0
+    for block_id, b in enumerate(ordered):
+        start = pos
+        parts.append(b.text)
+        pos += len(b.text)
+        spans.append(
+            {
+                "start": start,
+                "end": pos,
+                "block_id": block_id,
+                "kind": b.kind,
+                "conf": b.conf,
+            }
+        )
+        pos += 1  # the "\n" separator
+    extracted = "\n".join(parts)
+
+    out["extracted_text"] = extracted
+    out["spans"] = spans
+    out["n_blocks"] = len(ordered)
+    out["n_dropped"] = n_dropped
+    # X2/X3 dual layer: variant-normalized twin (identical when no variants).
+    out["norm_text"] = (
+        normalizer.normalize(extracted)
+        if normalizer.needs_normalization(extracted)
+        else extracted
+    )
+    return out
+
+
+def _extract_batches(
+    batches: Iterable[pd.DataFrame],
+    min_confidence: float,
+    existing_text_min_chars: int,
+    retry_limit: int,
+) -> Iterator[pd.DataFrame]:
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    out_cols = [f.name for f in EXTRACT_SCHEMA.fields]
+    for pdf in batches:
+        recs = [
+            extract_record(
+                u, ts, h, tx, lg,
+                min_confidence=min_confidence,
+                existing_text_min_chars=existing_text_min_chars,
+                retry_limit=retry_limit,
+            )
+            for u, ts, h, tx, lg in zip(*(pdf[c] for c in cols))
+        ]
+        yield pd.DataFrame(recs, columns=out_cols)
+
+
+def extract_pages(
+    df: DataFrame,
+    min_confidence: float = DEFAULT_MIN_CONFIDENCE,
+    existing_text_min_chars: int = DEFAULT_EXISTING_TEXT_MIN_CHARS,
+    retry_limit: int = DEFAULT_RETRY_LIMIT,
+) -> DataFrame:
+    """The extraction transform: pages → extractions. Narrow (no shuffle).
+
+    Column pruning: only the five input columns are selected, so the scan
+    reads nothing else (Catalyst pushes the projection to parquet).
+    """
+    pruned = df.select("url", "warc_ts", "html", "text", "lang")
+    return pruned.mapInPandas(
+        lambda it: _extract_batches(
+            it, min_confidence, existing_text_min_chars, retry_limit
+        ),
+        EXTRACT_SCHEMA,
+    )
+
+
+def repartition_by_url(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Explicit url-hash layout (north_rule): co-locates all work for a url
+    and decorrelates hot hosts from partition boundaries."""
+    return df.repartition(num_partitions, F.xxhash64("url"))
+
+
+def with_host_salt(df: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Skew salting: hot hosts (mega-host urls) spread over ``salt_buckets``
+    sub-keys. Used when a downstream groupBy/join keys on host; the salt is
+    a plain column so AQE skew-join still composes with it."""
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return df.withColumn("host", host).withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
+    )
+
+
+def dual_insert_spans(extracted: DataFrame) -> DataFrame:
+    """Span-level dual-insert view (X3): explode spans; rows whose text
+    changes under variant normalization appear TWICE (original + normalized
+    form at the same span), mirroring the reference's two invisible text
+    inserts at one bbox (``core/pdf_processor.py:661-665``).
+
+    Pure DataFrame composition — explode + conditional array — no UDF.
+    """
+    sp = extracted.filter(~F.col("skipped") & F.col("error").isNull()).select(
+        "url",
+        "extracted_text",
+        "norm_text",
+        F.posexplode("spans").alias("pos", "span"),
+    )
+    orig = F.substring(
+        F.col("extracted_text"), F.col("span.start") + 1, F.col("span.end") - F.col("span.start")
+    )
+    norm = F.substring(
+        F.col("norm_text"), F.col("span.start") + 1, F.col("span.end") - F.col("span.start")
+    )
+    forms = F.when(orig != norm, F.array(orig, norm)).otherwise(F.array(orig))
+    return sp.select(
+        "url",
+        F.col("span.start").alias("start"),
+        F.col("span.end").alias("end"),
+        F.col("span.block_id").alias("block_id"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.conf").alias("conf"),
+        F.explode(forms).alias("form"),
+    )
