@@ -1,0 +1,146 @@
+"""Checkpoint & lineage table protocol — resumable batch at partition grain.
+
+Replaces the reference's per-input JSON checkpoint files
+(``core/checkpoint.py:17-73``, atomic temp+``os.replace`` writes
+``:126-197``) with two append-only tables committed atomically per
+partition:
+
+* ``_checkpoint``  (FIXTURES.md §3): one row per (url, status) — the
+  anti-join side of resume (reference ``next_page``/set-union semantics,
+  ``core/checkpoint.py:33-41``, consumed ``core/pdf_processor.py:1249-1253``);
+* ``_lineage``     (FIXTURES.md §4): one row per partition commit —
+  snapshot id, partition id, docs, bytes, errors (north_rule lineage).
+
+Durability contract (matches observable reference behavior incl.
+cancel-saves ``core/pdf_processor.py:1570-1583``): **no committed doc is
+ever reprocessed; uncommitted docs redo.** Commit unit here is a partition,
+not a page — per-row commits are untenable at 10^12-doc scale, and the
+reference's own "fast temp save every 10 pages"
+(``core/pdf_processor.py:1313-1314``) concedes the same batching.
+
+Implementation detail: this sandbox image has no Iceberg runtime jar, so a
+"table" is a directory of parquet files where each file is committed by
+atomic ``os.replace`` from a temp name (single-filesystem atomicity — the
+same primitive the reference relies on, ``core/checkpoint.py:151-170``).
+File names are **deterministic functions of partition content**, so a Spark
+task retry overwrites its own file idempotently instead of double-appending
+(exactly-once per partition). On a real cluster, swap
+:func:`commit_parquet_atomic` for an Iceberg ``writeTo(...).append()`` —
+the snapshot commit gives the same idempotence via validation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "config_hash",
+    "commit_parquet_atomic",
+    "content_digest",
+    "read_table_dir",
+    "completed_urls",
+    "CHECKPOINT_PA_SCHEMA",
+    "LINEAGE_PA_SCHEMA",
+]
+
+CHECKPOINT_PA_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("partition_id", pa.int32()),
+        ("status", pa.string()),  # completed / skipped / failed
+        ("input_snapshot_id", pa.int64()),
+        ("config_hash", pa.string()),
+        ("updated_at", pa.timestamp("us", tz="UTC")),
+    ]
+)
+
+LINEAGE_PA_SCHEMA = pa.schema(
+    [
+        ("input_snapshot_id", pa.int64()),
+        ("partition_id", pa.int32()),
+        ("docs", pa.int64()),
+        ("bytes", pa.int64()),
+        ("errors", pa.list_(pa.string())),
+        ("skipped", pa.int64()),
+        ("blank", pa.int64()),
+        ("fallback", pa.int64()),
+        ("retry_stats", pa.map_(pa.int32(), pa.int32())),
+        ("started_at", pa.timestamp("us", tz="UTC")),
+        ("ended_at", pa.timestamp("us", tz="UTC")),
+    ]
+)
+
+
+def config_hash(config: dict) -> str:
+    """Settings fingerprint — resume is only valid under identical settings
+    (reference settings-match validation ``core/pdf_processor.py:1087-1100``,
+    dpi/page-count checks; hash check ``core/checkpoint.py:221-224``)."""
+    blob = json.dumps(config, sort_keys=True, default=str).encode()
+    return hashlib.md5(blob).hexdigest()[:16]
+
+
+def content_digest(urls: list[str]) -> str:
+    """Deterministic digest of a partition's url set → idempotent file name
+    across task retries, unique across resume waves."""
+    h = hashlib.md5()
+    for u in sorted(urls):
+        h.update(u.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def commit_parquet_atomic(table: pa.Table, directory: str, name: str) -> str:
+    """Write ``name.parquet`` into ``directory`` via temp + atomic replace.
+
+    The write itself can die half-done; the replace cannot — readers never
+    observe a torn file (reference's antivirus-hardened atomic save,
+    ``core/checkpoint.py:151-170``).
+    """
+    os.makedirs(directory, exist_ok=True)
+    final = os.path.join(directory, f"{name}.parquet")
+    tmp = os.path.join(directory, f".tmp-{uuid.uuid4().hex}")
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+    return final
+
+
+def read_table_dir(spark: SparkSession, directory: str) -> DataFrame | None:
+    """Read a parquet table directory; None if absent/empty."""
+    if not os.path.isdir(directory):
+        return None
+    if not any(f.endswith(".parquet") for f in os.listdir(directory)):
+        return None
+    return spark.read.parquet(directory)
+
+
+def completed_urls(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    input_snapshot_id: int,
+    cfg_hash: str,
+) -> DataFrame | None:
+    """Urls already committed under the SAME snapshot and settings.
+
+    Mismatched snapshot/config rows simply don't qualify — the Spark twin of
+    checkpoint invalidation-by-deletion (``core/checkpoint.py:199-238``).
+    """
+    ckpt = read_table_dir(spark, checkpoint_dir)
+    if ckpt is None:
+        return None
+    return (
+        ckpt.filter(
+            (F.col("input_snapshot_id") == F.lit(input_snapshot_id))
+            & (F.col("config_hash") == F.lit(cfg_hash))
+        )
+        .select("url")
+        .distinct()
+    )

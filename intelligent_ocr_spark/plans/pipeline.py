@@ -1,0 +1,323 @@
+"""End-to-end extraction job: resume anti-join → url-hash layout → fused
+extraction → per-partition atomic commit (data + checkpoint + lineage) →
+integrity gate.
+
+The Spark twin of the reference's ``process_file_pipelined``
+(``core/pdf_processor.py:1018-1646``), with the physical plan from
+SURVEY.md §3.4:
+
+.. code-block:: text
+
+    read pages                                   -- S1
+      .join(checkpoint_done, "url", "left_anti") -- J2 resume
+      .repartition(P, xxhash64("url"))           -- url-hash layout (north_rule)
+      .mapInPandas(extract_and_commit, lineage)  -- M1..M4, F2..F5, X1..X5, W1/W3 fused
+      -> per-partition atomic commit of data + checkpoint + lineage rows
+      -> integrity gate (R5) over the checkpoint table
+
+Exactly one JVM↔Python boundary (Arrow) and one shuffle (the url-hash
+repartition — and even that is skipped when the caller's layout is already
+keyed by url). Lineage is the ONLY thing that crosses back to the driver:
+one row per partition.
+
+Scale notes: the commit stage buffers one partition in memory — partition
+size is governed upstream by ``num_partitions`` /
+``spark.sql.files.maxPartitionBytes``, the same contract as any columnar
+writer. At 10^12 docs nothing here is driver-bound: resume is a
+distributed anti-join, commits are executor-local, lineage is O(partitions).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+from typing import Callable, Iterable, Iterator
+
+import pandas as pd
+import pyarrow as pa
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from intelligent_ocr_spark.operators.extract import (
+    DEFAULT_EXISTING_TEXT_MIN_CHARS,
+    DEFAULT_MIN_CONFIDENCE,
+    DEFAULT_RETRY_LIMIT,
+    extract_record,
+)
+from intelligent_ocr_spark.plans.checkpoint import (
+    CHECKPOINT_PA_SCHEMA,
+    LINEAGE_PA_SCHEMA,
+    commit_parquet_atomic,
+    completed_urls,
+    config_hash,
+    content_digest,
+    read_table_dir,
+)
+
+__all__ = ["run_extraction_job", "finalize_with_fallback", "IntegrityError", "LINEAGE_SCHEMA"]
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("input_snapshot_id", T.LongType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("docs", T.LongType(), False),
+        T.StructField("bytes", T.LongType(), False),
+        T.StructField("errors", T.ArrayType(T.StringType()), False),
+        T.StructField("skipped", T.LongType(), False),
+        T.StructField("blank", T.LongType(), False),
+        T.StructField("fallback", T.LongType(), False),
+        T.StructField("retry_stats", T.MapType(T.IntegerType(), T.IntegerType()), False),
+        T.StructField("started_at", T.TimestampType(), False),
+        T.StructField("ended_at", T.TimestampType(), False),
+    ]
+)
+
+DATA_PA_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("lang", pa.string()),
+        ("extracted_text", pa.string()),
+        ("norm_text", pa.string()),
+        (
+            "spans",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("start", pa.int32()),
+                        ("end", pa.int32()),
+                        ("block_id", pa.int32()),
+                        ("kind", pa.string()),
+                        ("conf", pa.float64()),
+                    ]
+                )
+            ),
+        ),
+        ("skipped", pa.bool_()),
+        ("is_blank", pa.bool_()),
+        ("error", pa.string()),
+        ("n_blocks", pa.int32()),
+        ("n_dropped", pa.int32()),
+        ("retries", pa.int32()),
+        ("html_bytes", pa.int64()),
+    ]
+)
+
+
+class IntegrityError(RuntimeError):
+    """Output/input doc-count mismatch — the R5 gate
+    (reference hard assert ``core/pdf_processor.py:1600-1603``)."""
+
+
+class InjectedKill(RuntimeError):
+    """Raised by :func:`make_partition_kill_hook` — fault-injection for
+    kill-and-resume tests (reference fault-injection plan,
+    ``DESKTOP_OCR_ROOT_CAUSE_PLAN.md:155-175``)."""
+
+
+def make_partition_kill_hook(pids: frozenset[int] | set[int]):
+    """Picklable fault hook: kill the job when the given partitions commit.
+
+    Lives here (not in test code) so Spark python workers can import it.
+    """
+    pid_set = frozenset(pids)
+
+    def hook(pid: int) -> None:
+        if pid in pid_set:
+            raise InjectedKill(f"injected kill in partition {pid}")
+
+    return hook
+
+
+def _status(rec: dict) -> str:
+    if rec["error"] is not None:
+        return "failed"
+    if rec["skipped"] or rec["is_blank"]:
+        return "skipped"  # reference marks blank + existing-text via mark_page_skipped
+    return "completed"
+
+
+def _make_commit_fn(
+    out_dir: str,
+    input_snapshot_id: int,
+    cfg_hash: str,
+    min_confidence: float,
+    existing_text_min_chars: int,
+    retry_limit: int,
+    partition_fail_hook: Callable[[int], None] | None,
+) -> Callable[[Iterable[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    data_dir = os.path.join(out_dir, "data")
+    ckpt_dir = os.path.join(out_dir, "checkpoint")
+    lineage_dir = os.path.join(out_dir, "lineage")
+
+    def commit(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        started = datetime.now(timezone.utc)
+        recs: list[dict] = []
+        for pdf in batches:
+            for u, ts, h, tx, lg in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
+            ):
+                recs.append(
+                    extract_record(
+                        u, ts, h, tx, lg,
+                        min_confidence=min_confidence,
+                        existing_text_min_chars=existing_text_min_chars,
+                        retry_limit=retry_limit,
+                    )
+                )
+        if partition_fail_hook is not None:
+            partition_fail_hook(pid)  # test-only kill injection
+        if not recs:
+            return
+        urls = [r["url"] for r in recs]
+        digest = content_digest(urls)
+        name = f"part-{pid:05d}-{digest}"
+        ended = datetime.now(timezone.utc)
+
+        # 1) data file — the extraction output
+        commit_parquet_atomic(
+            pa.Table.from_pylist(recs, schema=DATA_PA_SCHEMA), data_dir, name
+        )
+        # 2) checkpoint rows — the resume primitive (J2 anti-join side)
+        ckpt_rows = [
+            {
+                "url": r["url"],
+                "partition_id": pid,
+                "status": _status(r),
+                "input_snapshot_id": input_snapshot_id,
+                "config_hash": cfg_hash,
+                "updated_at": ended,
+            }
+            for r in recs
+        ]
+        commit_parquet_atomic(
+            pa.Table.from_pylist(ckpt_rows, schema=CHECKPOINT_PA_SCHEMA),
+            ckpt_dir,
+            name,
+        )
+        # 3) lineage row (A1 aggregation, computed in-flight — no extra pass)
+        retry_stats: dict[int, int] = {}
+        for r in recs:
+            if r["retries"]:
+                retry_stats[r["retries"]] = retry_stats.get(r["retries"], 0) + 1
+        lineage = {
+            "input_snapshot_id": input_snapshot_id,
+            "partition_id": pid,
+            "docs": len(recs),
+            "bytes": sum(r["html_bytes"] for r in recs),
+            "errors": sorted(r["error"] for r in recs if r["error"] is not None),
+            "skipped": sum(1 for r in recs if r["skipped"] or r["is_blank"]),
+            "blank": sum(1 for r in recs if r["is_blank"]),
+            "fallback": sum(1 for r in recs if r["error"] is not None),
+            "retry_stats": retry_stats,
+            "started_at": started,
+            "ended_at": ended,
+        }
+        commit_parquet_atomic(
+            pa.Table.from_pylist([lineage], schema=LINEAGE_PA_SCHEMA),
+            lineage_dir,
+            name,
+        )
+        yield pd.DataFrame([lineage])
+
+    return commit
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    input_df: DataFrame,
+    out_dir: str,
+    input_snapshot_id: int,
+    num_partitions: int | None = None,
+    min_confidence: float = DEFAULT_MIN_CONFIDENCE,
+    existing_text_min_chars: int = DEFAULT_EXISTING_TEXT_MIN_CHARS,
+    retry_limit: int = DEFAULT_RETRY_LIMIT,
+    integrity_check: bool = True,
+    _partition_fail_hook: Callable[[int], None] | None = None,
+) -> dict:
+    """Run (or resume) the extraction job. Returns a summary dict.
+
+    Re-invoking after a kill resumes: urls already checkpointed under the
+    same ``(input_snapshot_id, config)`` are anti-joined away and never
+    reprocessed (north_rule resume contract).
+    """
+    cfg = {
+        "min_confidence": min_confidence,
+        "existing_text_min_chars": existing_text_min_chars,
+        "retry_limit": retry_limit,
+        "engine": "intelligent_ocr_spark",
+    }
+    cfg_hash = config_hash(cfg)
+    ckpt_dir = os.path.join(out_dir, "checkpoint")
+
+    done = completed_urls(spark, ckpt_dir, input_snapshot_id, cfg_hash)
+    todo = input_df if done is None else input_df.join(done, "url", "left_anti")
+
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    todo = todo.repartition(p, F.xxhash64("url"))  # url-hash layout (north_rule)
+
+    commit_fn = _make_commit_fn(
+        out_dir,
+        input_snapshot_id,
+        cfg_hash,
+        min_confidence,
+        existing_text_min_chars,
+        retry_limit,
+        _partition_fail_hook,
+    )
+    lineage_rows = todo.mapInPandas(commit_fn, LINEAGE_SCHEMA).collect()
+
+    summary = {
+        "out_dir": out_dir,
+        "config_hash": cfg_hash,
+        "input_snapshot_id": input_snapshot_id,
+        "partitions_committed": len(lineage_rows),
+        "docs_processed": sum(r["docs"] for r in lineage_rows),
+        "bytes_processed": sum(r["bytes"] for r in lineage_rows),
+        "errors": sum(len(r["errors"]) for r in lineage_rows),
+        "skipped": sum(r["skipped"] for r in lineage_rows),
+    }
+
+    if integrity_check:
+        # R5 gate: every input url must be committed exactly once under this
+        # (snapshot, config) — reference core/pdf_processor.py:1585-1603.
+        committed = completed_urls(spark, ckpt_dir, input_snapshot_id, cfg_hash)
+        n_committed = committed.count() if committed is not None else 0
+        n_input = input_df.select("url").distinct().count()
+        if n_committed != n_input:
+            raise IntegrityError(
+                f"committed urls {n_committed} != input urls {n_input}"
+            )
+        summary["integrity_ok"] = True
+    return summary
+
+
+def finalize_with_fallback(
+    spark: SparkSession, out_dir: str, input_df: DataFrame
+) -> DataFrame:
+    """J3 fallback-recovery join: quarantined urls (error != NULL) fall back
+    to the original input ``text`` column, flagged ``is_fallback`` —
+    the Spark twin of copy-from-original-page
+    (``_copy_page_with_fallback`` ``core/pdf_processor.py:1170-1193``).
+
+    Pure DataFrame composition over the committed output; no reprocessing.
+    """
+    data = read_table_dir(spark, os.path.join(out_dir, "data"))
+    if data is None:
+        raise FileNotFoundError(f"no data committed under {out_dir}")
+    inp = input_df.select("url", F.col("text").alias("_input_text"))
+    joined = data.join(inp, "url", "left")
+    return (
+        joined.withColumn("is_fallback", F.col("error").isNotNull())
+        .withColumn(
+            "final_text",
+            F.when(F.col("error").isNotNull(), F.coalesce(F.col("_input_text"), F.lit("")))
+            .otherwise(F.col("extracted_text")),
+        )
+        .drop("_input_text")
+    )

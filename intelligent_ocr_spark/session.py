@@ -23,6 +23,17 @@ from pyspark.sql import SparkSession
 
 DEFAULT_ARROW_BATCH = 256
 
+# Make this package importable inside Spark's Python workers. On a real
+# cluster this is `spark-submit --py-files intelligent_ocr_spark.zip`
+# (north_rule); in local mode the worker daemon inherits PYTHONPATH from
+# the environment the JVM is launched with, so it must be set BEFORE the
+# first getOrCreate().
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+
 
 def build_session(
     parallelism: int | None = None,
