@@ -1,10 +1,18 @@
+# -*- coding: utf-8 -*-
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline over pages derived
+deterministically from the sf0.001 ``documents`` table. ``queries()`` /
+``oracle_sql()`` expose one entry per implemented operator (SURVEY.md §2 +
+the training-data operator families); the driver cross-checks each Spark
+result against DuckDB at sf0.01.
+
+Column-name contract: every computed column is aliased identically in the
+Spark code and the SQL so the driver's sorted-column value-hash matches.
+Float contract: element-wise math forces DOUBLE casts with strict
+left-to-right folds on both engines (bit-identical doubles); aggregates of
+large sums are rounded; element-wise scores are floor-scaled (round
+half-up boundaries differ between engines, floor does not).
 """
 
 from __future__ import annotations
@@ -12,27 +20,744 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from intelligent_ocr_spark.functions.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    subword_estimate,
+    token_count,
+    tokens,
+)
+from intelligent_ocr_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash32,
+)
+from intelligent_ocr_spark.operators.extract import dual_insert_spans, extract_pages
+from intelligent_ocr_spark.operators.multimodal import decode_image_stats, sample_frames
+from intelligent_ocr_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from intelligent_ocr_spark.sources.pages import pages_df
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# flagship: the extraction engine itself
+# --------------------------------------------------------------------------
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the driver's ``documents`` table into the Common-Crawl page
+    shape (url, warc_ts, html, text, lang) — deterministic HTML with
+    boilerplate nav + one article block per document."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html lang="en"><body><nav><a href="/">Home</a> <a href="/x">X</a></nav>'),
+        F.lit('<div class="sidebar"><a href="/t">tags</a></div><article><h1>doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p></article><footer>footer</footer></body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction over pages derived from sf0.001 documents."""
+    return extract_pages(_docs_as_pages(spark, SF0001))
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+# --------------------------------------------------------------------------
+# extraction-engine queries (oracled where SQL-expressible)
+# --------------------------------------------------------------------------
+@_q(
+    "extract_docs_pages",
+    # The DOM-density extraction of the synthetic article wrapper is
+    # SQL-expressible: heading 'doc {id}' + newline + document text (the
+    # nav/sidebar/footer are boilerplate-stripped).
     """
-    return {}
+    SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+           'doc ' || CAST(doc_id AS VARCHAR) || chr(10) || trim(text) AS extracted_text
+    FROM documents
+    """,
+)
+def q_extract_docs_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = extract_pages(_docs_as_pages(spark, sf_dir))
+    return out.select("url", "extracted_text")
+
+
+@_q("extract_synthetic_pages")  # rows-only: layout paths not SQL-expressible
+def q_extract_synthetic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_pages(pages_df(spark, 400)).select(
+        "url", "extracted_text", "norm_text", "skipped", "is_blank", "error", "n_blocks"
+    )
+
+
+@_q("extract_dual_insert")  # rows-only: depends on the extraction output
+def q_extract_dual_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dual_insert_spans(extract_pages(pages_df(spark, 400)))
+
+
+# --------------------------------------------------------------------------
+# relational twins of reference operators (F/J/W/U/A/K/X series)
+# --------------------------------------------------------------------------
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           count(*)                                                    AS count_order
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "f1_existing_text_probe",
+    """
+    SELECT doc_id, length(trim(text)) AS n_chars_stripped, lang
+    FROM documents WHERE length(trim(text)) > 100
+    """,
+)
+def q_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1/F2 existing-text probe (reference core/pdf_processor.py:438-466)
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.trim("text")).alias("n_chars_stripped"),
+        "lang",
+    ).filter(F.col("n_chars_stripped") > 100)
+
+
+@_q(
+    "f4_confidence_filter",
+    """
+    SELECT event_type,
+           count(*) AS n_kept,
+           round(avg(value / 100.0), 4) AS avg_conf
+    FROM events WHERE value / 100.0 >= 0.5
+    GROUP BY event_type
+    """,
+)
+def q_f4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4 confidence filter (reference core/pdf_processor.py:627-628)
+    e = _t(spark, sf_dir, "events")
+    conf = F.col("value") / 100.0
+    return (
+        e.filter(conf >= 0.5)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_kept"), F.round(F.avg(conf), 4).alias("avg_conf"))
+    )
+
+
+@_q(
+    "x11_hash_bucketing",
+    """
+    SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT % 32 AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q_x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # X11 hash bucketing — the url-hash layout key (north_rule)
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 32
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "j2_resume_antijoin",
+    """
+    SELECT o_orderpriority, count(*) AS n_todo
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders c WHERE c.o_orderstatus = 'F' AND c.o_orderkey = o.o_orderkey
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2 checkpoint anti-join (reference core/pdf_processor.py:1249-1253)
+    o = _t(spark, sf_dir, "orders")
+    done = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        o.join(done, "o_orderkey", "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_todo"))
+    )
+
+
+@_q(
+    "j3_fallback_coalesce",
+    """
+    SELECT c.c_custkey,
+           round(coalesce(s.spend, 0.0), 2) AS spend,
+           (s.spend IS NULL) AS is_fallback
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+    ) s ON s.o_custkey = c.c_custkey
+    """,
+)
+def q_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J3 fallback-recovery join (reference core/pdf_processor.py:1170-1193)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    return c.join(spend, c.c_custkey == spend.o_custkey, "left").select(
+        "c_custkey",
+        F.round(F.coalesce(F.col("spend"), F.lit(0.0)), 2).alias("spend"),
+        F.col("spend").isNull().alias("is_fallback"),
+    )
+
+
+@_q(
+    "w1_order_repair",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber FROM (
+      SELECT l_orderkey, l_partkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1 page-order repair (reference core/pdf_processor.py:1465-1472);
+    # synthetic lineitem has duplicate linenumbers, so the full tuple is the
+    # deterministic tie-break
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    )
+
+
+@_q(
+    "w3_topk_per_group",
+    """
+    SELECT event_type, event_id, value, rnk FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+      FROM events
+    ) WHERE rnk <= 3
+    """,
+)
+def q_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "event_id", "value", "rnk")
+    )
+
+
+@_q(
+    "k3_txt_export",
+    """
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR) || ':' || l_returnflag,
+                      ' --- ' ORDER BY l_linenumber, l_returnflag) AS doc
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # K3 TXT export: ordered page concat (reference core/pdf_processor.py:204-232)
+    li = _t(spark, sf_dir, "lineitem")
+    line = F.struct(
+        F.col("l_linenumber"),
+        F.concat(F.col("l_linenumber").cast("string"), F.lit(":"), F.col("l_returnflag")).alias("s"),
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(
+            " --- ", F.transform(F.array_sort(F.collect_list(line)), lambda x: x["s"])
+        ).alias("doc")
+    )
+
+
+@_q(
+    "u3_union_passthrough",
+    """
+    SELECT branch, event_type, count(*) AS n FROM (
+      SELECT 'hot' AS branch, event_type FROM events WHERE value >= 50
+      UNION ALL
+      SELECT 'warm' AS branch, event_type FROM events WHERE value >= 10 AND value < 50
+      UNION ALL
+      SELECT 'cold' AS branch, event_type FROM events WHERE value < 10
+    ) GROUP BY branch, event_type
+    """,
+)
+def q_u3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U3 output-stream union (reference core/pdf_processor.py:1411-1422)
+    e = _t(spark, sf_dir, "events")
+    hot = e.filter(F.col("value") >= 50).select(F.lit("hot").alias("branch"), "event_type")
+    warm = e.filter((F.col("value") >= 10) & (F.col("value") < 50)).select(
+        F.lit("warm").alias("branch"), "event_type"
+    )
+    cold = e.filter(F.col("value") < 10).select(F.lit("cold").alias("branch"), "event_type")
+    return (
+        hot.unionByName(warm)
+        .unionByName(cold)
+        .groupBy("branch", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "u1_intersect_nations",
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    return a.intersect(b)
+
+
+@_q(
+    "a1_lineage_counters",
+    """
+    SELECT o_orderpriority,
+           count(*) AS docs,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS done,
+           round(sum(o_totalprice), 2) AS bytes_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 per-unit counters (reference ProcessResult core/pdf_processor.py:37-58)
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("done"),
+        F.round(F.sum("o_totalprice"), 2).alias("bytes_total"),
+    )
+
+
+@_q(
+    "a3_daily_rollup",
+    """
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 daily stats rollup (reference core/pdf_processor.py:160-189)
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+@_q(
+    "a4_charcount_by_lang",
+    """
+    SELECT lang, sum(length(text)) AS total_chars FROM documents
+    GROUP BY lang HAVING sum(length(text)) > 100
+    """,
+)
+def q_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.sum(F.length("text")).alias("total_chars"))
+        .filter(F.col("total_chars") > 100)
+    )
+
+
+@_q(
+    "grouping_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@_q(
+    "stream_windowed_counts",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+           count(*) AS n, round(sum(value), 2) AS v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch twin of the streaming 5-min windowed aggregation
+    e = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / 300).cast("long")
+    return e.groupBy(bucket.alias("bucket"), F.col("event_type")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis (documents table)
+# --------------------------------------------------------------------------
+@_q(
+    "text_lang_id",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 'und'
+                WHEN length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) > 0 THEN 'ja'
+                WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 1.0 / length(text) > 0.30 THEN 'zh'
+                ELSE 'en' END AS lang_guess
+    FROM documents
+    """,
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+@_q(
+    "text_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text)::DOUBLE AS n,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           floor((
+             0.5 * (least(n, 2000.0) / 2000.0)
+             + 0.3 * (CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','for','with'], x)))::DOUBLE / len(toks)::DOUBLE
+                 ELSE 0.0 END)
+             + 0.2 * (1.0 - least((CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) * 5.0, 1.0))
+           ) * 1e6) / 1e6 AS quality
+    FROM t
+    """,
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@_q(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+           (len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+            + CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4.0) AS BIGINT)) AS subwords
+    FROM documents
+    """,
+)
+def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        subword_estimate(F.col("text")).alias("subwords"),
+    )
+
+
+@_q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(
+             array_slice(list_sort(list_distinct(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))), 1, 5),
+             '|')) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# dedup family (documents table)
+# --------------------------------------------------------------------------
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_docs,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    g = exact_dup_groups(d)
+    return g.select(
+        "content_hash",
+        "n_docs",
+        F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias("ids"),
+    )
+
+
+_SHINGLE_SQL = """
+      list_transform(
+        range(1, greatest(len(toks) - 1, 1)),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      )
+"""
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN {_SHINGLE_SQL} ELSE [] END AS shingles
+      FROM toks
+    ), sig AS (
+      SELECT doc_id,
+             [list_min(list_transform(shingles, s -> md5('0:' || s))),
+              list_min(list_transform(shingles, s -> md5('1:' || s))),
+              list_min(list_transform(shingles, s -> md5('2:' || s))),
+              list_min(list_transform(shingles, s -> md5('3:' || s))),
+              list_min(list_transform(shingles, s -> md5('4:' || s))),
+              list_min(list_transform(shingles, s -> md5('5:' || s))),
+              list_min(list_transform(shingles, s -> md5('6:' || s))),
+              list_min(list_transform(shingles, s -> md5('7:' || s)))] AS sig
+      FROM sh WHERE len(shingles) > 0
+    ), banded AS (
+      SELECT doc_id, 0 AS band, md5(sig[1] || '|' || sig[2] || '|' || sig[3] || '|' || sig[4]) AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(sig[5] || '|' || sig[6] || '|' || sig[7] || '|' || sig[8]) AS bucket FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, k=8, bands=2, shingle_n=3)
+
+
+@_q(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+      FROM hashed, (SELECT unnest(range(0, 32)) AS bit) b
+    ), votes AS (
+      SELECT doc_id, bit, sum(vote) AS votes FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           sum(CASE WHEN votes > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash32(d)
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3 THEN {_SHINGLE_SQL} ELSE [] END)) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), rare AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) <= 50
+      )
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM rare a JOIN rare b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           floor(n_shared * 1.0 / (sa.n_shingles + sb.n_shingles - n_shared) * 1e6) / 1e6 AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared * 1.0 / (sa.n_shingles + sb.n_shingles - n_shared) >= 0.4
+    """,
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.4, doc_freq_cap=50)
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings table)
+# --------------------------------------------------------------------------
+_DOT_SQL = """
+  list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@_q(
+    "sim_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cand_id, embedding AS cvec FROM embeddings),
+         scored AS (
+           SELECT query_id, cand_id, {_cos_sql('qvec', 'cvec')} AS score
+           FROM c CROSS JOIN q WHERE query_id <> cand_id
+         ), ranked AS (
+           SELECT query_id, cand_id, score,
+                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+           FROM scored
+         )
+    SELECT query_id, cand_id, floor(score * 1e6) / 1e6 AS score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@_q(
+    "sim_ann_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[5] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[6] > 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM b WHERE vec_id < 20),
+       c AS (SELECT vec_id AS cand_id, embedding AS cvec, bucket FROM b),
+       scored AS (
+         SELECT query_id, cand_id, {_cos_sql('qvec', 'cvec')} AS score
+         FROM c JOIN q USING (bucket) WHERE query_id <> cand_id
+       ), ranked AS (
+         SELECT query_id, cand_id, score,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+         FROM scored
+       )
+    SELECT query_id, cand_id, floor(score * 1e6) / 1e6 AS score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(e, e.filter(F.col("vec_id") < 20), k=5, b=6)
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (binary columns; md5-derived fake decode → oracled)
+# --------------------------------------------------------------------------
+@_q(
+    "mm_decode_stats",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS INT) AS width,
+           CAST(64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS INT) AS height,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("media"))
+    stats = decode_image_stats(media)
+    return stats.select("doc_id", "n_bytes", "width", "height", "content_md5")
+
+
+@_q("mm_frame_sample")  # rows-only: byte-chunk demux plumbing
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("media"))
+    return sample_frames(media, every_n=4)
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,104 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` compositions (JVM-side, codegen'd,
+whole-stage — no Python in the hot path), each with a DuckDB-expressible
+twin in ``__spark_entry__.oracle_sql`` so the driver's correctness harness
+covers them:
+
+* language-ID (CJK-fraction n-gram heuristic)
+* quality scoring (length / punctuation / stopword ratios)
+* token counting (whitespace + BPE-ish subword estimate)
+* document fingerprinting (k-smallest-distinct-token digest)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "subword_estimate",
+    "fingerprint",
+]
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "with")
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased alphanumeric tokens. The shared tokenizer for dedup +
+    stats; DuckDB twin: ``string_split_regex(lower(x), '[^a-z0-9]+')`` with
+    empties filtered."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language-ID: fraction of CJK-ideograph chars.
+
+    > 0.30 → ``zh``; any kana → ``ja``; else ``en``. The same class of
+    cheap-scan heuristic the reference uses for blank detection (score a
+    cheap signal, branch on a threshold)."""
+    n = F.length(col)
+    cjk = F.length(F.regexp_replace(col, "[^一-鿿]", ""))
+    kana = F.length(F.regexp_replace(col, "[^぀-ヿ]", ""))
+    return (
+        F.when(n == 0, F.lit("und"))
+        .when(kana > 0, F.lit("ja"))
+        .when(cjk / n > 0.30, F.lit("zh"))
+        .otherwise(F.lit("en"))
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(col, "\\s+"), lambda t: t != F.lit("")))
+
+
+def subword_estimate(col: Column) -> Column:
+    """BPE-ish subword count estimate: alnum runs + ceil(chars/4) residue —
+    a deterministic regex proxy for tokenizer budget planning (the classic
+    ~4-chars-per-token heuristic)."""
+    alnum_chars = F.length(F.regexp_replace(col, "[^A-Za-z0-9]", ""))
+    runs = token_count(col)
+    return (runs + F.ceil(alnum_chars / F.lit(4))).cast("long")
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality score from cheap ratios:
+
+    * length factor: ``least(len,2000)/2000``
+    * punctuation ratio penalty
+    * stopword hit ratio reward (signals natural language)
+
+    Weights fixed so the DuckDB oracle reproduces the exact double.
+    """
+    n = F.length(col).cast("double")
+    length_factor = F.least(n, F.lit(2000.0)) / F.lit(2000.0)
+    punct = F.length(F.regexp_replace(col, "[^.,;:!?]", "")).cast("double")
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+    toks = tokens(col)
+    n_toks = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*_STOPWORDS))
+    ).cast("double")
+    stop_ratio = F.when(n_toks > 0, stop_hits / n_toks).otherwise(F.lit(0.0))
+    raw = (
+        F.lit(0.5) * length_factor
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0)))
+    )
+    # floor-scale instead of round: given bit-identical doubles, floor is
+    # bit-identical across engines, while round half-up boundaries are not
+    return F.floor(raw * F.lit(1e6)) / F.lit(1e6)
+
+
+def fingerprint(col: Column, k: int = 5) -> Column:
+    """Document fingerprint: md5 of the ``k`` lexicographically-smallest
+    distinct tokens — an order-insensitive, SQL-expressible content digest
+    (the role of the reference's first+last-1MB file hash,
+    ``core/checkpoint.py:104-124``)."""
+    smallest = F.slice(F.array_sort(F.array_distinct(tokens(col))), 1, k)
+    return F.md5(F.concat_ws("|", smallest).cast("binary"))

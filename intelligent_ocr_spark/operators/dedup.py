@@ -1,0 +1,254 @@
+"""Deduplication operator family for training-data pipelines.
+
+Four tiers, all pure DataFrame compositions (no Python UDFs — everything
+stays in whole-stage codegen) and all hash-anchored on ``md5`` so the
+DuckDB oracle reproduces values exactly:
+
+* **exact**: groupBy content hash — one shuffle on a short key.
+* **MinHash + LSH**: shingle → k md5-min signatures → band buckets →
+  candidate pairs via equi-join on (band, bucket). The scale path for
+  near-dup detection at 10^12 docs: cost is O(docs × shingles) map-side
+  plus one shuffle on band buckets; no all-pairs comparison ever happens.
+* **SimHash**: 32-bit sign-aggregated token hash; near-dups = pairs within
+  Hamming distance ``d`` found via half-word band join (pigeonhole:
+  d ≤ 1 guarantees a shared half; higher d trades recall for cost —
+  standard Charikar-style banding).
+* **n-gram Jaccard**: exact verification on shared-shingle-blocked pairs
+  with a document-frequency cap on shingles (stop-shingle removal — the
+  skew guard: a boilerplate shingle shared by millions of docs would
+  otherwise quadratically explode the self-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from intelligent_ocr_spark.functions.textstats import tokens
+
+__all__ = [
+    "shingles",
+    "exact_dup_groups",
+    "minhash_signature",
+    "minhash_lsh_candidates",
+    "simhash32",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
+]
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), empty for short docs.
+
+    DuckDB twin: ``list_transform(range(1, len(t)-n+2), i -> t[i]||' '||…)``.
+    """
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5(text) with >1 member.
+
+    Returns (content_hash, n_docs, doc_ids sorted). Map-side partial
+    aggregation makes this one short-key shuffle regardless of doc size.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list(F.col(id_col))).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed j, min over shingles of
+    ``md5(j || ':' || shingle)`` (lexicographic min of hex — identical in
+    any engine with md5). Entirely map-side: no shuffle."""
+    sh = shingles(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s).cast("binary")))
+            ).alias(f"h{j}")
+            for j in range(k)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(sh) > 0, sig).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, bands: int = 2, shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split the k-signature into ``bands`` bands of
+    k/bands rows each; docs sharing any band bucket are candidates.
+
+    Physical shape at scale: explode to (band, bucket=md5(band rows), doc)
+    → self-equi-join on (band, bucket) → distinct pairs. The join key is a
+    16-byte hash: uniform, broadcast-unfriendly by design, AQE handles the
+    residual skew of giant buckets (boilerplate clusters).
+    """
+    rows_per_band = k // bands
+    sig_df = minhash_signature(df, id_col, text_col, k, shingle_n)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+            ).cast("binary")
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig_df.select("doc_id", *band_cols)
+    long = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = long.alias("a")
+    b = long.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _md5_32(col: Column) -> Column:
+    """First 8 hex chars of md5 as a 32-bit integer (fits in long) —
+    reproducible in DuckDB via ``('0x'||substr(md5(x),1,8))::UBIGINT``."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct tokens: bit i of the result is 1 iff
+    ``sum over tokens of (bit i of md5_32(token) ? +1 : -1) > 0``.
+
+    Shape: explode distinct tokens × 32 bit positions → groupBy doc —
+    map-side combine keeps the shuffle at O(docs × 32) rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", _md5_32(F.col("tok")))
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("votes"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("votes") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
+    candidate-blocked on half-word bands (16-bit halves): pairs must share
+    at least one half. Exact distance verified with ``bit_count(xor)``."""
+    sh = simhash32(df, id_col, text_col)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("simhash") % 65536).alias("half")),
+                F.struct(F.lit(1).alias("band"), (F.col("simhash") / 65536).cast("long").alias("half")),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.half")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "half"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3, threshold: float = 0.6, doc_freq_cap: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity on shared-shingle-blocked pairs.
+
+    ``jaccard = |A∩B| / (|A| + |B| − |A∩B|)`` over DISTINCT shingle sets.
+    Shingles appearing in more than ``doc_freq_cap`` docs are dropped before
+    the self-join (stop-shingle skew guard): at web scale one boilerplate
+    shingle otherwise creates a quadratic hot key. The cap biases recall
+    only for docs whose overlap is exclusively boilerplate — the pairs a
+    dedup pipeline deliberately ignores.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df_count")),
+        "shingle",
+    ).filter(F.col("df_count") <= doc_freq_cap).select("doc_id", "shingle")
+    a, b = rare.alias("a"), rare.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            # floor-scale: bit-stable across engines for identical doubles
+            F.floor(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+                * F.lit(1e6)
+            )
+            / F.lit(1e6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )

@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+* **brute-force cosine top-k** — the correctness baseline: broadcast the
+  (small) query set, score every corpus row, rank per query. One broadcast,
+  zero shuffles until the final per-query top-k.
+* **sign-LSH bucketed ANN** — the scale path: bucket = sign pattern of the
+  first ``b`` dimensions (a fixed, data-independent hyperplane family —
+  deterministic and SQL-expressible, so the oracle can reproduce it).
+  Queries only score candidates in their own bucket: at 10^12 vectors the
+  equi-join on bucket replaces the full scan; recall is traded via ``b``.
+
+Float reproducibility contract (oracle hash-match): every element is cast
+to DOUBLE before multiplication and summed strictly left-to-right
+(``aggregate`` fold), matching DuckDB's ``list_reduce`` order — bit-identical
+doubles on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = ["dot", "norm", "cosine", "cosine_topk", "sign_bucket", "ann_lsh_topk"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (bit-stable across engines)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries × full corpus scan.
+
+    Returns (query_id, cand_id, score, rank), rank 1..k per query,
+    deterministic tie-break on cand_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", _floor6("score").alias("score"), "rank")
+    )
+
+
+def _floor6(name: str) -> Column:
+    """floor-scale to 6dp: bit-stable across engines given identical doubles
+    (round() half-up boundaries are not)."""
+    return F.floor(F.col(name) * F.lit(1e6)) / F.lit(1e6)
+
+
+def sign_bucket(vec: Column, b: int = 8) -> Column:
+    """Sign-pattern LSH bucket over the first ``b`` dimensions: a string of
+    '1'/'0' per dim sign (> 0). Fixed axis-aligned hyperplanes — no RNG, so
+    identical across engines and runs."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(b)
+    ]
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, b: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via sign-LSH bucket equi-join, then exact cosine within bucket.
+
+    The bucket join is the 10^12-scale substitute for the cross join in
+    :func:`cosine_topk`; with ``b`` bits the candidate set shrinks ~2^-b.
+    Hot buckets (skewed sign patterns) are AQE-split; add salting on
+    bucket if a deployment sees a degenerate embedding distribution.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_bucket(F.col(vec_col), b).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        sign_bucket(F.col(vec_col), b).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", _floor6("score").alias("score"), "rank")
+    )

@@ -1,0 +1,138 @@
+"""Known-answer tests for the dedup + similarity + multimodal operator
+families on hand-built fixtures (independent of the DuckDB oracle)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from intelligent_ocr_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash32,
+    simhash_near_dups,
+)
+from intelligent_ocr_spark.operators.multimodal import decode_image_stats, sample_frames
+from intelligent_ocr_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup of 1
+    (4, "completely different text about distributed query engines and shuffles"),
+    (5, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dup_groups(docs):
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["doc_ids"] == [1, 2]
+
+
+def test_minhash_signature_properties(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signature(docs).collect()}
+    assert 5 not in sigs  # too short for 3-shingles
+    assert sigs[1] == sigs[2]  # identical docs → identical signatures
+    same = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert same >= 4  # near-dups share most minhashes
+    assert sum(a == b for a, b in zip(sigs[1], sigs[4])) <= 2
+
+
+def test_minhash_lsh_candidates(docs):
+    # exact dups collide at any banding
+    pairs2 = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs, bands=2).collect()}
+    assert (1, 2) in pairs2
+    assert not any(4 in p for p in pairs2)
+    # bands=4 (2 rows/band) is sensitive enough for the 0.67-jaccard pair;
+    # this fixture's signatures share bands 0 and 3 (deterministic)
+    pairs4 = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs, bands=4).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs4
+    assert not any(4 in p for p in pairs4)
+
+
+def test_simhash_near_dups(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < 2**32
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # docs 1 and 3 differ in the last word: 11 distinct shingles each,
+    # 10 shared → jaccard 10/12 = 0.833333
+    assert (1, 3) in pairs and pairs[(1, 3)] == 0.833333
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0, 0.1, 0.1]),
+    (1, [0.9, 0.0, 0.0, 0.0, 0.2, 0.1]),   # closest to 0, same sign bucket "1000"
+    (2, [0.0, 1.0, 0.0, 0.0, 0.1, 0.1]),
+    (3, [-1.0, 0.0, 0.0, 0.0, -0.1, -0.1]),  # opposite of 0 → bucket "0000"
+    (4, [0.8, 0.2, 0.1, 0.0, 0.1, 0.1]),     # similar but bucket "1110"
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    df = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    return df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+
+def test_cosine_topk(vecs):
+    res = cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(res.collect(), key=lambda r: r["rank"])
+    assert [r["cand_id"] for r in rows] == [1, 4]
+    assert rows[0]["score"] > 0.98
+    assert all(r["query_id"] == 0 for r in rows)
+
+
+def test_ann_lsh_respects_buckets(vecs):
+    res = ann_lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3, b=4)
+    cands = {r["cand_id"] for r in res.collect()}
+    # only vec 1 shares bucket "1000" with the query; 3 (opposite) and
+    # 4 (similar but different sign pattern) are pruned — recall trade-off
+    assert cands == {1}
+
+
+def test_multimodal_decode_and_frames(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 10000)), (2, bytearray(b"y" * 5000)), (3, None)],
+        ["doc_id", "media"],
+    )
+    stats = {r["doc_id"]: r for r in decode_image_stats(df).collect()}
+    assert stats[1]["n_bytes"] == 10000
+    assert 64 <= stats[1]["width"] < 256 and 64 <= stats[1]["height"] < 256
+    assert stats[1]["is_blank"] is True  # uniform payload → zero gradient
+    assert stats[3]["width"] is None  # quarantined, not crashed
+    frames = sample_frames(df, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert by_doc[1] == [0]  # 10000B → 2 frames of 4KiB; every_n=2 keeps idx 0
+    assert by_doc[2] == [0]  # 5000B → 1 frame
+    assert 3 not in by_doc  # NULL media skipped
+
+
+def test_multimodal_determinism(spark):
+    df = spark.createDataFrame([(1, bytearray(b"abc" * 500))], ["doc_id", "media"])
+    a = decode_image_stats(df).collect()[0]
+    b = decode_image_stats(df).collect()[0]
+    assert a == b
