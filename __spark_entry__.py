@@ -569,24 +569,27 @@ _TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <
     WITH toks AS (
       SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
     ), sh AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3 THEN {_SHINGLE_SQL} ELSE [] END AS shingles
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3 THEN {_SHINGLE_SQL} ELSE [] END)) AS shingle
       FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8))::UBIGINT AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5('~' || shingle), 1, 8))::UBIGINT AS BIGINT) AS h2
+      FROM sh
     ), sig AS (
       SELECT doc_id,
-             [list_min(list_transform(shingles, s -> md5('0:' || s))),
-              list_min(list_transform(shingles, s -> md5('1:' || s))),
-              list_min(list_transform(shingles, s -> md5('2:' || s))),
-              list_min(list_transform(shingles, s -> md5('3:' || s))),
-              list_min(list_transform(shingles, s -> md5('4:' || s))),
-              list_min(list_transform(shingles, s -> md5('5:' || s))),
-              list_min(list_transform(shingles, s -> md5('6:' || s))),
-              list_min(list_transform(shingles, s -> md5('7:' || s)))] AS sig
-      FROM sh WHERE len(shingles) > 0
+             min((h1 + 0*h2) % 2147483647) AS g0, min((h1 + 1*h2) % 2147483647) AS g1,
+             min((h1 + 2*h2) % 2147483647) AS g2, min((h1 + 3*h2) % 2147483647) AS g3,
+             min((h1 + 4*h2) % 2147483647) AS g4, min((h1 + 5*h2) % 2147483647) AS g5,
+             min((h1 + 6*h2) % 2147483647) AS g6, min((h1 + 7*h2) % 2147483647) AS g7
+      FROM hashed GROUP BY doc_id
     ), banded AS (
-      SELECT doc_id, 0 AS band, md5(sig[1] || '|' || sig[2] || '|' || sig[3] || '|' || sig[4]) AS bucket FROM sig
+      SELECT doc_id, 0 AS band,
+             md5(g0::VARCHAR || '|' || g1::VARCHAR || '|' || g2::VARCHAR || '|' || g3::VARCHAR) AS bucket FROM sig
       UNION ALL
-      SELECT doc_id, 1 AS band, md5(sig[5] || '|' || sig[6] || '|' || sig[7] || '|' || sig[8]) AS bucket FROM sig
+      SELECT doc_id, 1 AS band,
+             md5(g4::VARCHAR || '|' || g5::VARCHAR || '|' || g6::VARCHAR || '|' || g7::VARCHAR) AS bucket FROM sig
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket

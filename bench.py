@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""bench.py — headline benchmark for the extraction engine.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "extraction": {"docs": N, "cores_n": 8, "cores_4n": 32,
+                  "docs_per_sec_n": ..., "docs_per_sec_4n": ...,
+                  "scaling_efficiency": ...}}
+
+Two parts:
+
+1. **Extraction scaling** (the BASELINE.json north metric): the full fused
+   extraction pipeline over a deterministic synthetic Common-Crawl-style
+   page table, run at TWO parallelism levels (local[N] and local[4N],
+   default 8 and 32 cores) in separate JVMs on byte-identical parquet
+   input. Reports docs/sec at both and scaling efficiency
+   = throughput(4N) / (4 × throughput(N)).
+
+2. **Operator headliners** at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1):
+   wall time per representative query from __spark_entry__ (forced with a
+   noop sink so every column is computed, nothing is collected).
+
+Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS
+(default 600000), SPARK_GRAFT_SF_DIR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_DATA = os.path.join(REPO, ".bench_data")
+
+HEADLINE_QUERIES = [
+    "q1_pricing_summary",
+    "w1_order_repair",
+    "k3_txt_export",
+    "stream_windowed_counts",
+    "text_quality_score",
+    "text_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "mm_decode_stats",
+]
+
+
+def _pages_path(n_docs: int) -> str:
+    return os.path.join(BENCH_DATA, f"pages_{n_docs}")
+
+
+def ensure_bench_pages(n_docs: int) -> str:
+    """Generate the deterministic bench page table once (64 partitions so
+    both parallelism levels read identical, well-split input)."""
+    path = _pages_path(n_docs)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from intelligent_ocr_spark.session import build_session
+    from intelligent_ocr_spark.sources.pages import write_pages
+
+    spark = build_session(parallelism=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                          app_name="bench_gen")
+    write_pages(spark, n_docs, path, partitions=64)
+    spark.stop()
+    return path
+
+
+def child_extract(cores: int, input_path: str) -> None:
+    """Child mode: run the extraction pipeline at local[cores], print JSON."""
+    from intelligent_ocr_spark.operators.extract import extract_pages
+    from intelligent_ocr_spark.session import build_session
+
+    spark = build_session(parallelism=cores, app_name=f"bench_extract_{cores}")
+    pages = spark.read.parquet(input_path)
+    n_docs = pages.count()  # parquet metadata; also warms the reader
+    t0 = time.perf_counter()
+    extract_pages(pages).write.format("noop").mode("overwrite").save()
+    sec = time.perf_counter() - t0
+    print(json.dumps({"docs": n_docs, "sec": sec, "docs_per_sec": n_docs / sec}))
+    spark.stop()
+
+
+def run_child(cores: int, input_path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child-extract", str(cores), input_path],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    )
+    last = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(last)
+
+
+def run_headliners(sf_dir: str, cores: int) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+    from intelligent_ocr_spark.session import build_session
+
+    spark = build_session(parallelism=cores, app_name="bench_queries")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = qs[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (plan+code paths)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+    return timings
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--child-extract":
+        child_extract(int(sys.argv[2]), sys.argv[3])
+        return
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_small = max(cpus // 4, 1)
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "600000"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    pages = ensure_bench_pages(n_docs)
+    small = run_child(n_small, pages)
+    big = run_child(cpus, pages)
+    efficiency = big["docs_per_sec"] / (4.0 * small["docs_per_sec"])
+
+    queries = run_headliners(sf_dir, cpus)
+    queries[f"extract_{n_docs}docs_local{n_small}"] = round(small["sec"], 3)
+    queries[f"extract_{n_docs}docs_local{cpus}"] = round(big["sec"], 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+operator wall time (sec); extraction docs/sec at two parallelism levels with scaling efficiency",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "extraction": {
+                    "docs": n_docs,
+                    "cores_n": n_small,
+                    "cores_4n": cpus,
+                    "docs_per_sec_n": round(small["docs_per_sec"], 1),
+                    "docs_per_sec_4n": round(big["docs_per_sec"], 1),
+                    "scaling_efficiency": round(efficiency, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from intelligent_ocr_spark.functions.image_kernels import adaptive_zoom, is_blank_image
+from intelligent_ocr_spark.util import ensure_parallelism
 
 __all__ = [
     "MEDIA_META_SCHEMA",
@@ -92,7 +93,7 @@ def decode_image_stats(df: DataFrame, media_col: str = "media", id_col: str = "d
     render guard (reference ``core/pdf_processor.py:796-836``) on the
     decoded array. NULL media → quarantined row (width NULL), never a crash.
     """
-    pruned = df.select(id_col, media_col)
+    pruned = ensure_parallelism(df.select(id_col, media_col))
 
     def op(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -142,7 +143,7 @@ def sample_frames(
     fan-out shape (1 row → m rows inside mapInPandas) is the part Spark
     cares about and is real here.
     """
-    pruned = df.select(id_col, media_col)
+    pruned = ensure_parallelism(df.select(id_col, media_col))
 
     def op(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

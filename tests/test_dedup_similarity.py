@@ -42,17 +42,16 @@ def test_minhash_signature_properties(docs):
     assert 5 not in sigs  # too short for 3-shingles
     assert sigs[1] == sigs[2]  # identical docs → identical signatures
     same = sum(a == b for a, b in zip(sigs[1], sigs[3]))
-    assert same >= 4  # near-dups share most minhashes
-    assert sum(a == b for a, b in zip(sigs[1], sigs[4])) <= 2
+    assert same == 7  # deterministic: 0.83-jaccard pair shares 7/8 KM minhashes
+    assert sum(a == b for a, b in zip(sigs[1], sigs[4])) == 0
 
 
 def test_minhash_lsh_candidates(docs):
-    # exact dups collide at any banding
-    pairs2 = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs, bands=2).collect()}
-    assert (1, 2) in pairs2
-    assert not any(4 in p for p in pairs2)
-    # bands=4 (2 rows/band) is sensitive enough for the 0.67-jaccard pair;
-    # this fixture's signatures share bands 0 and 3 (deterministic)
+    # this fixture's KM signatures share 7/8 positions for the 0.83-jaccard
+    # pair → band 0 collides at bands=2 (deterministic)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs, bands=2).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert not any(4 in p for p in pairs)
     pairs4 = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs, bands=4).collect()}
     assert {(1, 2), (1, 3), (2, 3)} <= pairs4
     assert not any(4 in p for p in pairs4)
