@@ -1,0 +1,77 @@
+"""Physical-plan shape guards: pushdown, pruning, broadcast, shuffle count.
+
+These encode the scale contract — a regression that silently adds a
+shuffle or defeats pushdown fails CI, not a 100 TB production run.
+"""
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from intelligent_ocr_spark.operators.extract import extract_pages
+from intelligent_ocr_spark.operators.similarity import cosine_topk
+from intelligent_ocr_spark.sources.pages import pages_df, write_pages
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan") / "pages")
+    write_pages(spark, 200, path, partitions=4)
+    return path
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1995-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_extraction_scan_prunes_columns(spark, pages_parquet):
+    """The extraction UDF must receive ONLY the 5 input columns even when
+    the source has more — ReadSchema proves the projection reached the scan."""
+    src = spark.read.parquet(pages_parquet).withColumn("extra", F.lit(1))
+    plan = _plan(extract_pages(src))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"url", "warc_ts", "html", "text", "lang"}
+
+
+def test_extraction_has_no_shuffle(spark, pages_parquet):
+    plan = _plan(extract_pages(spark.read.parquet(pages_parquet)))
+    assert "Exchange" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(cosine_topk(e, e.filter(F.col("vec_id") < 5), k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q1_single_shuffle(spark):
+    """TPC-H Q1 shape: exactly one exchange (partial agg → shuffle → final)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()  # map-side combine present
+
+
+def test_wholestage_codegen_in_relational_path(spark):
+    import __spark_entry__ as em
+
+    df = em.queries()["a1_lineage_counters"](spark, "/root/testdata/sf0.001")
+    df.collect()  # AQE finalizes the plan only on execution
+    # '*(n)' node prefix = WholeStageCodegen span in the compact plan string
+    assert "*(" in _plan(df)
