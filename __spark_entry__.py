@@ -49,6 +49,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _moneysum(expr, scale: int = 4):
+    """Exact order-independent sum: per-term DECIMAL cast, decimal addition,
+    output kept at the term scale (NO recast — a final lossy rounding would
+    reintroduce the half-rounding divergence: Spark rounds .xx50 half-up,
+    DuckDB half-even). Term products of 2dp inputs are exact at scale 4, so
+    the cast itself never rounds. DuckDB twin: ``sum(CAST(x AS DECIMAL(20,s)))``."""
+    return F.sum(expr.cast(f"decimal(20,{scale})"))
+
+
+def _dsum(expr, scale: int = 4):
+    """Order-independent money/metric sum: cast each term to DECIMAL before
+    aggregating (decimal addition is exact), convert the exact total back to
+    double. Plain double sums differ by ~1 ulp across engines because the
+    summation ORDER differs, and any rounding maps some 1-ulp pairs across a
+    boundary — with thousands of groups those boundary rolls materialize.
+    DuckDB twin: ``CAST(sum(CAST(x AS DECIMAL(20,s))) AS DOUBLE)``."""
+    return F.sum(expr.cast(f"decimal(20,{scale})")).cast("double")
+
+
+def _dsum_sql(expr: str, scale: int = 4) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(20,{scale}))) AS DOUBLE)"
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -134,10 +157,10 @@ def q_extract_dual_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
+           sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS sum_base_price,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS sum_disc_price,
+           floor(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / count(*) * 1e4) / 1e4 AS avg_qty,
            count(*)                                                    AS count_order
     FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -149,10 +172,10 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _moneysum(F.col("l_quantity")).alias("sum_qty"),
+            _moneysum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _moneysum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            (F.floor(_dsum(F.col("l_quantity")) / F.count("*") * F.lit(1e4)) / F.lit(1e4)).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -180,7 +203,7 @@ def q_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_kept,
-           round(avg(value / 100.0), 4) AS avg_conf
+           floor(CAST(sum(CAST(value / 100.0 AS DECIMAL(20,6))) AS DOUBLE) / count(*) * 1e4) / 1e4 AS avg_conf
     FROM events WHERE value / 100.0 >= 0.5
     GROUP BY event_type
     """,
@@ -192,7 +215,10 @@ def q_f4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.filter(conf >= 0.5)
         .groupBy("event_type")
-        .agg(F.count("*").alias("n_kept"), F.round(F.avg(conf), 4).alias("avg_conf"))
+        .agg(
+            F.count("*").alias("n_kept"),
+            (F.floor(_dsum(conf, 6) / F.count("*") * F.lit(1e4)) / F.lit(1e4)).alias("avg_conf"),
+        )
     )
 
 
@@ -240,11 +266,11 @@ def q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j3_fallback_coalesce",
     """
     SELECT c.c_custkey,
-           round(coalesce(s.spend, 0.0), 2) AS spend,
+           coalesce(s.spend, CAST(0 AS DECIMAL(20,4))) AS spend,
            (s.spend IS NULL) AS is_fallback
     FROM customer c
     LEFT JOIN (
-      SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,4))) AS spend FROM orders GROUP BY o_custkey
     ) s ON s.o_custkey = c.c_custkey
     """,
 )
@@ -252,10 +278,12 @@ def q_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J3 fallback-recovery join (reference core/pdf_processor.py:1170-1193)
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("spend")
+    )
     return c.join(spend, c.c_custkey == spend.o_custkey, "left").select(
         "c_custkey",
-        F.round(F.coalesce(F.col("spend"), F.lit(0.0)), 2).alias("spend"),
+        F.coalesce(F.col("spend"), F.lit(0).cast("decimal(20,4)")).alias("spend"),
         F.col("spend").isNull().alias("is_fallback"),
     )
 
@@ -378,7 +406,7 @@ def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(*) AS docs,
            sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS done,
-           round(sum(o_totalprice), 2) AS bytes_total
+           sum(CAST(o_totalprice AS DECIMAL(20,4))) AS bytes_total
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -388,14 +416,14 @@ def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.count("*").alias("docs"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("done"),
-        F.round(F.sum("o_totalprice"), 2).alias("bytes_total"),
+        _moneysum(F.col("o_totalprice")).alias("bytes_total"),
     )
 
 
 @_q(
     "a3_daily_rollup",
     """
-    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events, round(sum(value), 2) AS total_value
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events, sum(CAST(value AS DECIMAL(20,4))) AS total_value
     FROM events GROUP BY 1
     """,
 )
@@ -403,7 +431,8 @@ def q_a3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A3 daily stats rollup (reference core/pdf_processor.py:160-189)
     e = _t(spark, sf_dir, "events")
     return e.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+        F.count("*").alias("n_events"),
+        _moneysum(F.col("value")).alias("total_value"),
     )
 
 
@@ -439,7 +468,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_windowed_counts",
     """
     SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
-           count(*) AS n, round(sum(value), 2) AS v
+           count(*) AS n, sum(CAST(value AS DECIMAL(20,4))) AS v
     FROM events GROUP BY 1, 2
     """,
 )
@@ -448,8 +477,135 @@ def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     bucket = F.floor(F.unix_timestamp("ts") / 300).cast("long")
     return e.groupBy(bucket.alias("bucket"), F.col("event_type")).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
+        F.count("*").alias("n"), _moneysum(F.col("value")).alias("v")
     )
+
+
+# DuckDB twins of the bit-stable dot/cosine folds (element-wise DOUBLE cast,
+# strict left-to-right sum — matches operators.similarity.dot exactly)
+_DOT_SQL = """
+  list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_day, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1997-06-01' AND l_shipdate > TIMESTAMP '1997-06-01'
+    GROUP BY l_orderkey, order_day, o_orderpriority
+    """,
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape: two joins (one broadcastable dim), filtered fact scan.
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_day"),
+            "o_orderpriority",
+        )
+        .agg(_moneysum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_day", "o_orderpriority")
+    )
+
+
+@_q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: 6-way join — the dims (region/nation/supplier/customer)
+    # broadcast, facts shuffle once on orderkey.
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .groupBy("n_name")
+        .agg(_moneysum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@_q(
+    "dedup_embedding_cosine",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[5] > 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[6] > 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             {_cos_sql('a.embedding', 'b2.embedding')} AS raw
+      FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id
+    )
+    SELECT id_a, id_b, floor(raw * 1e6) / 1e6 AS score
+    FROM scored WHERE raw >= 0.35
+    """,
+)
+def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fifth dedup tier: embedding-cosine near-dups, sign-LSH blocked
+    from intelligent_ocr_spark.operators.similarity import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, threshold=0.35, b=6)
+
+
+@_q(
+    "export_txt_docs",
+    """
+    SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+           '--- 第 1 页 ---' || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR)
+           || chr(10) || chr(10) || '--- 第 2 页 ---' || chr(10) || trim(text) AS txt
+    FROM documents
+    """,
+)
+def q_export_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # K3 TXT export over real extraction output (reference export_txt
+    # core/pdf_processor.py:204-232); every document renders as heading +
+    # body blocks
+    from intelligent_ocr_spark.operators.export import export_txt
+
+    return export_txt(extract_pages(_docs_as_pages(spark, sf_dir)))
 
 
 # --------------------------------------------------------------------------
@@ -662,18 +818,6 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # similarity search (embeddings table)
 # --------------------------------------------------------------------------
-_DOT_SQL = """
-  list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)
-"""
-
-
-def _cos_sql(a: str, b: str) -> str:
-    dot = _DOT_SQL.format(a=a, b=b)
-    na = _DOT_SQL.format(a=a, b=a)
-    nb = _DOT_SQL.format(a=b, b=b)
-    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
-
-
 @_q(
     "sim_cosine_topk",
     f"""

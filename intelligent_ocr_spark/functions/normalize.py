@@ -77,6 +77,9 @@ class VariantNormalizer:
         text = VARIANTS_TEXT if variants_text is None else variants_text
         self.mapping = parse_variant_lines(text.splitlines())
         self._table = build_translation(self.mapping)
+        # chars whose translation differs — isdisjoint() scans the string at
+        # C speed, so the common no-variant case costs one set probe pass
+        self._rewrite_chars = frozenset(chr(cp) for cp in self._table)
 
     def normalize(self, text: str) -> str:
         """Char-wise canonicalization (reference ``core/variants.py:1234-1248``)."""
@@ -85,8 +88,7 @@ class VariantNormalizer:
     def needs_normalization(self, text: str) -> bool:
         """True iff :meth:`normalize` would change ``text``
         (reference ``core/variants.py:1265-1284``)."""
-        table = self._table
-        return any(ord(c) in table for c in text)
+        return not self._rewrite_chars.isdisjoint(text)
 
     def normalize_series(self, s: pd.Series) -> pd.Series:
         """Vectorized normalize over a string Series (one C pass per value)."""

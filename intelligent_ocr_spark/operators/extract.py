@@ -144,7 +144,10 @@ class _PageParser(HTMLParser):
             except ValueError:
                 self.zoom = 1.0
         self._stack.append(tag)
-        if tag in _BOILER_TAGS or (self._classes(attrs) & _BOILER_CLASS_TOKENS):
+        if tag in _BOILER_TAGS or (
+            ("class" in attrs or "id" in attrs)
+            and (self._classes(attrs) & _BOILER_CLASS_TOKENS)
+        ):
             self._boiler_depth += 1
             self._stack[-1] = tag + "!"  # mark for symmetric pop
         if tag == "a":

@@ -23,7 +23,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["dot", "norm", "cosine", "cosine_topk", "sign_bucket", "ann_lsh_topk"]
+__all__ = [
+    "dot", "norm", "cosine", "cosine_topk", "sign_bucket", "ann_lsh_topk",
+    "embedding_near_dups",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -87,6 +90,37 @@ def sign_bucket(vec: Column, b: int = 8) -> Column:
         for i in range(b)
     ]
     return F.concat(*bits)
+
+
+def embedding_near_dups(
+    corpus: DataFrame, threshold: float = 0.95, b: int = 6,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fifth dedup tier: pairs
+    with cosine ≥ ``threshold``, candidate-blocked by sign-LSH bucket
+    self-join (near-identical vectors share sign patterns with high
+    probability; ``b`` trades recall for cost, same scale argument as
+    MinHash banding). Returns (id_a, id_b, score) with id_a < id_b.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), b).alias("bucket"),
+    )
+    a, bb = c.alias("a"), c.alias("b")
+    scored = (
+        a.join(bb, "bucket")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("raw"),
+        )
+        .filter(F.col("raw") >= threshold)
+    )
+    return scored.select(
+        "id_a", "id_b", (F.floor(F.col("raw") * F.lit(1e6)) / F.lit(1e6)).alias("score")
+    )
 
 
 def ann_lsh_topk(
