@@ -871,6 +871,49 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(e, e.filter(F.col("vec_id") < 20), k=5, b=6)
 
 
+def _l2_sql(a: str, b: str) -> str:
+    aa = _DOT_SQL.format(a=a, b=a)
+    bb = _DOT_SQL.format(a=b, b=b)
+    ab = _DOT_SQL.format(a=a, b=b)
+    return f"((({aa}) + ({bb})) - 2 * ({ab}))"
+
+
+@_q(
+    "sim_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ), assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_l2_sql('e.embedding', 'c.cvec')}, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cell FROM assigned WHERE vec_id < 20
+    ), c2 AS (
+      SELECT vec_id AS cand_id, embedding AS cvec, cell FROM assigned
+    ), scored AS (
+      SELECT query_id, cand_id, {_cos_sql('qvec', 'cvec')} AS score
+      FROM c2 JOIN q USING (cell) WHERE query_id <> cand_id
+    ), ranked AS (
+      SELECT query_id, cand_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, floor(score * 1e6) / 1e6 AS score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN scale path (deterministic seed centroids, single probe)
+    from intelligent_ocr_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 20), k=5, n_cells=8)
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (binary columns; md5-derived fake decode → oracled)
 # --------------------------------------------------------------------------

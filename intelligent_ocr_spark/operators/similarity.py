@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 
 __all__ = [
     "dot", "norm", "cosine", "cosine_topk", "sign_bucket", "ann_lsh_topk",
-    "embedding_near_dups",
+    "embedding_near_dups", "ivf_assign_cells", "ivf_topk",
 ]
 
 
@@ -90,6 +90,75 @@ def sign_bucket(vec: Column, b: int = 8) -> Column:
         for i in range(b)
     ]
     return F.concat(*bits)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance composed from bit-stable folds:
+    ``(a·a + b·b) − 2·(a·b)`` — parenthesization fixed so both engines
+    evaluate identically."""
+    return (dot(a, a) + dot(b, b)) - F.lit(2.0) * dot(a, b)
+
+
+def ivf_assign_cells(
+    vectors: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by squared-L2 (broadcast the
+    centroid table, window rank-1 per vector). Deterministic ties on
+    centroid id. Returns (vec_id, embedding, cell)."""
+    cents = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d", _l2sq(F.col("vec"), F.col("cvec")))
+    )
+    w = W.partitionBy("vid").orderBy(F.col("d"), F.col("cent_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("vec").alias(vec_col),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN (single-probe): the second scale path beside sign-LSH.
+
+    Centroids = the first ``n_cells`` corpus vectors by id — a
+    deterministic, training-free seeding (a production deployment would
+    k-means-refine them; the query/assignment plumbing is identical).
+    Queries score only candidates in their own cell: candidate set shrinks
+    ~n_cells× per probe. Cell sizes can skew with clustered data — AQE
+    skew-join splits hot cells, same argument as the LSH buckets.
+    """
+    centroids = corpus.filter(F.col(id_col) < n_cells)
+    c_assigned = ivf_assign_cells(corpus, centroids, id_col, vec_col)
+    q_assigned = ivf_assign_cells(queries, centroids, id_col, vec_col)
+    q = q_assigned.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"
+    )
+    c = c_assigned.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", _floor6("score").alias("score"), "rank")
+    )
 
 
 def embedding_near_dups(
