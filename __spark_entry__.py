@@ -481,6 +481,123 @@ def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "skew_salted_agg",
+    """
+    SELECT event_type, count(*) AS n, sum(CAST(value AS DECIMAL(20,4))) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # salted two-phase aggregation must equal the plain groupBy exactly —
+    # the skew-layout change is semantics-free (north_rule salting)
+    from intelligent_ocr_spark.operators.skew import salted_count_sum
+
+    e = _t(spark, sf_dir, "events")
+    return salted_count_sum(e, ["event_type"], "value", "event_id", buckets=16)
+
+
+@_q(
+    "q6_forecast_revenue",
+    """
+    SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 shape: pure filter+agg, fully pushed scan, no shuffle of rows
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(20,6)")).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q12_priority_returns",
+    """
+    SELECT o_orderpriority,
+           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned,
+           sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape: fact-fact join + conditional counts
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("returned"),
+            F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("kept"),
+        )
+    )
+
+
+@_q(
+    "q18_large_volume",
+    """
+    SELECT c.c_custkey, o.o_orderkey, big.sum_qty
+    FROM (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(20,4))) > 300
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 shape: agg-then-join (having pushes the heavy groupBy
+    # before the joins — never join first)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "sum_qty")
+    )
+
+
+@_q(
+    "u2_except_nations",
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def q_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    # subtract = EXCEPT DISTINCT (set semantics, matching SQL EXCEPT);
+    # exceptAll would keep surplus multiplicities (bag semantics)
+    return a.subtract(b)
+
+
 # DuckDB twins of the bit-stable dot/cosine folds (element-wise DOUBLE cast,
 # strict left-to-right sum — matches operators.similarity.dot exactly)
 _DOT_SQL = """
