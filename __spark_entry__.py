@@ -157,9 +157,9 @@ def q_extract_dual_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS sum_base_price,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
            floor(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / count(*) * 1e4) / 1e4 AS avg_qty,
            count(*)                                                    AS count_order
     FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
@@ -172,9 +172,9 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _moneysum(F.col("l_quantity")).alias("sum_qty"),
-            _moneysum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _moneysum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
             (F.floor(_dsum(F.col("l_quantity")) / F.count("*") * F.lit(1e4)) / F.lit(1e4)).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -193,7 +193,7 @@ def q_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.length(F.trim("text")).alias("n_chars_stripped"),
+        F.length(F.trim("text")).cast("long").alias("n_chars_stripped"),
         "lang",
     ).filter(F.col("n_chars_stripped") > 100)
 
@@ -266,7 +266,7 @@ def q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j3_fallback_coalesce",
     """
     SELECT c.c_custkey,
-           coalesce(s.spend, CAST(0 AS DECIMAL(20,4))) AS spend,
+           CAST(coalesce(s.spend, CAST(0 AS DECIMAL(20,4))) AS DOUBLE) AS spend,
            (s.spend IS NULL) AS is_fallback
     FROM customer c
     LEFT JOIN (
@@ -283,7 +283,7 @@ def q_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.join(spend, c.c_custkey == spend.o_custkey, "left").select(
         "c_custkey",
-        F.coalesce(F.col("spend"), F.lit(0).cast("decimal(20,4)")).alias("spend"),
+        F.coalesce(F.col("spend"), F.lit(0).cast("decimal(20,4)")).cast("double").alias("spend"),
         F.col("spend").isNull().alias("is_fallback"),
     )
 
@@ -330,7 +330,7 @@ def q_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("event_type", "event_id", "value", "rnk")
+        .select("event_type", "event_id", "value", F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -405,8 +405,8 @@ def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            count(*) AS docs,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS done,
-           sum(CAST(o_totalprice AS DECIMAL(20,4))) AS bytes_total
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS done,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS bytes_total
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -416,30 +416,30 @@ def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.count("*").alias("docs"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("done"),
-        _moneysum(F.col("o_totalprice")).alias("bytes_total"),
+        _dsum(F.col("o_totalprice")).alias("bytes_total"),
     )
 
 
 @_q(
     "a3_daily_rollup",
     """
-    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events, sum(CAST(value AS DECIMAL(20,4))) AS total_value
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1
     """,
 )
 def q_a3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A3 daily stats rollup (reference core/pdf_processor.py:160-189)
     e = _t(spark, sf_dir, "events")
-    return e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.count("*").alias("n_events"),
-        _moneysum(F.col("value")).alias("total_value"),
+        _dsum(F.col("value")).alias("total_value"),
     )
 
 
 @_q(
     "a4_charcount_by_lang",
     """
-    SELECT lang, sum(length(text)) AS total_chars FROM documents
+    SELECT lang, CAST(sum(length(text)) AS BIGINT) AS total_chars FROM documents
     GROUP BY lang HAVING sum(length(text)) > 100
     """,
 )
@@ -468,7 +468,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_windowed_counts",
     """
     SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
-           count(*) AS n, sum(CAST(value AS DECIMAL(20,4))) AS v
+           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS v
     FROM events GROUP BY 1, 2
     """,
 )
@@ -477,14 +477,15 @@ def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     bucket = F.floor(F.unix_timestamp("ts") / 300).cast("long")
     return e.groupBy(bucket.alias("bucket"), F.col("event_type")).agg(
-        F.count("*").alias("n"), _moneysum(F.col("value")).alias("v")
+        F.count("*").alias("n"), _dsum(F.col("value")).alias("v")
     )
 
 
 @_q(
     "skew_salted_agg",
     """
-    SELECT event_type, count(*) AS n, sum(CAST(value AS DECIMAL(20,4))) AS total
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total
     FROM events GROUP BY event_type
     """,
 )
@@ -494,13 +495,14 @@ def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from intelligent_ocr_spark.operators.skew import salted_count_sum
 
     e = _t(spark, sf_dir, "events")
-    return salted_count_sum(e, ["event_type"], "value", "event_id", buckets=16)
+    out = salted_count_sum(e, ["event_type"], "value", "event_id", buckets=16)
+    return out.withColumn("total", F.col("total").cast("double"))
 
 
 @_q(
     "q6_forecast_revenue",
     """
-    SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -517,7 +519,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(20,6)")).alias("revenue"),
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(20,6)")).cast("double").alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -526,8 +528,8 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_returns",
     """
     SELECT o_orderpriority,
-           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned,
-           sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned,
+           CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY o_orderpriority
@@ -555,9 +557,9 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey, o.o_orderkey, big.sum_qty
     FROM (
-      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty
+      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
-      HAVING sum(CAST(l_quantity AS DECIMAL(20,4))) > 300
+      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) > 300
     ) big
     JOIN orders o ON o.o_orderkey = big.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -571,7 +573,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("sum_qty"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double").alias("sum_qty"))
         .filter(F.col("sum_qty") > 300)
     )
     return (
@@ -616,8 +618,8 @@ def _cos_sql(a: str, b: str) -> str:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS revenue,
-           CAST(o_orderdate AS DATE) AS order_day, o_orderpriority
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_day, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -635,10 +637,10 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
-            F.col("o_orderdate").cast("date").alias("order_day"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
             "o_orderpriority",
         )
-        .agg(_moneysum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "order_day", "o_orderpriority")
     )
 
@@ -646,7 +648,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q5_local_supplier_volume",
     """
-    SELECT n_name, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS revenue
+    SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -674,7 +676,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .groupBy("n_name")
-        .agg(_moneysum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -784,7 +786,7 @@ def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        token_count(F.col("text")).alias("ws_tokens"),
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
         subword_estimate(F.col("text")).alias("subwords"),
     )
 
@@ -889,7 +891,7 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, bit, sum(vote) AS votes FROM bits GROUP BY doc_id, bit
     )
     SELECT doc_id,
-           sum(CASE WHEN votes > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )

@@ -71,7 +71,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", _floor6("score").alias("score"), "rank")
+        .select("query_id", "cand_id", _floor6("score").alias("score"), F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -157,7 +157,7 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", _floor6("score").alias("score"), "rank")
+        .select("query_id", "cand_id", _floor6("score").alias("score"), F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -222,5 +222,5 @@ def ann_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", _floor6("score").alias("score"), "rank")
+        .select("query_id", "cand_id", _floor6("score").alias("score"), F.col("rank").cast("long").alias("rank"))
     )
