@@ -73,7 +73,14 @@ def ensure_bench_pages(n_docs: int) -> str:
 
 
 def child_extract(cores: int, input_path: str) -> None:
-    """Child mode: run the extraction pipeline at local[cores], print JSON."""
+    """Child mode: run the extraction pipeline at local[cores], print JSON.
+
+    ``checksum`` is an order-independent digest (bit_xor of per-row
+    xxhash64) of the full output — the realized differential test: every
+    parallelism level must produce the byte-identical corpus.
+    """
+    from pyspark.sql import functions as F
+
     from intelligent_ocr_spark.operators.extract import extract_pages
     from intelligent_ocr_spark.session import build_session
 
@@ -83,7 +90,17 @@ def child_extract(cores: int, input_path: str) -> None:
     t0 = time.perf_counter()
     extract_pages(pages).write.format("noop").mode("overwrite").save()
     sec = time.perf_counter() - t0
-    print(json.dumps({"docs": n_docs, "sec": sec, "docs_per_sec": n_docs / sec}))
+    row_hash = F.xxhash64(
+        "url", "extracted_text", "norm_text", "skipped", "is_blank", "error"
+    )
+    out = extract_pages(pages).select(row_hash.alias("h")).agg(
+        F.expr("bit_xor(h)").alias("c")
+    ).collect()[0]["c"]
+    print(
+        json.dumps(
+            {"docs": n_docs, "sec": sec, "docs_per_sec": n_docs / sec, "checksum": out}
+        )
+    )
     spark.stop()
 
 
@@ -135,6 +152,11 @@ def main() -> None:
     big = run_child(n_big, pages)
     full = run_child(cpus, pages) if cpus > n_big else big
     efficiency = big["docs_per_sec"] / (4.0 * small["docs_per_sec"])
+    # differential gate: all parallelism levels must emit the identical corpus
+    assert small["checksum"] == big["checksum"] == full["checksum"], (
+        "output differs across parallelism levels",
+        small["checksum"], big["checksum"], full["checksum"],
+    )
 
     queries = run_headliners(sf_dir, cpus)
     queries[f"extract_{n_docs}docs_local{n_small}"] = round(small["sec"], 3)

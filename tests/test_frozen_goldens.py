@@ -1,0 +1,63 @@
+# -*- coding: utf-8 -*-
+"""FROZEN golden fixtures (FIXTURES.md §2): literal hashes computed once
+and pinned. Unlike test_extract_spark's distributed-vs-local comparison
+(which would pass if both paths changed together), these constants catch
+ANY behavioral drift of the extraction semantics — generator, parser,
+layout, normalization, span assembly.
+
+If a deliberate semantic change breaks these, regenerate the constants
+with the snippet in each assertion message and review the diff of actual
+outputs first.
+"""
+
+import hashlib
+
+from intelligent_ocr_spark.operators.extract import extract_record
+from intelligent_ocr_spark.sources.pages import gen_row
+
+CORPUS_DIGEST_40 = "22328aef3a3220a1d8c8704b96e0973f"
+
+PINNED = {
+    # doc 0: boilerplate article (en)
+    0: ("035aeee857c7ed71c71d1a921d40996d", "035aeee857c7ed71c71d1a921d40996d"),
+    # doc 9: vertical-CJK classic with variant chars (norm differs)
+    9: ("e820753ff4c2c622f2f856fc049477d7", "3ef3131f1fba8a2ca5d867becf58131b"),
+    # doc 19: low-confidence page, one surviving block
+    19: ("17830e82331767e172c7149e02ffb45c", "17830e82331767e172c7149e02ffb45c"),
+}
+
+
+def _extract(i: int) -> dict:
+    r = gen_row(i)
+    return extract_record(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+
+
+def test_corpus_digest_frozen():
+    h = hashlib.md5()
+    for i in range(40):
+        e = _extract(i)
+        h.update(
+            repr(
+                (
+                    e["url"], e["extracted_text"], e["norm_text"], e["skipped"],
+                    e["is_blank"], e["error"],
+                    [(s["start"], s["end"], s["block_id"], s["kind"], s["conf"]) for s in e["spans"]],
+                )
+            ).encode()
+        )
+    assert h.hexdigest() == CORPUS_DIGEST_40, (
+        "extraction semantics drifted; regenerate constants only after "
+        "reviewing actual output diffs"
+    )
+
+
+def test_pinned_documents_frozen():
+    for i, (text_md5, norm_md5) in PINNED.items():
+        e = _extract(i)
+        assert hashlib.md5(e["extracted_text"].encode()).hexdigest() == text_md5, i
+        assert hashlib.md5((e["norm_text"] or "").encode()).hexdigest() == norm_md5, i
+
+
+def test_doc9_variant_layer_diverges():
+    e = _extract(9)
+    assert e["norm_text"] != e["extracted_text"]  # dual-layer contract
