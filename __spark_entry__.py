@@ -49,15 +49,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _moneysum(expr, scale: int = 4):
-    """Exact order-independent sum: per-term DECIMAL cast, decimal addition,
-    output kept at the term scale (NO recast — a final lossy rounding would
-    reintroduce the half-rounding divergence: Spark rounds .xx50 half-up,
-    DuckDB half-even). Term products of 2dp inputs are exact at scale 4, so
-    the cast itself never rounds. DuckDB twin: ``sum(CAST(x AS DECIMAL(20,s)))``."""
-    return F.sum(expr.cast(f"decimal(20,{scale})"))
-
-
 def _dsum(expr, scale: int = 4):
     """Order-independent money/metric sum: cast each term to DECIMAL before
     aggregating (decimal addition is exact), convert the exact total back to
@@ -909,13 +900,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(list_distinct(
         CASE WHEN len(toks) >= 3 THEN {_SHINGLE_SQL} ELSE [] END)) AS shingle
       FROM toks
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
     ), rare AS (
       SELECT doc_id, shingle FROM sh
       WHERE shingle IN (
         SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) <= 50
       )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM rare GROUP BY doc_id
     ), shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
       FROM rare a JOIN rare b ON a.shingle = b.shingle

@@ -117,6 +117,14 @@ def _segment_bands(blocks: list[Block], gap_frac: float = 0.5) -> list[list[Bloc
     return _cluster_1d(blocks, lambda b: b.y0, lambda b: b.y1, median_h * gap_frac)
 
 
+def _leaf_key(b: Block):
+    """TOTAL ordering key for blocks inside a leaf region: geometry first,
+    then content — so reading order is invariant to input order even for
+    degenerate documents with blocks at identical coordinates (hypothesis
+    found the tie; stable-sort-by-geometry-alone leaked input order)."""
+    return (b.y0, b.x0, b.x1, b.y1, b.text, b.kind, b.conf)
+
+
 def xy_cut(blocks: list[Block], rtl: bool) -> list[Block]:
     """Recursive XY-cut (public classic of document layout analysis):
     split on y-projection gaps into bands (read top→bottom), within a band
@@ -147,7 +155,7 @@ def _xy_cut_columns(blocks: list[Block], rtl: bool, from_band: bool = False) -> 
         for col in cols:
             out.extend(xy_cut(col, rtl) if not from_band else _leaf_or_bands(col, rtl))
         return out
-    return sorted(blocks, key=lambda b: (b.y0, b.x0, b.x1, b.y1))
+    return sorted(blocks, key=_leaf_key)
 
 
 def _leaf_or_bands(blocks: list[Block], rtl: bool) -> list[Block]:
@@ -156,9 +164,9 @@ def _leaf_or_bands(blocks: list[Block], rtl: bool) -> list[Block]:
     if len(bands) > 1:
         out: list[Block] = []
         for band in bands:
-            out.extend(sorted(band, key=lambda b: (b.y0, b.x0, b.x1, b.y1)))
+            out.extend(sorted(band, key=_leaf_key))
         return out
-    return sorted(blocks, key=lambda b: (b.y0, b.x0, b.x1, b.y1))
+    return sorted(blocks, key=_leaf_key)
 
 
 def reading_order(blocks: list[Block], vertical_page: bool) -> list[Block]:

@@ -227,22 +227,24 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity on shared-shingle-blocked pairs.
 
-    ``jaccard = |A∩B| / (|A| + |B| − |A∩B|)`` over DISTINCT shingle sets.
-    Shingles appearing in more than ``doc_freq_cap`` docs are dropped before
-    the self-join (stop-shingle skew guard): at web scale one boilerplate
-    shingle otherwise creates a quadratic hot key. The cap biases recall
-    only for docs whose overlap is exclusively boilerplate — the pairs a
-    dedup pipeline deliberately ignores.
+    ``jaccard = |A∩B| / (|A| + |B| − |A∩B|)`` over DISTINCT shingle sets,
+    where the universe is the RARE shingles only: shingles appearing in
+    more than ``doc_freq_cap`` docs are removed from BOTH the intersection
+    and the set sizes (stop-shingle skew guard — at web scale one
+    boilerplate shingle otherwise creates a quadratic hot key). Removing
+    capped shingles from both sides keeps the statistic a true Jaccard
+    over the capped universe; mixing capped sizes with uncapped
+    intersections would systematically understate similarity.
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     rare = sh.join(
         sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df_count")),
         "shingle",
     ).filter(F.col("df_count") <= doc_freq_cap).select("doc_id", "shingle")
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = rare.alias("a"), rare.alias("b")
     shared = (
         a.join(b, "shingle")

@@ -99,6 +99,12 @@ _BOILER_TAGS = {"nav", "header", "footer", "aside", "script", "style", "head", "
 _BOILER_CLASS_TOKENS = {
     "sidebar", "menu", "nav", "footer", "header", "ad", "banner", "breadcrumb",
 }
+# HTML void elements: no end tag ever arrives, so they must not be pushed
+# onto the nesting stack or deepen a geo block
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
 _MAX_LINK_DENSITY = 0.5
 
 
@@ -116,7 +122,11 @@ class _PageParser(HTMLParser):
         self.zoom: float = 1.0
         self.geo_blocks: list[dict] = []
         self.dom_blocks: list[dict] = []
-        self._stack: list[str] = []
+        # stack of (tag, is_boiler) — boiler/link depths are derived from
+        # what is actually popped, so implicit closes (unclosed elements
+        # swallowed by a parent's endtag — ubiquitous in crawled HTML)
+        # cannot leak the counters and silently blank whole pages
+        self._stack: list[tuple[str, bool]] = []
         self._boiler_depth = 0
         self._link_depth = 0
         self._geo: dict | None = None
@@ -143,18 +153,21 @@ class _PageParser(HTMLParser):
                 self.zoom = float(attrs.get("data-zoom") or 1.0)
             except ValueError:
                 self.zoom = 1.0
-        self._stack.append(tag)
-        if tag in _BOILER_TAGS or (
-            ("class" in attrs or "id" in attrs)
-            and (self._classes(attrs) & _BOILER_CLASS_TOKENS)
-        ):
-            self._boiler_depth += 1
-            self._stack[-1] = tag + "!"  # mark for symmetric pop
-        if tag == "a":
-            self._link_depth += 1
+        is_void = tag in _VOID_TAGS
+        if not is_void:
+            is_boiler = tag in _BOILER_TAGS or (
+                ("class" in attrs or "id" in attrs)
+                and (self._classes(attrs) & _BOILER_CLASS_TOKENS)
+            )
+            self._stack.append((tag, is_boiler))
+            if is_boiler:
+                self._boiler_depth += 1
+            if tag == "a":
+                self._link_depth += 1
 
         if self._geo is not None:
-            self._geo_depth += 1
+            if not is_void:  # <br>/<img> never get endtags — don't deepen
+                self._geo_depth += 1
             return
         bbox = attrs.get("data-bbox")
         if bbox is not None:
@@ -180,6 +193,8 @@ class _PageParser(HTMLParser):
             }
 
     def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID_TAGS:
+            return  # stray </br> etc. — must not close a geo block
         if self._geo is not None:
             if self._geo_depth == 0:
                 self.geo_blocks.append(self._geo)
@@ -188,16 +203,17 @@ class _PageParser(HTMLParser):
                 self._geo_depth -= 1
         elif tag in _BLOCK_TAGS:
             self._flush_dom()
-        # pop stack + boiler accounting (tolerate malformed nesting)
+        # pop stack down to the matching tag, unwinding boiler/link depth
+        # for EVERY implicitly-closed entry (tolerates malformed nesting)
         for idx in range(len(self._stack) - 1, -1, -1):
-            top = self._stack[idx]
-            if top == tag or top == tag + "!":
-                if top.endswith("!"):
-                    self._boiler_depth = max(0, self._boiler_depth - 1)
+            if self._stack[idx][0] == tag:
+                for popped_tag, popped_boiler in self._stack[idx:]:
+                    if popped_boiler:
+                        self._boiler_depth = max(0, self._boiler_depth - 1)
+                    if popped_tag == "a":
+                        self._link_depth = max(0, self._link_depth - 1)
                 del self._stack[idx:]
                 break
-        if tag == "a":
-            self._link_depth = max(0, self._link_depth - 1)
 
     def handle_data(self, data: str) -> None:
         if not data:
@@ -222,7 +238,10 @@ class _PageParser(HTMLParser):
         if self._link_depth:
             self._dom["linked"] += len(data)
 
-    def close(self) -> None:  # flush trailing block
+    def close(self) -> None:  # flush trailing blocks (truncated fetches)
+        if self._geo is not None:
+            self.geo_blocks.append(self._geo)
+            self._geo = None
         self._flush_dom()
         super().close()
 

@@ -99,7 +99,9 @@ def decode_image_stats(df: DataFrame, media_col: str = "media", id_col: str = "d
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
-                if payload is None:
+                # NULL and zero-length media are both quarantined (an empty
+                # blob is undecodable, not a 0×0 image) — never a task crash
+                if payload is None or len(payload) == 0:
                     out.append(
                         {
                             "doc_id": doc_id,

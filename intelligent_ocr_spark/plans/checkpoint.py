@@ -44,6 +44,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "config_hash",
+    "committed_digests",
+    "read_committed",
     "commit_parquet_atomic",
     "content_digest",
     "read_table_dir",
@@ -59,12 +61,14 @@ CHECKPOINT_PA_SCHEMA = pa.schema(
         ("status", pa.string()),  # completed / skipped / failed
         ("input_snapshot_id", pa.int64()),
         ("config_hash", pa.string()),
+        ("commit_digest", pa.string()),  # links the data/lineage files
         ("updated_at", pa.timestamp("us", tz="UTC")),
     ]
 )
 
 LINEAGE_PA_SCHEMA = pa.schema(
     [
+        ("commit_digest", pa.string()),
         ("input_snapshot_id", pa.int64()),
         ("partition_id", pa.int32()),
         ("docs", pa.int64()),
@@ -111,6 +115,32 @@ def commit_parquet_atomic(table: pa.Table, directory: str, name: str) -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, final)
     return final
+
+
+def committed_digests(spark: SparkSession, checkpoint_dir: str) -> DataFrame | None:
+    """Digests of partitions whose CHECKPOINT rename (the single commit
+    point) completed. Data/lineage files are renamed first; a crash between
+    the renames leaves orphan files whose digest never appears here."""
+    ckpt = read_table_dir(spark, checkpoint_dir)
+    if ckpt is None:
+        return None
+    return ckpt.select("commit_digest").distinct()
+
+
+def read_committed(spark: SparkSession, out_dir: str, sub: str) -> DataFrame | None:
+    """Read ``out_dir/{sub}`` restricted to committed partitions — the
+    exactly-once read view. Orphans from a crash between renames (data
+    present, checkpoint absent) are excluded, so a resumed job's re-emission
+    of those urls cannot surface duplicates."""
+    import os as _os
+
+    table = read_table_dir(spark, _os.path.join(out_dir, sub))
+    if table is None:
+        return None
+    digests = committed_digests(spark, _os.path.join(out_dir, "checkpoint"))
+    if digests is None:
+        return table.limit(0)
+    return table.join(F.broadcast(digests), "commit_digest", "left_semi")
 
 
 def read_table_dir(spark: SparkSession, directory: str) -> DataFrame | None:

@@ -22,11 +22,12 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from intelligent_ocr_spark.plans.checkpoint import read_table_dir
+from intelligent_ocr_spark.plans.checkpoint import committed_digests, read_committed, read_table_dir
 from intelligent_ocr_spark.plans.pipeline import run_extraction_job
 
 __all__ = [
     "classify_error",
+    "remove_orphan_files",
     "progress",
     "incomplete_urls",
     "expire_stale_files",
@@ -105,6 +106,32 @@ def expire_stale_files(out_dir: str, max_age_hours: float = 24.0) -> list[str]:
     return removed
 
 
+def remove_orphan_files(spark: SparkSession, out_dir: str) -> list[str]:
+    """Janitor for torn commits: delete data/lineage files whose
+    commit_digest is referenced by NO checkpoint row (the crash window
+    between the data/lineage renames and the checkpoint rename). Run only
+    while no job is writing to ``out_dir`` — an in-flight partition between
+    its renames looks identical to an orphan."""
+    digests_df = committed_digests(spark, os.path.join(out_dir, "checkpoint"))
+    committed = (
+        {r["commit_digest"] for r in digests_df.collect()} if digests_df is not None else set()
+    )
+    removed: list[str] = []
+    for sub in ("data", "lineage"):
+        d = os.path.join(out_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            digest = fname.rsplit("-", 1)[-1].removesuffix(".parquet")
+            if digest not in committed:
+                path = os.path.join(d, fname)
+                os.remove(path)
+                removed.append(path)
+    return removed
+
+
 # R2 ladder (reference attempt profiles: 0 = original params, then
 # progressively degraded). Expressed as extraction-parameter overrides.
 DEFAULT_LADDER = (
@@ -141,7 +168,7 @@ def rerun_failed_with_ladder(
         summaries.append(s)
         if i + 1 >= len(ladder):
             break
-        data = read_table_dir(spark, os.path.join(attempt_dir, "data"))
+        data = read_committed(spark, attempt_dir, "data")
         failed = data.filter(F.col("error").isNotNull()).withColumn(
             "err_class", classify_error(F.col("error"))
         )
@@ -170,7 +197,7 @@ def recovered_view(spark: SparkSession, out_dir: str, n_attempts: int) -> DataFr
 
     parts = []
     for i in range(n_attempts):
-        data = read_table_dir(spark, os.path.join(out_dir, f"attempt-{i}", "data"))
+        data = read_committed(spark, os.path.join(out_dir, f"attempt-{i}"), "data")
         if data is not None:
             parts.append(data.withColumn("attempt", F.lit(i)))
     if not parts:
@@ -180,7 +207,10 @@ def recovered_view(spark: SparkSession, out_dir: str, n_attempts: int) -> DataFr
         allrows = allrows.unionByName(p)
     w = W.partitionBy("url").orderBy(
         F.col("error").isNotNull().cast("int"),  # successes first
-        F.col("attempt").desc(),                  # latest profile wins
+        # among successes: latest (most-recovered) attempt wins; among
+        # all-failed urls: EARLIEST attempt wins, so the surfaced error is
+        # the original profile's, not the most-degraded retry's
+        F.when(F.col("error").isNull(), -F.col("attempt")).otherwise(F.col("attempt")),
     )
     return (
         allrows.withColumn("_rn", F.row_number().over(w))

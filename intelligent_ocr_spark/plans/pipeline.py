@@ -54,6 +54,7 @@ from intelligent_ocr_spark.plans.checkpoint import (
     completed_urls,
     config_hash,
     content_digest,
+    read_committed,
     read_table_dir,
 )
 
@@ -77,6 +78,7 @@ LINEAGE_SCHEMA = T.StructType(
 
 DATA_PA_SCHEMA = pa.schema(
     [
+        ("commit_digest", pa.string()),
         ("url", pa.string()),
         ("warc_ts", pa.timestamp("us", tz="UTC")),
         ("lang", pa.string()),
@@ -148,6 +150,7 @@ def _make_commit_fn(
     existing_text_min_chars: int,
     retry_limit: int,
     partition_fail_hook: Callable[[int], None] | None,
+    crash_between_renames: Callable[[int], None] | None = None,
 ) -> Callable[[Iterable[pd.DataFrame]], Iterator[pd.DataFrame]]:
     data_dir = os.path.join(out_dir, "data")
     ckpt_dir = os.path.join(out_dir, "checkpoint")
@@ -178,34 +181,29 @@ def _make_commit_fn(
         digest = content_digest(urls)
         name = f"part-{pid:05d}-{digest}"
         ended = datetime.now(timezone.utc)
+        for r in recs:
+            r["commit_digest"] = digest
+
+        # Commit order matters: data and lineage files are renamed FIRST,
+        # the checkpoint file LAST — the checkpoint rename is the single
+        # commit point. A crash between the renames leaves orphan
+        # data/lineage files whose digest no checkpoint row references;
+        # read_committed() excludes them, so the resumed job's re-emission
+        # of the same urls (under a new digest) never surfaces duplicates.
+        # (Iceberg gets this for free from snapshot isolation; this is the
+        # parquet-dir equivalent.)
 
         # 1) data file — the extraction output
         commit_parquet_atomic(
             pa.Table.from_pylist(recs, schema=DATA_PA_SCHEMA), data_dir, name
         )
-        # 2) checkpoint rows — the resume primitive (J2 anti-join side)
-        ckpt_rows = [
-            {
-                "url": r["url"],
-                "partition_id": pid,
-                "status": _status(r),
-                "input_snapshot_id": input_snapshot_id,
-                "config_hash": cfg_hash,
-                "updated_at": ended,
-            }
-            for r in recs
-        ]
-        commit_parquet_atomic(
-            pa.Table.from_pylist(ckpt_rows, schema=CHECKPOINT_PA_SCHEMA),
-            ckpt_dir,
-            name,
-        )
-        # 3) lineage row (A1 aggregation, computed in-flight — no extra pass)
+        # 2) lineage row (A1 aggregation, computed in-flight — no extra pass)
         retry_stats: dict[int, int] = {}
         for r in recs:
             if r["retries"]:
                 retry_stats[r["retries"]] = retry_stats.get(r["retries"], 0) + 1
         lineage = {
+            "commit_digest": digest,
             "input_snapshot_id": input_snapshot_id,
             "partition_id": pid,
             "docs": len(recs),
@@ -223,7 +221,27 @@ def _make_commit_fn(
             lineage_dir,
             name,
         )
-        yield pd.DataFrame([lineage])
+        if crash_between_renames is not None:
+            crash_between_renames(pid)  # test-only: simulate torn commit
+        # 3) checkpoint rows — the COMMIT POINT (J2 anti-join side)
+        ckpt_rows = [
+            {
+                "url": r["url"],
+                "partition_id": pid,
+                "status": _status(r),
+                "input_snapshot_id": input_snapshot_id,
+                "config_hash": cfg_hash,
+                "commit_digest": digest,
+                "updated_at": ended,
+            }
+            for r in recs
+        ]
+        commit_parquet_atomic(
+            pa.Table.from_pylist(ckpt_rows, schema=CHECKPOINT_PA_SCHEMA),
+            ckpt_dir,
+            name,
+        )
+        yield pd.DataFrame([{k: v for k, v in lineage.items() if k != "commit_digest"}])
 
     return commit
 
@@ -239,6 +257,7 @@ def run_extraction_job(
     retry_limit: int = DEFAULT_RETRY_LIMIT,
     integrity_check: bool = True,
     _partition_fail_hook: Callable[[int], None] | None = None,
+    _crash_between_renames: Callable[[int], None] | None = None,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict.
 
@@ -269,6 +288,7 @@ def run_extraction_job(
         existing_text_min_chars,
         retry_limit,
         _partition_fail_hook,
+        _crash_between_renames,
     )
     lineage_rows = todo.mapInPandas(commit_fn, LINEAGE_SCHEMA).collect()
 
@@ -307,7 +327,7 @@ def finalize_with_fallback(
 
     Pure DataFrame composition over the committed output; no reprocessing.
     """
-    data = read_table_dir(spark, os.path.join(out_dir, "data"))
+    data = read_committed(spark, out_dir, "data")
     if data is None:
         raise FileNotFoundError(f"no data committed under {out_dir}")
     inp = input_df.select("url", F.col("text").alias("_input_text"))

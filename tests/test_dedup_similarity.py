@@ -121,6 +121,10 @@ def test_multimodal_decode_and_frames(spark):
     assert 64 <= stats[1]["width"] < 256 and 64 <= stats[1]["height"] < 256
     assert stats[1]["is_blank"] is True  # uniform payload → zero gradient
     assert stats[3]["width"] is None  # quarantined, not crashed
+    # zero-length (non-NULL) media is quarantined too, never a task crash
+    empty = spark.createDataFrame([(7, bytearray(b""))], ["doc_id", "media"])
+    row = decode_image_stats(empty).collect()[0]
+    assert row["width"] is None and row["n_bytes"] == 0
     frames = sample_frames(df, every_n=2).collect()
     by_doc = {}
     for r in frames:

@@ -85,9 +85,12 @@ def test_retry_ladder_recovers_short_text_rows(spark, tmp_path):
     assert rows["https://r.example.com/rescue-1"]["skipped"] is True
     assert rows["https://r.example.com/rescue-1"]["extracted_text"] == "short but present text"
     assert rows["https://r.example.com/rescue-1"]["attempt"] == 1
-    # permanently-malformed rows stay errored but present
+    # permanently-malformed rows stay errored but present, and the surfaced
+    # error row is the EARLIEST attempt's (original profile), not the most
+    # degraded retry's
     bad = final.filter(F.col("error").isNotNull())
     assert bad.count() == 40 // 20  # the malformed doc class (html_null is non-retryable)
+    assert all(r["attempt"] == 0 for r in bad.collect())
 
 
 def test_progress_and_incomplete_and_expire(spark, tmp_path):

@@ -84,57 +84,15 @@ def run_parity(spark, sf_dir: str, only: set[str] | None = None) -> tuple[int, l
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    only = set(sys.argv[2:]) or None
     spark = build_session(parallelism=8, app_name="parity")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    ok = bad = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        try:
-            sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
-        except Exception as e:
-            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
-            bad += 1
-            continue
-        if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows")
-            continue
-        try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error {str(e)[:200]}")
-            bad += 1
-            continue
-        sc, sm = fingerprint(scols, [tuple(r) for r in srows])
-        dc, dm = fingerprint(dcols, drows)
-        if sc != dc:
-            print(f"FAIL {name}: columns {sc} != {dc}")
-            bad += 1
-            continue
-        if len(sm) != len(dm):
-            print(f"FAIL {name}: rowcount {len(sm)} != {len(dm)}")
-            bad += 1
-            continue
-        if sm != dm:
-            diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
-            print(f"FAIL {name}: value mismatch; first diffs: {diffs}")
-            bad += 1
-            continue
-        print(f"OK   {name}: {len(sm)} rows")
-        ok += 1
-    print(f"\n{ok} ok, {bad} failed, {len(qs) - len(oracles)} rows-only")
+    ok, failures = run_parity(spark, sf_dir, only)
+    for f in failures:
+        print("FAIL", f)
+    n_oracled = len(entrymod.oracle_sql())
+    print(f"\n{ok} ok, {len(failures)} failed, {len(entrymod.queries()) - n_oracled} rows-only")
     spark.stop()
-    sys.exit(1 if bad else 0)
+    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
