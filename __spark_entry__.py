@@ -575,6 +575,47 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "w5_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative sum —
+    the batch form of session windows (SURVEY §2.6 family; streaming twin
+    is session_window())."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    gaps = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn("session_id", F.sum("new_session").over(w_cum))
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        _dsum(F.col("value")).alias("session_value"),
+    )
+
+
+@_q(
     "u2_except_nations",
     """
     SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'

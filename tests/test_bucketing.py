@@ -1,0 +1,53 @@
+"""Bucketing: the co-located-join layout for the resume anti-join.
+
+At 10^12 docs the checkpoint anti-join is the pipeline's only recurring
+shuffle; bucketing both tables by url removes it entirely — each task
+anti-joins its own bucket pair. This test pins the plan shape: a join of
+two url-bucketed tables has ZERO Exchange nodes, while the same join on
+plain parquet shuffles both sides.
+"""
+
+from pyspark.sql import functions as F
+
+from intelligent_ocr_spark.sources.pages import pages_df
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_anti_join_has_no_shuffle(spark, tmp_path):
+    pages = pages_df(spark, 300, partitions=4)
+    done = pages.select("url").filter(F.xxhash64("url") % 2 == 0)
+
+    spark.sql("DROP TABLE IF EXISTS pages_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ckpt_bucketed")
+    (
+        pages.select("url", "lang").write.bucketBy(8, "url").sortBy("url")
+        .mode("overwrite").saveAsTable("pages_bucketed")
+    )
+    (
+        done.write.bucketBy(8, "url").sortBy("url")
+        .mode("overwrite").saveAsTable("ckpt_bucketed")
+    )
+
+    # at test scale Catalyst would (correctly) broadcast the tiny side and
+    # skip bucketing; disable broadcast to pin the at-scale plan where
+    # neither side fits in memory — the scenario bucketing exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = spark.table("pages_bucketed").join(
+            spark.table("ckpt_bucketed"), "url", "left_anti"
+        )
+        plan = _plan(bucketed)
+        assert "Exchange" not in plan  # co-located: no shuffle of either side
+        assert "SortMergeJoin" in plan
+        n_bucketed = bucketed.count()
+
+        # same join on unbucketed data shuffles both sides
+        plain = pages.select("url", "lang").join(done, "url", "left_anti")
+        assert "Exchange hashpartitioning" in _plan(plain)
+        assert n_bucketed == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
