@@ -174,11 +174,15 @@ def main() -> None:
     # eff 0.84; 8→32 on 32 hw cores eff 0.61 purely from oversubscription).
     n_small = max(int(os.environ.get("SPARK_GRAFT_SCALE_N", str(cpus // 8))), 1)
     n_big = n_small * 4
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "600000"))
+    # sized so per-run fixed cost (~5 s: scan setup, task scheduling, python
+    # worker spin-up — measured by solving t = W/cores + c across levels)
+    # stays <5% of the 4N run; at 600k docs it was ~25% of the 16-core run
+    # and alone capped measured efficiency at ~0.80
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1200000"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     pages = ensure_bench_pages(n_docs)
     small, big, pairs = scaling_trials(n_small, n_big, pages, trials)
     full = run_child(cpus, pages, 0) if cpus > n_big else big
