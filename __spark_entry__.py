@@ -579,7 +579,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH gaps AS (
       SELECT user_id, ts, value, event_id,
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
@@ -600,14 +600,18 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
-    gaps = e.withColumn(
+    # timestampdiff on NTZ is pure field arithmetic (session-TZ-free);
+    # integer microseconds match DuckDB's epoch_us exactly — a seconds-
+    # truncating unix_timestamp() misclassifies sub-second boundary gaps
+    micros = lambda c: F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})")
+    gaps = e.withColumn("_prev", F.lag("ts").over(w)).withColumn(
         "new_session",
         F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            F.col("_prev").isNull()
+            | (micros("ts") - micros("_prev") > 1_800_000_000),
             1,
         ).otherwise(0),
-    )
+    ).drop("_prev")
     sess = gaps.withColumn("session_id", F.sum("new_session").over(w_cum))
     return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
         F.count("*").alias("n_events"),

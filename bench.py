@@ -192,7 +192,9 @@ def main() -> None:
     # level; a per-pair ratio can be inflated when noise hits only the
     # small run, so pairs are reported for transparency but not headlined
     efficiency = big["docs_per_sec"] / (4.0 * small["docs_per_sec"])
-    efficiency_median = sorted(pairs)[len(pairs) // 2]
+    import statistics
+
+    efficiency_median = statistics.median(pairs)
     # differential gate: all parallelism levels must emit the identical corpus
     assert small["checksum"] == big["checksum"] == full["checksum"], (
         "output differs across parallelism levels",

@@ -130,7 +130,10 @@ class _PageParser(HTMLParser):
         self._boiler_depth = 0
         self._link_depth = 0
         self._geo: dict | None = None
-        self._geo_depth = 0
+        # stack length at geo open: the geo block closes when the nesting
+        # stack pops BELOW this level (stack-derived, like boiler/link —
+        # a raw starttag/endtag counter desyncs on unclosed inner tags)
+        self._geo_open_depth = 0
         self._dom: dict | None = None
 
     # -- helpers -------------------------------------------------------
@@ -166,8 +169,6 @@ class _PageParser(HTMLParser):
                 self._link_depth += 1
 
         if self._geo is not None:
-            if not is_void:  # <br>/<img> never get endtags — don't deepen
-                self._geo_depth += 1
             return
         bbox = attrs.get("data-bbox")
         if bbox is not None:
@@ -181,7 +182,7 @@ class _PageParser(HTMLParser):
                 "kind": attrs.get("data-kind") or "line",
                 "parts": [],
             }
-            self._geo_depth = 0
+            self._geo_open_depth = len(self._stack)  # incl. the geo tag itself
             return
         if tag in _BLOCK_TAGS:
             self._flush_dom()
@@ -195,13 +196,8 @@ class _PageParser(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _VOID_TAGS:
             return  # stray </br> etc. — must not close a geo block
-        if self._geo is not None:
-            if self._geo_depth == 0:
-                self.geo_blocks.append(self._geo)
-                self._geo = None
-            else:
-                self._geo_depth -= 1
-        elif tag in _BLOCK_TAGS:
+        in_geo = self._geo is not None
+        if not in_geo and tag in _BLOCK_TAGS:
             self._flush_dom()
         # pop stack down to the matching tag, unwinding boiler/link depth
         # for EVERY implicitly-closed entry (tolerates malformed nesting)
@@ -214,6 +210,12 @@ class _PageParser(HTMLParser):
                         self._link_depth = max(0, self._link_depth - 1)
                 del self._stack[idx:]
                 break
+        # geo block closes when the stack drops below its open level —
+        # robust to unclosed inner tags implicitly closed by the geo
+        # element's own endtag
+        if in_geo and len(self._stack) < self._geo_open_depth:
+            self.geo_blocks.append(self._geo)
+            self._geo = None
 
     def handle_data(self, data: str) -> None:
         if not data:

@@ -92,10 +92,16 @@ def config_hash(config: dict) -> str:
     return hashlib.md5(blob).hexdigest()[:16]
 
 
-def content_digest(urls: list[str]) -> str:
-    """Deterministic digest of a partition's url set → idempotent file name
-    across task retries, unique across resume waves."""
+def content_digest(urls: list[str], generation: str = "") -> str:
+    """Deterministic digest of a partition's url set, salted with the
+    generation identity ``(snapshot, config)`` → idempotent file name
+    across task retries, unique across resume waves AND across
+    generations: without the salt, rerunning the same input under a
+    different config produces identical url sets per partition and would
+    silently os.replace the previous generation's committed files."""
     h = hashlib.md5()
+    h.update(generation.encode())
+    h.update(b"\x00")
     for u in sorted(urls):
         h.update(u.encode())
         h.update(b"\n")
@@ -139,7 +145,7 @@ def read_committed(spark: SparkSession, out_dir: str, sub: str) -> DataFrame | N
         return None
     digests = committed_digests(spark, _os.path.join(out_dir, "checkpoint"))
     if digests is None:
-        return table.limit(0)
+        return None  # zero committed partitions — same signal as no data
     return table.join(F.broadcast(digests), "commit_digest", "left_semi")
 
 

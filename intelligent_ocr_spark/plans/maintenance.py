@@ -30,7 +30,7 @@ __all__ = [
     "remove_orphan_files",
     "progress",
     "incomplete_urls",
-    "expire_stale_files",
+    "expire_stale_generations",
     "rerun_failed_with_ladder",
     "recovered_view",
 ]
@@ -88,19 +88,52 @@ def incomplete_urls(
     return input_df.select("url").join(done, "url", "left_anti")
 
 
-def expire_stale_files(out_dir: str, max_age_hours: float = 24.0) -> list[str]:
-    """C4: remove checkpoint/lineage parquet files older than the retention
-    window (the parquet-dir analog of Iceberg ``expire_snapshots``; the
-    reference deletes >24h checkpoint JSONs at startup)."""
+def expire_stale_generations(
+    spark: SparkSession,
+    out_dir: str,
+    keep: set[tuple[int, str]] = frozenset(),
+    max_age_hours: float = 24.0,
+) -> list[str]:
+    """C4 retention, reconciled with the commit protocol: checkpoint rows
+    are the COMMIT RECORD that gates data visibility, so expiry must
+    retire whole GENERATIONS ``(input_snapshot_id, config_hash)`` — their
+    checkpoint, data, and lineage files together — never checkpoint files
+    alone (that would orphan live committed data and let the janitor
+    delete it). The parquet-dir analog of Iceberg ``expire_snapshots``.
+
+    A generation is expired iff it is not in ``keep`` AND its newest
+    checkpoint row is older than the window. Checkpoint files are deleted
+    FIRST (the generation's data becomes invisible to ``read_committed``),
+    then data/lineage files — concurrent readers see a consistent
+    committed view throughout.
+    """
+    ckpt_dir = os.path.join(out_dir, "checkpoint")
+    ckpt = read_table_dir(spark, ckpt_dir)
+    if ckpt is None:
+        return []
+    cutoff_ms = (time.time() - max_age_hours * 3600) * 1000
+    gens = ckpt.groupBy("input_snapshot_id", "config_hash").agg(
+        F.max("updated_at").alias("newest"),
+        F.collect_set("commit_digest").alias("digests"),
+    ).collect()
+    expired_digests: set[str] = set()
+    for g in gens:
+        key = (g["input_snapshot_id"], g["config_hash"])
+        if key in keep:
+            continue
+        if g["newest"].timestamp() * 1000 < cutoff_ms:
+            expired_digests.update(g["digests"])
     removed: list[str] = []
-    cutoff = time.time() - max_age_hours * 3600
-    for sub in ("checkpoint", "lineage"):
+    for sub in ("checkpoint", "data", "lineage"):  # checkpoint FIRST
         d = os.path.join(out_dir, sub)
         if not os.path.isdir(d):
             continue
         for fname in sorted(os.listdir(d)):
-            path = os.path.join(d, fname)
-            if fname.endswith(".parquet") and os.path.getmtime(path) < cutoff:
+            if not fname.endswith(".parquet"):
+                continue
+            digest = fname.rsplit("-", 1)[-1].removesuffix(".parquet")
+            if digest in expired_digests:
+                path = os.path.join(d, fname)
                 os.remove(path)
                 removed.append(path)
     return removed

@@ -178,7 +178,7 @@ def _make_commit_fn(
         if not recs:
             return
         urls = [r["url"] for r in recs]
-        digest = content_digest(urls)
+        digest = content_digest(urls, f"{input_snapshot_id}:{cfg_hash}")
         name = f"part-{pid:05d}-{digest}"
         ended = datetime.now(timezone.utc)
         for r in recs:

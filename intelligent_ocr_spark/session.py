@@ -67,7 +67,7 @@ def build_session(
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get(
-                "SPARK_GRAFT_WAREHOUSE", f"/tmp/spark_graft_warehouse_{os.getpid()}"
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
             ),
         )
     )

@@ -13,7 +13,7 @@ from intelligent_ocr_spark.operators.extract import extract_pages
 from intelligent_ocr_spark.plans.checkpoint import config_hash, read_table_dir
 from intelligent_ocr_spark.plans.maintenance import (
     classify_error,
-    expire_stale_files,
+    expire_stale_generations,
     incomplete_urls,
     progress,
     recovered_view,
@@ -111,11 +111,13 @@ def test_progress_and_incomplete_and_expire(spark, tmp_path):
     inc2 = incomplete_urls(spark, out, inp, 10, cfg)  # other snapshot: all todo
     assert inc2.count() == 60
 
-    # expire: backdate files and check retention removes them
-    ckpt_dir = os.path.join(out, "checkpoint")
-    old = time.time() - 48 * 3600
-    for f in os.listdir(ckpt_dir):
-        os.utime(os.path.join(ckpt_dir, f), (old, old))
-    removed = expire_stale_files(out, max_age_hours=24)
+    # expiry is generation-scoped: a kept generation loses nothing even
+    # past the window; an unkept one is retired WHOLE (checkpoint + data +
+    # lineage together — never the commit record alone)
+    kept = expire_stale_generations(spark, out, keep={(9, cfg)}, max_age_hours=0)
+    assert kept == []
+    removed = expire_stale_generations(spark, out, keep=set(), max_age_hours=0)
     assert removed
+    ckpt_dir = os.path.join(out, "checkpoint")
     assert read_table_dir(spark, ckpt_dir) is None
+    assert read_table_dir(spark, os.path.join(out, "data")) is None
