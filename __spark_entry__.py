@@ -141,6 +141,29 @@ def q_extract_dual_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dual_insert_spans(extract_pages(pages_df(spark, 400)))
 
 
+@_q("source_warc_extract")  # rows-only: WARC container parsing (ISO 28500)
+def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl's real container format end-to-end: synthetic WARC
+    segments → binaryFile scan → record parser → extraction."""
+    import os
+    import tempfile
+
+    from intelligent_ocr_spark.sources.pages import gen_row
+    from intelligent_ocr_spark.sources.warc import read_warc_pages, write_synthetic_warc
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_warc_demo")
+    os.makedirs(d, exist_ok=True)
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        rows = [gen_row(i) for i in range(120)]
+        write_synthetic_warc(os.path.join(d, "seg-0.warc"), rows[:60])
+        write_synthetic_warc(os.path.join(d, "seg-1.warc"), rows[60:])
+        open(marker, "w").close()
+    return extract_pages(read_warc_pages(spark, os.path.join(d, "*.warc"))).select(
+        "url", "extracted_text", "norm_text", "n_blocks"
+    )
+
+
 # --------------------------------------------------------------------------
 # relational twins of reference operators (F/J/W/U/A/K/X series)
 # --------------------------------------------------------------------------

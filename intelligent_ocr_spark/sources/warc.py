@@ -1,0 +1,151 @@
+"""WARC source: read Common Crawl's actual container format into the
+pages table shape.
+
+WARC (ISO 28500, public spec) is the format Common Crawl publishes:
+concatenated records, each a header block (``WARC/1.0`` + name:value
+lines), CRLF CRLF, then ``Content-Length`` bytes of payload; ``response``
+records carry an HTTP response (status line + headers + body = the HTML).
+
+Spark-first shape: ``spark.read.format("binaryFile")`` lists the .warc
+files (one row per file, content as binary) and a ``mapInPandas`` stage
+parses records out of each file — the same fused-UDF pattern as the
+extraction engine. At real scale one would read 1 GB WARC chunks (Common
+Crawl's native segmentation: thousands of ~1 GB files) so file-level
+parallelism is ample; records never cross file boundaries by design.
+
+A deterministic synthetic WARC writer is included for tests (no external
+data; gzip intentionally omitted — this container's spark reads plain
+bytes, and per-record gzip members would slot into ``_iter_records``).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from intelligent_ocr_spark.sources.pages import PAGES_SCHEMA
+
+__all__ = ["write_synthetic_warc", "read_warc_pages", "parse_warc_bytes"]
+
+_CRLF = b"\r\n"
+
+
+def _warc_record(url: str, ts: datetime, html: bytes, lang: str) -> bytes:
+    """One WARC response record wrapping an HTTP/1.1 200 response."""
+    http = (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + b"Content-Type: text/html; charset=utf-8" + _CRLF
+        + f"Content-Language: {lang}".encode() + _CRLF
+        + f"Content-Length: {len(html)}".encode() + _CRLF
+        + _CRLF
+        + html
+    )
+    headers = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + f"WARC-Target-URI: {url}".encode() + _CRLF
+        + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}".encode() + _CRLF
+        + f"Content-Length: {len(http)}".encode() + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + _CRLF
+    )
+    return headers + http + _CRLF + _CRLF
+
+
+def write_synthetic_warc(path: str, rows: list[dict]) -> None:
+    """Write rows (url, warc_ts, html, lang) as one .warc file."""
+    with open(path, "wb") as f:
+        f.write(b"WARC/1.0" + _CRLF + b"WARC-Type: warcinfo" + _CRLF
+                + b"Content-Length: 0" + _CRLF + _CRLF + _CRLF + _CRLF)
+        for r in rows:
+            if r["html"] is None:
+                continue
+            f.write(_warc_record(r["url"], r["warc_ts"], bytes(r["html"]), r["lang"]))
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            out[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+    return out
+
+
+def _iter_records(payload: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield (warc_headers, record_body) for each record; tolerant of
+    trailing garbage (a truncated tail record is dropped, not fatal)."""
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        head_end = payload.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            return
+        if not payload.startswith(b"WARC/", pos):
+            # resync: find the next record marker
+            nxt = payload.find(b"WARC/1.", pos)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        headers = _parse_headers(payload[pos:head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = head_end + 4
+        body_end = body_start + length
+        if body_end > n:
+            return  # truncated tail record
+        yield headers, payload[body_start:body_end]
+        pos = body_end + 4  # skip the two record-separator CRLFs
+
+
+def _http_body(record_body: bytes) -> bytes | None:
+    """Strip the HTTP response envelope; None if not a parseable response."""
+    sep = record_body.find(_CRLF + _CRLF)
+    if sep < 0 or not record_body.startswith(b"HTTP/"):
+        return None
+    return record_body[sep + 4 :]
+
+
+def parse_warc_bytes(payload: bytes) -> list[dict]:
+    """WARC file bytes → page rows (url, warc_ts, html, text, lang)."""
+    rows: list[dict] = []
+    for headers, body in _iter_records(payload):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        html = _http_body(body)
+        try:
+            ts = datetime.strptime(
+                headers.get("warc-date", ""), "%Y-%m-%dT%H:%M:%SZ"
+            ).replace(tzinfo=timezone.utc)
+        except ValueError:
+            ts = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        rows.append(
+            {"url": url, "warc_ts": ts, "html": html, "text": "", "lang": None}
+        )
+    return rows
+
+
+def read_warc_pages(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC files → pages DataFrame in the input_hint shape (S1/S2 twin
+    for the real Common Crawl container format)."""
+    files = spark.read.format("binaryFile").load(path_glob).select("content")
+
+    def op(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PAGES_SCHEMA.fields]
+        for pdf in batches:
+            out: list[dict] = []
+            for payload in pdf["content"]:
+                out.extend(parse_warc_bytes(bytes(payload)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(op, PAGES_SCHEMA)
