@@ -598,6 +598,140 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape: correlated EXISTS → left-semi join with a non-equi term
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 shape: outer join with residual condition + double aggregation
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o, (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_q(
+    "q16_distinct_suppliers",
+    """
+    SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_size IN (5, 15, 25) GROUP BY p_type, p_size
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape: DISTINCT aggregation after a join
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 15, 25))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q19_disjunctive_predicates",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 10 AND 20)
+       OR (p_size BETWEEN 1 AND 10 AND l_quantity > 40)
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape: disjunction of conjunctive range predicates
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#4") & F.col("l_quantity").between(10, 20))
+        | (F.col("p_size").between(1, 10) & (F.col("l_quantity") > 40))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q(
+    "q22_above_avg_balance",
+    """
+    WITH t AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS thr
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT substr(c_name, 1, 10) AS cgroup, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS totacctbal
+    FROM customer, t WHERE c_acctbal > t.thr
+    GROUP BY cgroup
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape: scalar aggregate subquery as a filter threshold
+    # (threshold computed order-independently: exact decimal sum / count)
+    c = _t(spark, sf_dir, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (_dsum(F.col("c_acctbal")) / F.count("*")).alias("thr")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .groupBy(F.substring("c_name", 1, 10).alias("cgroup"))
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@_q(
     "w5_sessionize",
     """
     WITH gaps AS (
