@@ -777,6 +777,61 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_last_click_before_error",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+    ), errors AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+    )
+    SELECT e.user_id, e.ts, e.event_id,
+           c.ts AS ts_r, c.event_id AS event_id_r, c.value AS value_r
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): for every error event, the
+    most recent click by the same user at or before it. Right side is
+    deduped on (user, ts) so equal-timestamp ties cannot diverge between
+    engines; oracle uses DuckDB's native ASOF JOIN."""
+    from intelligent_ocr_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    w_dedupe = W.partitionBy("user_id", "ts").orderBy("event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("_rn", F.row_number().over(w_dedupe))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(errors, clicks, on="ts", by="user_id", payload=["event_id", "value"])
+
+
+@_q(
+    "agg_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           floor(quantile_cont(l_extendedprice, 0.5) * 1e4) / 1e4 AS p50,
+           floor(quantile_cont(l_extendedprice, 0.9) * 1e4) / 1e4 AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated percentiles: identical sorted inputs → identical
+    # interpolation arithmetic on both engines; floor-scaled
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.floor(F.expr("percentile(l_extendedprice, 0.5)") * 1e4) / 1e4).alias("p50"),
+        (F.floor(F.expr("percentile(l_extendedprice, 0.9)") * 1e4) / 1e4).alias("p90"),
+    )
+
+
+@_q(
     "u2_except_nations",
     """
     SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -1,0 +1,98 @@
+"""As-of join — the canonical operator Spark's DataFrame API lacks.
+
+``asof_join(left, right, on, by, payload)``: for each left row, attach the
+single most recent right row with ``right.on <= left.on`` within the same
+``by`` group (backward as-of). Implemented as a tagged UNION + grouped-map
+``applyInPandas``: both sides are stacked into one frame (right columns
+pre-renamed), grouped on ``by`` (ONE shuffle total), and each group is
+split back apart in pandas where ``merge_asof`` runs the linear
+two-pointer merge.
+
+Why not ``cogroup``: under some terminal plans (e.g. ``count()``) Catalyst
+prunes the cogroup's right child down to the grouping key before it
+reaches the Python worker (verified on Spark 4.1.2: the right frame
+arrives with only ``[key]``), silently breaking the UDF. Grouped-map over
+a union does not exhibit the pruning and uses one shuffle instead of two.
+
+Scale shape: one hash shuffle on ``by`` + O(n log n) per-group sorts;
+skewed ``by`` keys are the hazard (one user with millions of events lands
+in one group) — mitigate by pre-splitting hot keys on a time-bucket salt
+and patching group boundaries.
+
+Determinism: callers should ensure the right side has unique ``(by, on)``
+pairs (dedupe first) — equal-timestamp ties resolve differently across
+engines, so the oracle contract requires uniqueness.
+
+The DuckDB oracle uses its native ``ASOF JOIN`` — two independent
+implementations of the same semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    payload: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join.
+
+    Output = all left columns + ``on+suffix`` (the matched right timestamp)
+    + each payload column as ``col+suffix``; NULLs when no right row at or
+    before the left timestamp exists.
+    """
+    left_fields = list(left.schema.fields)
+    left_names = [f.name for f in left_fields]
+    r_on = on + suffix
+    r_payload = [c + suffix for c in payload]
+    right_out_fields = [T.StructField(r_on, right.schema[on].dataType, True)] + [
+        T.StructField(c + suffix, right.schema[c].dataType, True) for c in payload
+    ]
+    out_fields = left_fields + right_out_fields
+    out_schema = T.StructType(out_fields)
+    out_names = [f.name for f in out_fields]
+
+    # tagged union: left rows carry NULL right columns and vice versa
+    lpart = left.withColumn("_side", F.lit(0))
+    for f in right_out_fields:
+        lpart = lpart.withColumn(f.name, F.lit(None).cast(f.dataType))
+    rpart = right.select(
+        F.col(by),
+        F.col(on).alias(r_on),
+        *[F.col(c).alias(c + suffix) for c in payload],
+    ).withColumn("_side", F.lit(1))
+    for f in left_fields:
+        if f.name != by:
+            rpart = rpart.withColumn(f.name, F.lit(None).cast(f.dataType))
+    cols = left_names + [r_on] + r_payload + ["_side"]
+    union = lpart.select(*cols).unionByName(rpart.select(*cols))
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["_side"] == 0][left_names]
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=out_names)
+        lpdf = lpdf.sort_values([on] + left_names).reset_index(drop=True)
+        rpdf = pdf[pdf["_side"] == 1][[r_on] + r_payload]
+        if len(rpdf) == 0:
+            out = lpdf.copy()
+            for f in right_out_fields:
+                out[f.name] = None
+            return out[out_names]
+        rpdf = rpdf.sort_values(r_on).reset_index(drop=True)
+        merged = pd.merge_asof(
+            lpdf, rpdf, left_on=on, right_on=r_on, direction="backward"
+        )
+        return merged[out_names]
+
+    return union.groupBy(by).applyInPandas(merge, out_schema)
