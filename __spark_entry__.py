@@ -479,6 +479,21 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "grouping_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("qty")
+    )
+
+
+@_q(
     "stream_windowed_counts",
     """
     SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,

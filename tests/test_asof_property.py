@@ -1,0 +1,61 @@
+"""Property test: asof_join must agree with a naive O(n·m) reference
+implementation on random inputs (hypothesis drives sizes, keys, times)."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from intelligent_ocr_spark.operators.asof import asof_join
+
+EPOCH = datetime(2024, 1, 1)
+
+
+def _naive(left_rows, right_rows):
+    out = {}
+    for key, lts, tag in left_rows:
+        best = None
+        for rkey, rts, val in right_rows:
+            if rkey == key and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, val)
+        out[tag] = best
+    return out
+
+
+@st.composite
+def scenario(draw):
+    n_l = draw(st.integers(1, 15))
+    n_r = draw(st.integers(0, 15))
+    keys = st.integers(0, 3)
+    secs = st.integers(0, 500)
+    left, right = [], []
+    for i in range(n_l):
+        left.append((draw(keys), EPOCH + timedelta(seconds=draw(secs)), f"t{i}"))
+    seen = set()
+    for i in range(n_r):
+        k, s = draw(keys), draw(secs)
+        if (k, s) in seen:  # unique (by, on) per the operator's contract
+            continue
+        seen.add((k, s))
+        right.append((k, EPOCH + timedelta(seconds=s), float(i)))
+    return left, right
+
+
+@given(scenario())
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_asof_matches_naive(spark, sc):
+    left_rows, right_rows = sc
+    left = spark.createDataFrame(left_rows, "user_id int, ts timestamp, tag string")
+    if right_rows:
+        right = spark.createDataFrame(right_rows, "user_id int, ts timestamp, value double")
+    else:
+        right = spark.createDataFrame([], "user_id int, ts timestamp, value double")
+    got = {
+        r["tag"]: (r["ts_r"], r["value_r"])
+        for r in asof_join(left, right, on="ts", by="user_id", payload=["value"]).collect()
+    }
+    expected = _naive(left_rows, right_rows)
+    assert set(got) == set(expected)
+    for tag, best in expected.items():
+        assert got[tag] == (best if best else (None, None)), tag
