@@ -1,0 +1,170 @@
+# -*- coding: utf-8 -*-
+"""Fast-path HTML tokenizer — a non-incremental port of
+``html.parser.HTMLParser.goahead`` driving the same handler ~2× faster.
+
+``HTMLParser`` is pure Python; most of its per-tag cost is the
+incremental-feed machinery (``updatepos`` bookkeeping, buffer-boundary
+checks, re-dispatch through ``interesting``/``goahead``) that exists so
+``feed()`` can be called with partial data. Extraction always has the whole
+document, so this module re-runs the SAME parse — using html.parser's own
+compiled tolerant regexes (``tagfind_tolerant``, ``attrfind_tolerant``,
+``locatestarttagend_tolerant``, ``endtagfind``, ``starttagopen``) and a
+line-by-line port of ``goahead``/``parse_starttag``/``parse_endtag``/
+``check_for_whole_start_tag`` under end-of-input semantics — in one tight
+loop. Sharing the stdlib's regexes and control flow makes equivalence a
+matter of construction; tests/test_fasthtml_differential.py pins it with
+corpus + fuzz differentials against the stdlib parser itself.
+
+Out-of-grammar constructs — comments/doctype/PIs (``<!``, ``<?``) and the
+CDATA-content elements (``<script>``, ``<style>``) — are detected with one
+cheap C-level scan (``fast_applicable``) and routed to the stdlib parser.
+"""
+
+from __future__ import annotations
+
+from html import unescape
+from html.parser import (  # the stdlib's own tolerant grammar, shared
+    attrfind_tolerant,
+    endtagfind,
+    locatestarttagend_tolerant,
+    starttagopen,
+    tagfind_tolerant,
+)
+import re
+
+__all__ = ["fast_applicable", "fast_feed"]
+
+# constructs the port does not model: comment/doctype/PI openers and the
+# raw-text elements html.parser treats as CDATA content
+# (CPython's CDATA_CONTENT_ELEMENTS is exactly ("script", "style"))
+_BAIL_RE = re.compile(r"<!|<\?|<script|<style", re.IGNORECASE)
+
+_ALPHA_EQ_SLASH = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def fast_applicable(raw: str) -> bool:
+    """True when the fast port's grammar covers this input."""
+    return _BAIL_RE.search(raw) is None
+
+
+def _check_whole_start_tag(raw: str, i: int) -> int:
+    """Port of ``check_for_whole_start_tag`` (end-of-input: a buffer
+    boundary IS the end, so -1 means 'junk recovery' to the caller)."""
+    m = locatestarttagend_tolerant.match(raw, i)
+    j = m.end()
+    nxt = raw[j : j + 1]
+    if nxt == ">":
+        return j + 1
+    if nxt == "/":
+        if raw.startswith("/>", j):
+            return j + 2
+        if raw.startswith("/", j):
+            return -1
+        if j > i:
+            return j
+        return i + 1
+    if nxt == "":
+        return -1
+    if nxt in _ALPHA_EQ_SLASH:
+        return -1
+    if j > i:
+        return j
+    return i + 1
+
+
+def _parse_starttag(handler, raw: str, i: int) -> int:
+    """Port of ``parse_starttag`` (CDATA elements excluded by the bail)."""
+    endpos = _check_whole_start_tag(raw, i)
+    if endpos < 0:
+        return endpos
+    attrs = []
+    m = tagfind_tolerant.match(raw, i + 1)
+    k = m.end()
+    tag = m.group(1).lower()
+    while k < endpos:
+        am = attrfind_tolerant.match(raw, k)
+        if not am:
+            break
+        attrname, rest, attrvalue = am.group(1, 2, 3)
+        if not rest:
+            attrvalue = None
+        elif (
+            attrvalue[:1] == "'" == attrvalue[-1:]
+            or attrvalue[:1] == '"' == attrvalue[-1:]
+        ):
+            attrvalue = attrvalue[1:-1]
+        if attrvalue:
+            attrvalue = unescape(attrvalue)
+        attrs.append((attrname.lower(), attrvalue))
+        k = am.end()
+    end = raw[k:endpos].strip()
+    if end not in (">", "/>"):
+        handler.handle_data(raw[i:endpos])  # stdlib: raw, no unescape here
+        return endpos
+    if end.endswith("/>"):
+        # default handle_startendtag == starttag + endtag
+        handler.handle_starttag(tag, attrs)
+        handler.handle_endtag(tag)
+    else:
+        handler.handle_starttag(tag, attrs)
+    return endpos
+
+
+def _parse_endtag(handler, raw: str, i: int) -> int:
+    """Port of ``parse_endtag`` (cdata_elem is never set on the fast path;
+    handle_comment is a no-op on our handler, so bogus comments just skip)."""
+    gt = raw.find(">", i + 1)
+    if gt < 0:
+        return -1
+    gtpos = gt + 1
+    m = endtagfind.match(raw, i)
+    if not m:
+        nm = tagfind_tolerant.match(raw, i + 2)
+        if not nm:
+            if raw[i : i + 3] == "</>":
+                return i + 3
+            pos = raw.find(">", i + 2)  # parse_bogus_comment; comment ignored
+            if pos == -1:
+                return -1
+            return pos + 1
+        handler.handle_endtag(nm.group(1).lower())
+        return raw.find(">", nm.end()) + 1
+    handler.handle_endtag(m.group(1).lower())
+    return gtpos
+
+
+def fast_feed(handler, raw: str) -> None:
+    """Port of ``goahead(end=1)`` for convert_charrefs handlers: drive
+    ``handler`` with the exact event stream HTMLParser would produce."""
+    handle_data = handler.handle_data
+    n = len(raw)
+    i = 0
+    while i < n:
+        j = raw.find("<", i)
+        if j < 0:
+            j = n
+        if i < j:
+            handle_data(unescape(raw[i:j]))
+        i = j
+        if i == n:
+            break
+        if starttagopen.match(raw, i):  # '<' + letter
+            k = _parse_starttag(handler, raw, i)
+        elif raw.startswith("</", i):
+            k = _parse_endtag(handler, raw, i)
+        elif i + 1 < n:
+            handle_data("<")
+            k = i + 1
+        else:  # lone '<' at EOF: goahead breaks, close() flushes it as data
+            handle_data("<")
+            k = n
+        if k < 0:  # incomplete under end-of-input → junk recovery
+            k = raw.find(">", i + 1)
+            if k < 0:
+                k = raw.find("<", i + 1)
+                if k < 0:
+                    k = i + 1
+            else:
+                k += 1
+            handle_data(unescape(raw[i:k]))
+        i = k

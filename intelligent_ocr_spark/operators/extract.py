@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from intelligent_ocr_spark.functions.fasthtml import fast_applicable, fast_feed
 from intelligent_ocr_spark.functions.layout import Block, estimate_font_size, is_vertical, reading_order
 from intelligent_ocr_spark.functions.normalize import get_normalizer, nfkc
 
@@ -241,17 +242,27 @@ class _PageParser(HTMLParser):
             self._dom["linked"] += len(data)
 
     def close(self) -> None:  # flush trailing blocks (truncated fetches)
+        # super().close() FIRST: the stdlib parser may still emit buffered
+        # trailing data (e.g. a dangling '<') into the open block — flushing
+        # before it would silently drop that final fragment
+        super().close()
         if self._geo is not None:
             self.geo_blocks.append(self._geo)
             self._geo = None
         self._flush_dom()
-        super().close()
 
 
 def _parse_html(raw: str) -> _PageParser:
     p = _PageParser()
-    p.feed(raw)
-    p.close()
+    if fast_applicable(raw):
+        # regex tokenizer drives the same handler ~3× faster; inputs with
+        # comments/doctype/PIs/script/style fall back to the stdlib parser
+        # (equivalence pinned by tests/test_fasthtml_differential.py)
+        fast_feed(p, raw)
+        p.close()
+    else:
+        p.feed(raw)
+        p.close()
     return p
 
 
