@@ -151,14 +151,12 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from intelligent_ocr_spark.sources.pages import gen_row
     from intelligent_ocr_spark.sources.warc import read_warc_pages, write_synthetic_warc
 
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_warc_demo")
-    os.makedirs(d, exist_ok=True)
-    marker = os.path.join(d, "_done")
-    if not os.path.exists(marker):
-        rows = [gen_row(i) for i in range(120)]
-        write_synthetic_warc(os.path.join(d, "seg-0.warc"), rows[:60])
-        write_synthetic_warc(os.path.join(d, "seg-1.warc"), rows[60:])
-        open(marker, "w").close()
+    # fresh private dir per invocation: generation is ~1 s, and a shared
+    # cached path would race concurrent drivers / go stale across versions
+    d = tempfile.mkdtemp(prefix="spark_graft_warc_")
+    rows = [gen_row(i) for i in range(120)]
+    write_synthetic_warc(os.path.join(d, "seg-0.warc"), rows[:60])
+    write_synthetic_warc(os.path.join(d, "seg-1.warc"), rows[60:])
     return extract_pages(read_warc_pages(spark, os.path.join(d, "*.warc"))).select(
         "url", "extracted_text", "norm_text", "n_blocks"
     )

@@ -23,28 +23,41 @@ cheap C-level scan (``fast_applicable``) and routed to the stdlib parser.
 from __future__ import annotations
 
 from html import unescape
-from html.parser import (  # the stdlib's own tolerant grammar, shared
-    attrfind_tolerant,
-    endtagfind,
-    locatestarttagend_tolerant,
-    starttagopen,
-    tagfind_tolerant,
-)
 import re
+
+try:  # the stdlib's own tolerant grammar, shared — private but stable in
+    # practice; an import-time sentinel self-test (below) disables the fast
+    # path wholesale if a future CPython renames or changes them
+    from html.parser import (
+        attrfind_tolerant,
+        commentclose,
+        endtagfind,
+        locatestarttagend_tolerant,
+        piclose,
+        starttagopen,
+        tagfind_tolerant,
+    )
+
+    _IMPORTS_OK = True
+except ImportError:  # pragma: no cover - future-python guard
+    _IMPORTS_OK = False
 
 __all__ = ["fast_applicable", "fast_feed"]
 
-# constructs the port does not model: comment/doctype/PI openers and the
-# raw-text elements html.parser treats as CDATA content
-# (CPython's CDATA_CONTENT_ELEMENTS is exactly ("script", "style"))
-_BAIL_RE = re.compile(r"<!|<\?|<script|<style", re.IGNORECASE)
+# constructs the port does not model: marked sections ('<![CDATA[', '<![if')
+# and the raw-text elements html.parser treats as CDATA content
+# (CPython's CDATA_CONTENT_ELEMENTS is exactly ("script", "style")).
+# Comments, doctypes, and PIs ARE modeled (they map to no-op handlers), so
+# real-world pages — which virtually all start with <!DOCTYPE and contain
+# comments — stay on the fast path.
+_BAIL_RE = re.compile(r"<!\[|<script|<style", re.IGNORECASE)
 
 _ALPHA_EQ_SLASH = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 
 def fast_applicable(raw: str) -> bool:
     """True when the fast port's grammar covers this input."""
-    return _BAIL_RE.search(raw) is None
+    return _FAST_OK and _BAIL_RE.search(raw) is None
 
 
 def _check_whole_start_tag(raw: str, i: int) -> int:
@@ -133,6 +146,38 @@ def _parse_endtag(handler, raw: str, i: int) -> int:
     return gtpos
 
 
+def _parse_comment(raw: str, i: int) -> int:
+    """Port of ``parse_comment`` — handle_comment is a no-op on our handler."""
+    m = commentclose.search(raw, i + 4)
+    if not m:
+        return -1
+    return m.end()
+
+
+def _parse_html_declaration(raw: str, i: int) -> int:
+    """Port of ``parse_html_declaration`` for handlers whose decl/comment
+    hooks are no-ops (marked sections '<![' bail before the fast path)."""
+    if raw[i : i + 4] == "<!--":
+        return _parse_comment(raw, i)
+    if raw[i : i + 9].lower() == "<!doctype":
+        gtpos = raw.find(">", i + 9)
+        if gtpos == -1:
+            return -1
+        return gtpos + 1  # handle_decl: no-op
+    pos = raw.find(">", i + 2)  # parse_bogus_comment; handle_comment: no-op
+    if pos == -1:
+        return -1
+    return pos + 1
+
+
+def _parse_pi(raw: str, i: int) -> int:
+    """Port of ``parse_pi`` — handle_pi is a no-op on our handler."""
+    m = piclose.search(raw, i + 2)
+    if not m:
+        return -1
+    return m.end()
+
+
 def fast_feed(handler, raw: str) -> None:
     """Port of ``goahead(end=1)`` for convert_charrefs handlers: drive
     ``handler`` with the exact event stream HTMLParser would produce."""
@@ -152,6 +197,12 @@ def fast_feed(handler, raw: str) -> None:
             k = _parse_starttag(handler, raw, i)
         elif raw.startswith("</", i):
             k = _parse_endtag(handler, raw, i)
+        elif raw.startswith("<!--", i):
+            k = _parse_comment(raw, i)
+        elif raw.startswith("<?", i):
+            k = _parse_pi(raw, i)
+        elif raw.startswith("<!", i):
+            k = _parse_html_declaration(raw, i)
         elif i + 1 < n:
             handle_data("<")
             k = i + 1
@@ -168,3 +219,50 @@ def fast_feed(handler, raw: str) -> None:
                 k += 1
             handle_data(unescape(raw[i:k]))
         i = k
+
+
+def _selftest() -> bool:
+    """Import-time sentinel: the port must reproduce the running stdlib's
+    event stream on a construct-dense document; otherwise (e.g. a future
+    CPython changed tokenization) the fast path disables itself and every
+    input takes the stdlib route."""
+    if not _IMPORTS_OK:
+        return False
+    from html.parser import HTMLParser
+
+    sentinel = (
+        '<!DOCTYPE html><!-- c --><?pi?><p a="1" b=/x/ disabled/>t &amp; x'
+        "</><</1><a <>text</p junk><br/><i>&#20013;</i> <"
+    )
+
+    class _Rec(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.ev = []
+
+        def handle_starttag(self, t, a):
+            self.ev.append(("s", t, tuple(a)))
+
+        def handle_endtag(self, t):
+            self.ev.append(("e", t))
+
+        def handle_data(self, d):
+            # record concatenated-equivalent form (segmentation may differ)
+            if self.ev and self.ev[-1][0] == "d":
+                self.ev[-1] = ("d", self.ev[-1][1] + d)
+            else:
+                self.ev.append(("d", d))
+
+    try:
+        ref = _Rec()
+        ref.feed(sentinel)
+        ref.close()
+        got = _Rec()
+        fast_feed(got, sentinel)
+        got.close()
+        return ref.ev == got.ev
+    except Exception:  # pragma: no cover - future-python guard
+        return False
+
+
+_FAST_OK = _selftest()

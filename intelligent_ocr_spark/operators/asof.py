@@ -78,21 +78,39 @@ def asof_join(
     cols = left_names + [r_on] + r_payload + ["_side"]
     union = lpart.select(*cols).unionByName(rpart.select(*cols))
 
+    def _no_match(lpdf: pd.DataFrame) -> pd.DataFrame:
+        out = lpdf.copy()
+        for f in right_out_fields:
+            out[f.name] = None
+        return out[out_names]
+
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = pdf[pdf["_side"] == 0][left_names]
         if len(lpdf) == 0:
             return pd.DataFrame(columns=out_names)
-        lpdf = lpdf.sort_values([on] + left_names).reset_index(drop=True)
+        # SQL join semantics for NULLs: a NULL key or NULL timestamp never
+        # matches — merge_asof would instead RAISE on null keys (pandas
+        # 'Merge keys contain null values'), so nulls are split out up
+        # front: null-ts left rows get a no-match result, null-ts right
+        # rows are dropped, and the all-null `by` group matches nothing
+        key_is_null = pdf[by].isna().any()
+        l_null = lpdf[lpdf[on].isna()]
+        lpdf = lpdf[lpdf[on].notna()].sort_values([on] + left_names).reset_index(drop=True)
         rpdf = pdf[pdf["_side"] == 1][[r_on] + r_payload]
-        if len(rpdf) == 0:
-            out = lpdf.copy()
-            for f in right_out_fields:
-                out[f.name] = None
-            return out[out_names]
-        rpdf = rpdf.sort_values(r_on).reset_index(drop=True)
-        merged = pd.merge_asof(
-            lpdf, rpdf, left_on=on, right_on=r_on, direction="backward"
-        )
-        return merged[out_names]
+        rpdf = rpdf[rpdf[r_on].notna()]
+        parts = []
+        if len(l_null):
+            parts.append(_no_match(l_null))
+        if len(lpdf):
+            if key_is_null or len(rpdf) == 0:
+                parts.append(_no_match(lpdf))
+            else:
+                rpdf = rpdf.sort_values(r_on).reset_index(drop=True)
+                parts.append(
+                    pd.merge_asof(
+                        lpdf, rpdf, left_on=on, right_on=r_on, direction="backward"
+                    )[out_names]
+                )
+        return pd.concat(parts) if parts else pd.DataFrame(columns=out_names)
 
     return union.groupBy(by).applyInPandas(merge, out_schema)

@@ -255,14 +255,13 @@ class _PageParser(HTMLParser):
 def _parse_html(raw: str) -> _PageParser:
     p = _PageParser()
     if fast_applicable(raw):
-        # regex tokenizer drives the same handler ~3× faster; inputs with
-        # comments/doctype/PIs/script/style fall back to the stdlib parser
+        # the goahead port drives the same handler faster; inputs with
+        # script/style/marked-sections fall back to the stdlib parser
         # (equivalence pinned by tests/test_fasthtml_differential.py)
         fast_feed(p, raw)
-        p.close()
     else:
         p.feed(raw)
-        p.close()
+    p.close()
     return p
 
 

@@ -96,7 +96,13 @@ def _iter_records(payload: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            return
+            # corrupted header: resync on the next record marker instead of
+            # silently dropping every subsequent record in the file
+            nxt = payload.find(b"WARC/1.", head_end)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
         body_start = head_end + 4
         body_end = body_start + length
         if body_end > n:

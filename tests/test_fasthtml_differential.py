@@ -66,7 +66,10 @@ _ATTR_FRAG = [
     "", ' class="menu"', " href=/x", ' data-bbox="1,2,3,4"', ' data-conf="0.7"',
     ' id="a b"', " disabled", ' title="x > y"', " x='1'", ' q="a&amp;b"',
 ]
-_TEXT = ["hello", "a & b", "&amp;", "x &lt; y", "  ", "中文 ＡＢ", "", "1 < 2?", "a&b"]
+_TEXT = [
+    "hello", "a & b", "&amp;", "x &lt; y", "  ", "中文 ＡＢ", "", "1 < 2?", "a&b",
+    "<!DOCTYPE html>", "<!-- a comment -->", "<!--->", "<?pi data?>", "<!bogus>",
+]
 
 
 @st.composite
@@ -109,9 +112,13 @@ def test_raw_fuzz_equivalence_or_bail(doc):
 
 
 def test_bail_conditions():
-    assert not fast_applicable("<!-- comment -->")
-    assert not fast_applicable("<!DOCTYPE html><p>x</p>")
+    # real-world page constructs stay ON the fast path
+    assert fast_applicable("<!-- comment --><p>x</p>")
+    assert fast_applicable("<!DOCTYPE html><p>x</p>")
+    assert fast_applicable("<?php echo 1 ?>")
+    assert fast_applicable("<p>plain</p>")
+    # raw-text content models and marked sections bail to the stdlib
     assert not fast_applicable("<script>var x;</script>")
     assert not fast_applicable("<STYLE>.c{}</STYLE>")
-    assert not fast_applicable("<?php echo 1 ?>")
-    assert fast_applicable("<p>plain</p>")
+    assert not fast_applicable("<![CDATA[x]]>")
+    assert not fast_applicable("<![if IE]>x<![endif]>")

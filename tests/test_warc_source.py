@@ -68,6 +68,23 @@ def test_truncated_warc_tail_tolerated(tmp_path):
     assert 0 < len(parsed) < len(rows)  # truncated tail dropped, no crash
 
 
+def test_corrupted_content_length_resyncs(tmp_path):
+    """A record whose Content-Length header is corrupted must not swallow
+    every subsequent record — the parser resyncs on the next marker."""
+    rows = [r for r in _rows()[:9] if r["html"] is not None]
+    path = str(tmp_path / "c.warc")
+    write_synthetic_warc(path, rows)
+    payload = open(path, "rb").read()
+    # corrupt the SECOND record's Content-Length value
+    first = payload.find(b"WARC-Type: response")
+    second = payload.find(b"Content-Length:", payload.find(b"WARC/1.0", first + 1))
+    corrupted = payload[:second] + b"Content-Length: oops" + payload[
+        payload.find(b"\r\n", second):
+    ]
+    parsed = parse_warc_bytes(corrupted)
+    assert len(parsed) == len(rows) - 1  # only the corrupted record is lost
+
+
 def test_garbage_resync(tmp_path):
     rows = [r for r in _rows()[:4] if r["html"] is not None]
     path = str(tmp_path / "g.warc")
