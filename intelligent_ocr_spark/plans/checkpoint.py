@@ -143,6 +143,14 @@ def read_committed(spark: SparkSession, out_dir: str, sub: str) -> DataFrame | N
     table = read_table_dir(spark, _os.path.join(out_dir, sub))
     if table is None:
         return None
+    if "commit_digest" not in table.columns:
+        # Data files carry the digest in their NAME (part-{pid}-{digest}),
+        # not as a column — the streamed writer can't know the digest until
+        # the partition's last batch. Same derivation the janitor uses.
+        table = table.withColumn(
+            "commit_digest",
+            F.regexp_extract(F.input_file_name(), r"-([0-9a-f]{16})\.parquet$", 1),
+        )
     digests = committed_digests(spark, _os.path.join(out_dir, "checkpoint"))
     if digests is None:
         return None  # zero committed partitions — same signal as no data

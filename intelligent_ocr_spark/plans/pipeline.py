@@ -20,21 +20,29 @@ repartition — and even that is skipped when the caller's layout is already
 keyed by url). Lineage is the ONLY thing that crosses back to the driver:
 one row per partition.
 
-Scale notes: the commit stage buffers one partition in memory — partition
-size is governed upstream by ``num_partitions`` /
-``spark.sql.files.maxPartitionBytes``, the same contract as any columnar
-writer. At 10^12 docs nothing here is driver-bound: resume is a
-distributed anti-join, commits are executor-local, lineage is O(partitions).
+Scale notes: the commit stage STREAMS — each incoming Arrow batch is
+extracted and appended to the partition's temp parquet file via an
+incremental ``pyarrow.parquet.ParquetWriter`` (one row group per batch),
+so peak Python memory is one Arrow batch of records
+(``spark.sql.execution.arrow.maxRecordsPerBatch``), never the whole
+partition. Only urls + statuses + lineage counters stay buffered (bytes
+per doc, not the doc). The reference's own incremental temp save
+(``core/pdf_processor.py:1397-1404``, save every N pages) has the same
+never-hold-the-whole-unit intent. At 10^12 docs nothing here is
+driver-bound: resume is a distributed anti-join, commits are
+executor-local, lineage is O(partitions).
 """
 
 from __future__ import annotations
 
 import os
+import uuid
 from datetime import datetime, timezone
 from typing import Callable, Iterable, Iterator
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
@@ -76,9 +84,12 @@ LINEAGE_SCHEMA = T.StructType(
     ]
 )
 
+# No commit_digest column: the digest is not known until the partition's
+# last batch has streamed through the writer, so it lives in the FILE NAME
+# (part-{pid}-{digest}.parquet) and is derived at read time
+# (checkpoint.read_committed) — the same place the janitor reads it from.
 DATA_PA_SCHEMA = pa.schema(
     [
-        ("commit_digest", pa.string()),
         ("url", pa.string()),
         ("warc_ts", pa.timestamp("us", tz="UTC")),
         ("lang", pa.string()),
@@ -151,6 +162,7 @@ def _make_commit_fn(
     retry_limit: int,
     partition_fail_hook: Callable[[int], None] | None,
     crash_between_renames: Callable[[int], None] | None = None,
+    flush_probe: Callable[[int], None] | None = None,
 ) -> Callable[[Iterable[pd.DataFrame]], Iterator[pd.DataFrame]]:
     data_dir = os.path.join(out_dir, "data")
     ckpt_dir = os.path.join(out_dir, "checkpoint")
@@ -160,29 +172,69 @@ def _make_commit_fn(
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         started = datetime.now(timezone.utc)
-        recs: list[dict] = []
-        for pdf in batches:
-            for u, ts, h, tx, lg in zip(
-                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
-            ):
-                recs.append(
-                    extract_record(
-                        u, ts, h, tx, lg,
-                        min_confidence=min_confidence,
-                        existing_text_min_chars=existing_text_min_chars,
-                        retry_limit=retry_limit,
+
+        # Streamed write: one row group per incoming Arrow batch into a
+        # temp file; only urls/statuses + counters stay resident.
+        os.makedirs(data_dir, exist_ok=True)
+        tmp_data = os.path.join(data_dir, f".tmp-{uuid.uuid4().hex}")
+        writer: pq.ParquetWriter | None = None
+        url_status: list[tuple[str, str]] = []
+        docs = 0
+        total_bytes = 0
+        n_skipped = 0
+        n_blank = 0
+        errors: list[str] = []
+        retry_stats: dict[int, int] = {}
+        try:
+            for pdf in batches:
+                recs: list[dict] = []
+                for u, ts, h, tx, lg in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
+                ):
+                    recs.append(
+                        extract_record(
+                            u, ts, h, tx, lg,
+                            min_confidence=min_confidence,
+                            existing_text_min_chars=existing_text_min_chars,
+                            retry_limit=retry_limit,
+                        )
                     )
-                )
-        if partition_fail_hook is not None:
-            partition_fail_hook(pid)  # test-only kill injection
-        if not recs:
+                if not recs:
+                    continue
+                for r in recs:
+                    url_status.append((r["url"], _status(r)))
+                    total_bytes += r["html_bytes"]
+                    if r["skipped"] or r["is_blank"]:
+                        n_skipped += 1
+                    if r["is_blank"]:
+                        n_blank += 1
+                    if r["error"] is not None:
+                        errors.append(r["error"])
+                    if r["retries"]:
+                        retry_stats[r["retries"]] = retry_stats.get(r["retries"], 0) + 1
+                docs += len(recs)
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp_data, DATA_PA_SCHEMA)
+                writer.write_table(pa.Table.from_pylist(recs, schema=DATA_PA_SCHEMA))
+                if flush_probe is not None:
+                    flush_probe(len(recs))  # test-only: observe peak buffering
+            if partition_fail_hook is not None:
+                partition_fail_hook(pid)  # test-only kill injection
+        except BaseException:
+            if writer is not None:
+                writer.close()
+            if os.path.exists(tmp_data):
+                os.remove(tmp_data)  # never-renamed temp: invisible to readers anyway
+            raise
+        if writer is None:
             return
-        urls = [r["url"] for r in recs]
-        digest = content_digest(urls, f"{input_snapshot_id}:{cfg_hash}")
+        writer.close()
+
+        digest = content_digest(
+            [u for u, _ in url_status], f"{input_snapshot_id}:{cfg_hash}"
+        )
         name = f"part-{pid:05d}-{digest}"
         ended = datetime.now(timezone.utc)
-        for r in recs:
-            r["commit_digest"] = digest
 
         # Commit order matters: data and lineage files are renamed FIRST,
         # the checkpoint file LAST — the checkpoint rename is the single
@@ -193,25 +245,19 @@ def _make_commit_fn(
         # (Iceberg gets this for free from snapshot isolation; this is the
         # parquet-dir equivalent.)
 
-        # 1) data file — the extraction output
-        commit_parquet_atomic(
-            pa.Table.from_pylist(recs, schema=DATA_PA_SCHEMA), data_dir, name
-        )
-        # 2) lineage row (A1 aggregation, computed in-flight — no extra pass)
-        retry_stats: dict[int, int] = {}
-        for r in recs:
-            if r["retries"]:
-                retry_stats[r["retries"]] = retry_stats.get(r["retries"], 0) + 1
+        # 1) data file — rename the streamed temp file into place
+        os.replace(tmp_data, os.path.join(data_dir, f"{name}.parquet"))
+        # 2) lineage row (A1 aggregation, accumulated in-flight — no extra pass)
         lineage = {
             "commit_digest": digest,
             "input_snapshot_id": input_snapshot_id,
             "partition_id": pid,
-            "docs": len(recs),
-            "bytes": sum(r["html_bytes"] for r in recs),
-            "errors": sorted(r["error"] for r in recs if r["error"] is not None),
-            "skipped": sum(1 for r in recs if r["skipped"] or r["is_blank"]),
-            "blank": sum(1 for r in recs if r["is_blank"]),
-            "fallback": sum(1 for r in recs if r["error"] is not None),
+            "docs": docs,
+            "bytes": total_bytes,
+            "errors": sorted(errors),
+            "skipped": n_skipped,
+            "blank": n_blank,
+            "fallback": len(errors),
             "retry_stats": retry_stats,
             "started_at": started,
             "ended_at": ended,
@@ -226,15 +272,15 @@ def _make_commit_fn(
         # 3) checkpoint rows — the COMMIT POINT (J2 anti-join side)
         ckpt_rows = [
             {
-                "url": r["url"],
+                "url": u,
                 "partition_id": pid,
-                "status": _status(r),
+                "status": st,
                 "input_snapshot_id": input_snapshot_id,
                 "config_hash": cfg_hash,
                 "commit_digest": digest,
                 "updated_at": ended,
             }
-            for r in recs
+            for u, st in url_status
         ]
         commit_parquet_atomic(
             pa.Table.from_pylist(ckpt_rows, schema=CHECKPOINT_PA_SCHEMA),
@@ -258,6 +304,7 @@ def run_extraction_job(
     integrity_check: bool = True,
     _partition_fail_hook: Callable[[int], None] | None = None,
     _crash_between_renames: Callable[[int], None] | None = None,
+    _flush_probe: Callable[[int], None] | None = None,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict.
 
@@ -289,6 +336,7 @@ def run_extraction_job(
         retry_limit,
         _partition_fail_hook,
         _crash_between_renames,
+        _flush_probe,
     )
     lineage_rows = todo.mapInPandas(commit_fn, LINEAGE_SCHEMA).collect()
 
