@@ -155,9 +155,10 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached path would race concurrent drivers / go stale across versions
     d = tempfile.mkdtemp(prefix="spark_graft_warc_")
     rows = [gen_row(i) for i in range(120)]
-    write_synthetic_warc(os.path.join(d, "seg-0.warc"), rows[:60])
-    write_synthetic_warc(os.path.join(d, "seg-1.warc"), rows[60:])
-    return extract_pages(read_warc_pages(spark, os.path.join(d, "*.warc"))).select(
+    # one gzip member per record — Common Crawl's published layout
+    write_synthetic_warc(os.path.join(d, "seg-0.warc.gz"), rows[:60])
+    write_synthetic_warc(os.path.join(d, "seg-1.warc.gz"), rows[60:])
+    return extract_pages(read_warc_pages(spark, os.path.join(d, "*.warc.gz"))).select(
         "url", "extracted_text", "norm_text", "n_blocks"
     )
 

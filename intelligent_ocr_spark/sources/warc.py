@@ -13,13 +13,25 @@ extraction engine. At real scale one would read 1 GB WARC chunks (Common
 Crawl's native segmentation: thousands of ~1 GB files) so file-level
 parallelism is ample; records never cross file boundaries by design.
 
+Gzip: real Common Crawl publishes ``.warc.gz`` — a concatenation of gzip
+MEMBERS, one per record (the spec's recommended record-at-time
+compression, which is what makes byte-range record access possible).
+``parse_warc_bytes`` auto-detects the gzip magic and walks members with
+``zlib`` (no whole-file decompress): a corrupt or truncated member is
+dropped and the walk resyncs at the next member magic, mirroring the
+plain-text parser's resync-on-marker behavior. A whole-file single-member
+gzip (some tools emit this) parses too, since each decompressed chunk is
+scanned for as many records as it contains.
+
 A deterministic synthetic WARC writer is included for tests (no external
-data; gzip intentionally omitted — this container's spark reads plain
-bytes, and per-record gzip members would slot into ``_iter_records``).
+data); ``.gz`` paths get per-record members with ``mtime=0`` so fixtures
+are byte-stable.
 """
 
 from __future__ import annotations
 
+import gzip
+import zlib
 from datetime import datetime, timezone
 from typing import Iterable, Iterator
 
@@ -57,14 +69,23 @@ def _warc_record(url: str, ts: datetime, html: bytes, lang: str) -> bytes:
 
 
 def write_synthetic_warc(path: str, rows: list[dict]) -> None:
-    """Write rows (url, warc_ts, html, lang) as one .warc file."""
+    """Write rows (url, warc_ts, html, lang) as one .warc file; a ``.gz``
+    path emits one gzip member per record (Common Crawl's layout),
+    ``mtime=0`` for byte-stable fixtures."""
+    as_gz = path.endswith(".gz")
+
+    def member(b: bytes) -> bytes:
+        return gzip.compress(b, mtime=0) if as_gz else b
+
     with open(path, "wb") as f:
-        f.write(b"WARC/1.0" + _CRLF + b"WARC-Type: warcinfo" + _CRLF
-                + b"Content-Length: 0" + _CRLF + _CRLF + _CRLF + _CRLF)
+        f.write(member(b"WARC/1.0" + _CRLF + b"WARC-Type: warcinfo" + _CRLF
+                       + b"Content-Length: 0" + _CRLF + _CRLF + _CRLF + _CRLF))
         for r in rows:
             if r["html"] is None:
                 continue
-            f.write(_warc_record(r["url"], r["warc_ts"], bytes(r["html"]), r["lang"]))
+            f.write(member(
+                _warc_record(r["url"], r["warc_ts"], bytes(r["html"]), r["lang"])
+            ))
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -119,8 +140,54 @@ def _http_body(record_body: bytes) -> bytes | None:
     return record_body[sep + 4 :]
 
 
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _iter_gzip_members(payload: bytes) -> Iterator[bytes]:
+    """Decompressed bytes of each gzip member in a ``.warc.gz`` payload.
+
+    A corrupt member (bad deflate stream or CRC) or a truncated tail member
+    is dropped and the walk resyncs at the next member magic — one bad
+    record never swallows the rest of a 1 GB segment. memoryview feeds
+    zlib without copying the remaining buffer per member.
+    """
+    view = memoryview(payload)
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != _GZIP_MAGIC:
+            nxt = payload.find(_GZIP_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)  # gzip wrapper
+        try:
+            chunk = d.decompress(view[pos:])
+        except zlib.error:
+            nxt = payload.find(_GZIP_MAGIC, pos + 2)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        if not d.eof:
+            return  # truncated tail member
+        yield chunk
+        pos = n - len(d.unused_data)
+
+
 def parse_warc_bytes(payload: bytes) -> list[dict]:
-    """WARC file bytes → page rows (url, warc_ts, html, text, lang)."""
+    """WARC file bytes → page rows (url, warc_ts, html, text, lang).
+    Auto-detects ``.warc.gz`` (leading gzip magic) vs plain WARC."""
+    if payload[:2] == _GZIP_MAGIC:
+        rows: list[dict] = []
+        for chunk in _iter_gzip_members(payload):
+            rows.extend(_rows_from_stream(chunk))
+        return rows
+    return _rows_from_stream(payload)
+
+
+def _rows_from_stream(payload: bytes) -> list[dict]:
     rows: list[dict] = []
     for headers, body in _iter_records(payload):
         if headers.get("warc-type") != "response":

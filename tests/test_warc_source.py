@@ -96,3 +96,67 @@ def test_garbage_resync(tmp_path):
 
 def _crlf_pad() -> bytes:
     return b"\r\n\r\n"
+
+
+# ---- .warc.gz (Common Crawl's real layout: one gzip member per record) ----
+
+
+def test_gzip_roundtrip_matches_plain(tmp_path):
+    rows = [r for r in _rows() if r["html"] is not None]
+    plain, gz = str(tmp_path / "a.warc"), str(tmp_path / "a.warc.gz")
+    write_synthetic_warc(plain, rows)
+    write_synthetic_warc(gz, rows)
+    p_plain = parse_warc_bytes(open(plain, "rb").read())
+    p_gz = parse_warc_bytes(open(gz, "rb").read())
+    assert p_gz == p_plain and len(p_gz) == len(rows)
+
+
+def test_gzip_whole_file_single_member(tmp_path):
+    """Some tools gzip the whole WARC as ONE member — still parses."""
+    import gzip
+
+    rows = [r for r in _rows()[:10] if r["html"] is not None]
+    plain = str(tmp_path / "a.warc")
+    write_synthetic_warc(plain, rows)
+    payload = gzip.compress(open(plain, "rb").read(), mtime=0)
+    assert len(parse_warc_bytes(payload)) == len(rows)
+
+
+def test_gzip_corrupt_member_resyncs(tmp_path):
+    """Flipping bytes inside one member loses only that record."""
+    rows = [r for r in _rows()[:9] if r["html"] is not None]
+    gz = str(tmp_path / "c.warc.gz")
+    write_synthetic_warc(gz, rows)
+    payload = bytearray(open(gz, "rb").read())
+    # find the 3rd member start (warcinfo + record0 + record1) and corrupt
+    # bytes INSIDE that member, past its gzip header
+    starts = []
+    i = payload.find(b"\x1f\x8b")
+    while i >= 0:
+        starts.append(i)
+        i = payload.find(b"\x1f\x8b", i + 2)
+    mid = starts[2] + 20
+    for j in range(mid, mid + 8):
+        payload[j] ^= 0xFF
+    parsed = parse_warc_bytes(bytes(payload))
+    # exactly one record lost (corruption can at most also desync into the
+    # next member boundary; resync guarantees the rest survive)
+    assert len(rows) - 2 <= len(parsed) < len(rows)
+
+
+def test_gzip_truncated_tail(tmp_path):
+    rows = [r for r in _rows()[:6] if r["html"] is not None]
+    gz = str(tmp_path / "t.warc.gz")
+    write_synthetic_warc(gz, rows)
+    payload = open(gz, "rb").read()
+    parsed = parse_warc_bytes(payload[: int(len(payload) * 0.7)])
+    assert 0 < len(parsed) < len(rows)
+
+
+def test_gzip_reader_through_spark(spark, tmp_path):
+    rows = _rows()
+    write_synthetic_warc(str(tmp_path / "seg-0.warc.gz"), rows[: N // 2])
+    write_synthetic_warc(str(tmp_path / "seg-1.warc.gz"), rows[N // 2 :])
+    pages = read_warc_pages(spark, str(tmp_path / "*.warc.gz"))
+    got = {r["url"] for r in pages.collect()}
+    assert got == {r["url"] for r in rows if r["html"] is not None}
