@@ -1316,11 +1316,80 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("doc_id", "n_bytes", "width", "height", "content_md5")
 
 
-@_q("mm_frame_sample")  # rows-only: byte-chunk demux plumbing
+@_q(
+    "mm_frame_sample",
+    # DuckDB 1.0 has no BLOB md5/substring, so the driver query feeds an
+    # ASCII-hex payload (1 byte == 1 char; Spark and DuckDB hex() casing
+    # verified identical) — the operator itself still slices raw bytes.
+    """
+    WITH m AS (SELECT doc_id, hex(encode(text)) AS payload FROM documents)
+    SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+           md5(substring(payload, CAST(idx AS INT)*4096 + 1, 4096)) AS frame_md5
+    FROM m, unnest(range(0, greatest(length(payload)//4096, 1), 4)) AS t(idx)
+    """,
+)
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    media = d.select("doc_id", F.encode("text", "UTF-8").alias("media"))
+    media = d.select(
+        "doc_id",
+        F.encode(F.hex(F.encode("text", "UTF-8")), "UTF-8").alias("media"),
+    )
     return sample_frames(media, every_n=4)
+
+
+# X3 dual-insert, exactly oracled: pages whose article text is a KNOWN
+# variant literal (even doc_id) or a variant-free literal (odd doc_id), so
+# the expected span forms are SQL literals (reference dual-insert semantics
+# core/pdf_processor.py:661-665).
+_VAR_LIT = "竒書蔵於名山傳之其人"   # normalizes to the line below
+_VAR_NORM = "奇書藏於名山傳之其人"
+_PLAIN_LIT = "有朋自遠方來不亦樂乎"  # fixed point of the normalizer
+
+
+@_q(
+    "x3_dual_insert_variants",
+    f"""
+    WITH d AS (
+      SELECT 'doc://x/' || CAST(doc_id AS VARCHAR) AS url,
+             'doc ' || CAST(doc_id AS VARCHAR) AS head,
+             doc_id % 2 = 0 AS is_var
+      FROM documents
+    )
+    SELECT url, CAST(0 AS INT) AS start, CAST(length(head) AS INT) AS "end",
+           CAST(0 AS INT) AS block_id, 'heading' AS kind,
+           CAST(1.0 AS DOUBLE) AS conf, head AS form
+    FROM d
+    UNION ALL
+    SELECT url, CAST(length(head) + 1 AS INT), CAST(length(head) + 11 AS INT),
+           CAST(1 AS INT), 'line', CAST(1.0 AS DOUBLE),
+           CASE WHEN is_var THEN '{_VAR_LIT}' ELSE '{_PLAIN_LIT}' END
+    FROM d
+    UNION ALL
+    SELECT url, CAST(length(head) + 1 AS INT), CAST(length(head) + 11 AS INT),
+           CAST(1 AS INT), 'line', CAST(1.0 AS DOUBLE), '{_VAR_NORM}'
+    FROM d WHERE is_var
+    """,
+)
+def q_x3_dual_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    body = F.when(F.col("doc_id") % 2 == 0, F.lit(_VAR_LIT)).otherwise(
+        F.lit(_PLAIN_LIT)
+    )
+    html = F.concat(
+        F.lit('<html lang="zh"><body><nav><a href="/">Home</a></nav><article><h1>doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        body,
+        F.lit("</p></article><footer>f</footer></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://x/"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("zh").alias("lang"),
+    )
+    return dual_insert_spans(extract_pages(pages))
 
 
 # --------------------------------------------------------------------------
