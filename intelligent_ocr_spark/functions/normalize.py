@@ -73,8 +73,16 @@ def build_translation(mapping: dict[str, str]) -> dict[int, str]:
 class VariantNormalizer:
     """Vectorized variant normalizer over pandas Series / plain strings."""
 
-    def __init__(self, variants_text: str | None = None):
-        text = VARIANTS_TEXT if variants_text is None else variants_text
+    def __init__(
+        self, variants_text: str | None = None, variants_path: str | None = None
+    ):
+        if variants_text is not None and variants_path is not None:
+            raise ValueError("pass variants_text OR variants_path, not both")
+        if variants_path is not None:
+            with open(variants_path, encoding="utf-8") as f:
+                text = f.read()
+        else:
+            text = VARIANTS_TEXT if variants_text is None else variants_text
         self.mapping = parse_variant_lines(text.splitlines())
         self._table = build_translation(self.mapping)
         # chars whose translation differs — isdisjoint() scans the string at
@@ -112,7 +120,12 @@ def get_normalizer() -> VariantNormalizer:
     """
     global _SINGLETON
     if _SINGLETON is None:
-        _SINGLETON = VariantNormalizer()
+        import os
+
+        path = os.environ.get("SPARK_GRAFT_VARIANTS_PATH")
+        # production seam: ship a full-size table (e.g. Unihan-derived) to
+        # executors via --files and point this env var at it — no code change
+        _SINGLETON = VariantNormalizer(variants_path=path) if path else VariantNormalizer()
     return _SINGLETON
 
 

@@ -106,6 +106,24 @@ def test_dual_insert_view(spark):
             assert forms[0] != forms[1]
 
 
+def test_dual_insert_expanded_variant_groups(spark):
+    """Dual-insert golden over variants NOT in the round-1 52-group table
+    (kyūjitai section): 国学→國學, 体→體 — both forms emitted at one span."""
+    from pyspark.sql import functions as F
+
+    html = (
+        '<html><body><article><h1>t</h1><p>国学之体変也</p></article>'
+        "</body></html>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [("u://1", None, bytearray(html), "", "zh")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01")))
+    dual = dual_insert_spans(extract_pages(pages))
+    forms = [r["form"] for r in dual.collect() if r["kind"] == "line"]
+    assert sorted(forms) == sorted(["国学之体変也", "國學之體變也"])
+
+
 def test_extraction_plan_is_narrow(spark):
     """No shuffle in the extraction transform itself (scale contract)."""
     df = extract_pages(pages_df(spark, 100, partitions=4))

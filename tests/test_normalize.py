@@ -71,3 +71,52 @@ def test_normalize_idempotent(text):
 def test_needs_normalization_consistent(text):
     n = get_normalizer()
     assert n.needs_normalization(text) == (n.normalize(text) != text)
+
+
+def test_table_no_cross_group_conflicts():
+    """Each char belongs to at most one group, so the table's semantics are
+    order-independent (no later-line-wins surprises)."""
+    from intelligent_ocr_spark.functions.variants_data import VARIANTS_TEXT
+
+    lines = [l.strip() for l in VARIANTS_TEXT.splitlines() if l.strip()]
+    owner: dict[str, int] = {}
+    for i, line in enumerate(lines):
+        assert len(set(line)) == len(line), f"within-line duplicate: {line}"
+        for c in line:
+            assert owner.setdefault(c, i) == i, f"{c!r} in two groups"
+    assert len(lines) >= 300  # expanded table, not the original 52
+
+
+def test_expanded_groups_beyond_round1_set():
+    """Groups absent from the original 52-group table: jōyō
+    shinjitai–kyūjitai pairs and classical 異體字."""
+    n = get_normalizer()
+    # kyūjitai section: shinjitai folds to the traditional form
+    assert n.normalize("国学体変駅広") == "國學體變驛廣"
+    assert n.normalize("黃河旣来, 爾等无恙") == "黃河既來, 爾等無恙"
+    assert n.normalize("扵衆") == "於眾"
+    # classical standalone chars must survive (omitted merge pairs)
+    assert n.normalize("余予才缶糸虫台") == "余予才缶糸虫台"
+    assert n.variant_count > 600
+
+
+def test_load_variants_from_path(tmp_path):
+    p = tmp_path / "variants.txt"
+    p.write_text("甲乙\n", encoding="utf-8")
+    n = VariantNormalizer(variants_path=str(p))
+    assert n.normalize("乙") == "甲"
+    with pytest.raises(ValueError):
+        VariantNormalizer(variants_text="a b", variants_path=str(p))
+
+
+def test_env_var_table_seam(tmp_path, monkeypatch):
+    import intelligent_ocr_spark.functions.normalize as N
+
+    p = tmp_path / "variants.txt"
+    p.write_text("甲乙\n", encoding="utf-8")
+    monkeypatch.setattr(N, "_SINGLETON", None)
+    monkeypatch.setenv("SPARK_GRAFT_VARIANTS_PATH", str(p))
+    try:
+        assert N.get_normalizer().normalize("乙") == "甲"
+    finally:
+        monkeypatch.setattr(N, "_SINGLETON", None)  # don't poison other tests
