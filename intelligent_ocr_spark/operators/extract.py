@@ -71,6 +71,11 @@ SPAN_TYPE = T.ArrayType(
             T.StructField("block_id", T.IntegerType(), False),
             T.StructField("kind", T.StringType(), False),
             T.StructField("conf", T.DoubleType(), False),
+            # X4/X5: placement metadata from the geo (layout) path;
+            # NULL on DOM-density pages whose bboxes are synthetic
+            # (reference placement logic core/pdf_processor.py:646-659)
+            T.StructField("font_size", T.DoubleType(), True),
+            T.StructField("is_vertical", T.BooleanType(), True),
         ]
     )
 )
@@ -380,6 +385,7 @@ def extract_record(
         ordered = blocks  # document order IS reading order for DOM pages
 
     # Assemble text + spans (byte-identity contract).
+    geo = bool(parser.geo_blocks)  # X4/X5 only meaningful with real bboxes
     parts: list[str] = []
     spans: list[dict] = []
     pos = 0
@@ -394,6 +400,10 @@ def extract_record(
                 "block_id": block_id,
                 "kind": b.kind,
                 "conf": b.conf,
+                "font_size": (
+                    estimate_font_size(b.width, b.height, len(b.text)) if geo else None
+                ),
+                "is_vertical": is_vertical(b.width, b.height) if geo else None,
             }
         )
         pos += 1  # the "\n" separator

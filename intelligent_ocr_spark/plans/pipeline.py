@@ -105,6 +105,8 @@ DATA_PA_SCHEMA = pa.schema(
                         ("block_id", pa.int32()),
                         ("kind", pa.string()),
                         ("conf", pa.float64()),
+                        ("font_size", pa.float64()),
+                        ("is_vertical", pa.bool_()),
                     ]
                 )
             ),

@@ -61,3 +61,19 @@ def test_pinned_documents_frozen():
 def test_doc9_variant_layer_diverges():
     e = _extract(9)
     assert e["norm_text"] != e["extracted_text"]  # dual-layer contract
+
+
+def test_span_placement_metadata():
+    """X4/X5 wiring: geo-path spans carry clamped font_size + per-block
+    vertical flag (reference core/pdf_processor.py:646-659); DOM-path spans
+    carry NULLs (synthetic bboxes)."""
+    geo = _extract(9)  # vertical-CJK classic → geo blocks
+    assert geo["spans"], "doc 9 must extract blocks"
+    for s in geo["spans"]:
+        assert 4.0 <= s["font_size"] <= 72.0
+        assert isinstance(s["is_vertical"], bool)
+    assert any(s["is_vertical"] for s in geo["spans"])  # vertical page
+
+    dom = _extract(0)  # boilerplate article → DOM-density path
+    assert dom["spans"]
+    assert all(s["font_size"] is None and s["is_vertical"] is None for s in dom["spans"])
