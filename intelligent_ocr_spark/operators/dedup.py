@@ -21,7 +21,7 @@ DuckDB oracle reproduces values exactly:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from intelligent_ocr_spark.functions.textstats import tokens
@@ -240,10 +240,18 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle"),
     )
-    rare = sh.join(
-        sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df_count")),
-        "shingle",
-    ).filter(F.col("df_count") <= doc_freq_cap).select("doc_id", "shingle")
+    # Doc-frequency via a window, not a groupBy+self-join: (doc_id, shingle)
+    # is already distinct (array_distinct before explode), so count(*) over
+    # shingle == countDistinct(doc_id). This shuffles the ~30×-inflated
+    # explosion ONCE, and the pair self-join below reuses that same
+    # shingle-hash exchange (ReusedExchange — pinned in test_plan_shape).
+    rare = (
+        sh.withColumn(
+            "df_count", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df_count") <= doc_freq_cap)
+        .select("doc_id", "shingle")
+    )
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = rare.alias("a"), rare.alias("b")
     shared = (
