@@ -827,6 +827,44 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_salted_last_click",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+    ), errors AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+    )
+    SELECT e.user_id, e.ts, e.event_id,
+           c.ts AS ts_r, c.event_id AS event_id_r, c.value AS value_r
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe as-of: same semantics as asof_last_click_before_error
+    but via the time-bucket-salted path (each user's group split across
+    (user, day) tasks with a carry-in boundary patch)."""
+    from intelligent_ocr_spark.operators.asof import asof_join_salted
+
+    ev = _t(spark, sf_dir, "events")
+    w_dedupe = W.partitionBy("user_id", "ts").orderBy("event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("_rn", F.row_number().over(w_dedupe))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join_salted(
+        errors, clicks, on="ts", by="user_id",
+        payload=["event_id", "value"], bucket_width="1 day",
+    )
+
+
+@_q(
     "agg_exact_percentiles",
     """
     SELECT l_returnflag,

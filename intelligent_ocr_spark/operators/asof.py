@@ -16,8 +16,9 @@ a union does not exhibit the pruning and uses one shuffle instead of two.
 
 Scale shape: one hash shuffle on ``by`` + O(n log n) per-group sorts;
 skewed ``by`` keys are the hazard (one user with millions of events lands
-in one group) — mitigate by pre-splitting hot keys on a time-bucket salt
-and patching group boundaries.
+in one group) — :func:`asof_join_salted` pre-splits every group on a time
+bucket and patches the boundary with a carry-in row, producing identical
+output (property-tested) with the hot key spread across tasks.
 
 Determinism: callers should ensure the right side has unique ``(by, on)``
 pairs (dedupe first) — equal-timestamp ties resolve differently across
@@ -35,7 +36,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "asof_join_salted"]
+
+
+def _make_merge(by, on, r_on, left_names, r_payload, right_out_fields, out_names):
+    """Grouped-map kernel shared by the plain and salted paths: split the
+    tagged union back into sides and run pandas merge_asof."""
+
+    def _no_match(lpdf: pd.DataFrame) -> pd.DataFrame:
+        out = lpdf.copy()
+        for f in right_out_fields:
+            out[f.name] = None
+        return out[out_names]
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["_side"] == 0][left_names]
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=out_names)
+        # SQL join semantics for NULLs: a NULL key or NULL timestamp never
+        # matches — merge_asof would instead RAISE on null keys (pandas
+        # 'Merge keys contain null values'), so nulls are split out up
+        # front: null-ts left rows get a no-match result, null-ts right
+        # rows are dropped, and the all-null `by` group matches nothing
+        key_is_null = pdf[by].isna().any()
+        l_null = lpdf[lpdf[on].isna()]
+        lpdf = lpdf[lpdf[on].notna()].sort_values([on] + left_names).reset_index(drop=True)
+        rpdf = pdf[pdf["_side"] == 1][[r_on] + r_payload]
+        rpdf = rpdf[rpdf[r_on].notna()]
+        parts = []
+        if len(l_null):
+            parts.append(_no_match(l_null))
+        if len(lpdf):
+            if key_is_null or len(rpdf) == 0:
+                parts.append(_no_match(lpdf))
+            else:
+                rpdf = rpdf.sort_values(r_on).reset_index(drop=True)
+                parts.append(
+                    pd.merge_asof(
+                        lpdf, rpdf, left_on=on, right_on=r_on, direction="backward"
+                    )[out_names]
+                )
+        return pd.concat(parts) if parts else pd.DataFrame(columns=out_names)
+
+    return merge
 
 
 def asof_join(
@@ -77,40 +120,88 @@ def asof_join(
             rpart = rpart.withColumn(f.name, F.lit(None).cast(f.dataType))
     cols = left_names + [r_on] + r_payload + ["_side"]
     union = lpart.select(*cols).unionByName(rpart.select(*cols))
-
-    def _no_match(lpdf: pd.DataFrame) -> pd.DataFrame:
-        out = lpdf.copy()
-        for f in right_out_fields:
-            out[f.name] = None
-        return out[out_names]
-
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        lpdf = pdf[pdf["_side"] == 0][left_names]
-        if len(lpdf) == 0:
-            return pd.DataFrame(columns=out_names)
-        # SQL join semantics for NULLs: a NULL key or NULL timestamp never
-        # matches — merge_asof would instead RAISE on null keys (pandas
-        # 'Merge keys contain null values'), so nulls are split out up
-        # front: null-ts left rows get a no-match result, null-ts right
-        # rows are dropped, and the all-null `by` group matches nothing
-        key_is_null = pdf[by].isna().any()
-        l_null = lpdf[lpdf[on].isna()]
-        lpdf = lpdf[lpdf[on].notna()].sort_values([on] + left_names).reset_index(drop=True)
-        rpdf = pdf[pdf["_side"] == 1][[r_on] + r_payload]
-        rpdf = rpdf[rpdf[r_on].notna()]
-        parts = []
-        if len(l_null):
-            parts.append(_no_match(l_null))
-        if len(lpdf):
-            if key_is_null or len(rpdf) == 0:
-                parts.append(_no_match(lpdf))
-            else:
-                rpdf = rpdf.sort_values(r_on).reset_index(drop=True)
-                parts.append(
-                    pd.merge_asof(
-                        lpdf, rpdf, left_on=on, right_on=r_on, direction="backward"
-                    )[out_names]
-                )
-        return pd.concat(parts) if parts else pd.DataFrame(columns=out_names)
-
+    merge = _make_merge(by, on, r_on, left_names, r_payload, right_out_fields, out_names)
     return union.groupBy(by).applyInPandas(merge, out_schema)
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    payload: list[str],
+    suffix: str = "_r",
+    bucket_width: str = "1 hour",
+) -> DataFrame:
+    """Backward as-of join with hot-key mitigation — identical output
+    contract to :func:`asof_join` (property-tested equal).
+
+    A skewed ``by`` key (one user holding most events) lands an entire
+    group on one task in the plain path. Here each group is pre-split on a
+    TIME BUCKET (``F.window(on, bucket_width)``), so a hot key's events
+    spread across (key, bucket) tasks, and correctness across the split is
+    restored by a boundary patch: for every left bucket, the single most
+    recent right row from any EARLIER bucket (the carry-in) is replicated
+    into that bucket's group, so a backward match can still reach across
+    the boundary. The carry-in is computed on a per-(key, bucket)
+    aggregate — O(buckets) rows per key, never the event stream — via a
+    lexicographic struct max (right ``(by, on)`` uniqueness makes the
+    argmax exact).
+
+    Shuffle shape: one big hash shuffle on ``(by, bucket)`` for the
+    events (the split one), plus two small aggregates for the patch.
+    """
+    left_fields = list(left.schema.fields)
+    left_names = [f.name for f in left_fields]
+    r_on = on + suffix
+    r_payload = [c + suffix for c in payload]
+    right_out_fields = [T.StructField(r_on, right.schema[on].dataType, True)] + [
+        T.StructField(c + suffix, right.schema[c].dataType, True) for c in payload
+    ]
+    out_fields = left_fields + right_out_fields
+    out_schema = T.StructType(out_fields)
+    out_names = [f.name for f in out_fields]
+
+    def bucket_of(col: str):
+        return F.window(F.col(col), bucket_width)["start"]
+
+    lpart = left.withColumn("_side", F.lit(0)).withColumn("_b", bucket_of(on))
+    for f in right_out_fields:
+        lpart = lpart.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+    rbase = right.select(
+        F.col(by),
+        F.col(on).alias(r_on),
+        *[F.col(c).alias(c + suffix) for c in payload],
+    ).withColumn("_b", bucket_of(r_on))
+
+    # boundary patch: latest right row per (by, bucket), then for each LEFT
+    # bucket the latest of those from strictly earlier buckets
+    last_per = rbase.groupBy(by, "_b").agg(
+        F.max(F.struct(F.col(r_on), *[F.col(c) for c in r_payload])).alias("_last")
+    )
+    left_buckets = lpart.select(by, "_b").distinct()
+    carry = (
+        left_buckets.alias("L")
+        .join(
+            last_per.alias("R"),
+            (F.col(f"L.{by}") == F.col(f"R.{by}")) & (F.col("R._b") < F.col("L._b")),
+        )
+        .groupBy(F.col(f"L.{by}").alias(by), F.col("L._b").alias("_b"))
+        .agg(F.max("R._last").alias("_last"))
+        .select(
+            F.col(by),
+            F.col("_b"),
+            F.col("_last").getField(r_on).alias(r_on),
+            *[F.col("_last").getField(c).alias(c) for c in r_payload],
+        )
+    )
+    rpart = rbase.unionByName(carry).withColumn("_side", F.lit(1))
+    for f in left_fields:
+        if f.name != by:
+            rpart = rpart.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+    cols = left_names + [r_on] + r_payload + ["_side", "_b"]
+    union = lpart.select(*cols).unionByName(rpart.select(*cols))
+    merge = _make_merge(by, on, r_on, left_names, r_payload, right_out_fields, out_names)
+    return union.groupBy(by, "_b").applyInPandas(merge, out_schema)
