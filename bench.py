@@ -18,8 +18,9 @@ Two parts:
    = throughput(4N) / (4 × throughput(N)).
 
 2. **Operator headliners** at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1):
-   wall time per representative query from __spark_entry__ (forced with a
-   noop sink so every column is computed, nothing is collected).
+   per-query cold-collect wall time (driver-comparable semantics) in
+   ``queries``, plus warm-noop steady-state timings in
+   ``queries_warm_noop``.
 
 Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS
 (default 600000), SPARK_GRAFT_SF_DIR.
@@ -158,21 +159,35 @@ def scaling_trials(
     return small_best, big_best, pairs
 
 
-def run_headliners(sf_dir: str, cores: int) -> dict[str, float]:
+def run_headliners(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, float]]:
+    """Two timing series per query:
+
+    * **cold-collect** (headlined, driver-comparable): first execution of
+      the query in the session, timed through ``collect()`` — the same
+      semantics the per-round driver bench uses, so BENCH_rN deltas vs
+      BENCH/BASELINE.md are attributable to plan changes, not harness
+      differences (round-1 judge fix #9);
+    * **warm-noop**: second execution into a noop sink — steady-state
+      plan cost with worker start amortized, for internal regression
+      tracking.
+    """
     import __spark_entry__ as entrymod
     from intelligent_ocr_spark.session import build_session
 
     spark = build_session(parallelism=cores, app_name="bench_queries")
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         fn = qs[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (plan+code paths)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        warm[name] = round(time.perf_counter() - t0, 3)
     spark.stop()
-    return timings
+    return cold, warm
 
 
 def main() -> None:
@@ -215,7 +230,7 @@ def main() -> None:
         small["checksum"], big["checksum"], full["checksum"],
     )
 
-    queries = run_headliners(sf_dir, cpus)
+    queries, queries_warm = run_headliners(sf_dir, cpus)
     queries[f"extract_{n_docs}docs_local{n_small}"] = round(small["sec"], 3)
     queries[f"extract_{n_docs}docs_local{n_big}"] = round(big["sec"], 3)
     queries[f"extract_{n_docs}docs_local{cpus}"] = round(full["sec"], 3)
@@ -228,6 +243,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "queries_warm_noop": queries_warm,
                 "sf": sf,
                 "extraction": {
                     "docs": n_docs,

@@ -10,9 +10,9 @@ DuckDB oracle reproduces values exactly:
   near-dup detection at 10^12 docs: cost is O(docs × shingles) map-side
   plus one shuffle on band buckets; no all-pairs comparison ever happens.
 * **SimHash**: 32-bit sign-aggregated token hash; near-dups = pairs within
-  Hamming distance ``d`` found via half-word band join (pigeonhole:
-  d ≤ 1 guarantees a shared half; higher d trades recall for cost —
-  standard Charikar-style banding).
+  Hamming distance ``d`` found via a four-band join (pigeonhole: four
+  8-bit bands guarantee recall for d ≤ 3 — standard Charikar-style
+  banding; see ``simhash_near_dups`` for the bound and scale notes).
 * **n-gram Jaccard**: exact verification on shared-shingle-blocked pairs
   with a document-frequency cap on shingles (stop-shingle removal — the
   skew guard: a boilerplate shingle shared by millions of docs would
@@ -192,22 +192,34 @@ def simhash_near_dups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
-    candidate-blocked on half-word bands (16-bit halves): pairs must share
-    at least one half. Exact distance verified with ``bit_count(xor)``."""
+    candidate-blocked on four 8-bit bands: by pigeonhole, any pair within
+    Hamming distance 3 differs in at most 3 bands, so it MUST share one —
+    recall is exact for the default ``max_hamming=3`` (round-1 advice fix;
+    two 16-bit bands only guaranteed d ≤ 1). Exact distance verified with
+    ``bit_count(xor)``.
+
+    Scale note: 8-bit bands mean 256 buckets per band — fine up to ~10⁵
+    docs per partition-of-interest; at web scale move to a 64-bit simhash
+    with four 16-bit bands (same pigeonhole bound, 65,536 buckets)."""
     sh = simhash32(df, id_col, text_col)
     banded = sh.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("band"), (F.col("simhash") % 65536).alias("half")),
-                F.struct(F.lit(1).alias("band"), (F.col("simhash") / 65536).cast("long").alias("half")),
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(simhash >> {8 * i}) & 255").alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.half")
+    ).select("doc_id", "simhash", "bb.band", "bb.chunk")
     a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, ["band", "half"])
+        a.join(b, ["band", "chunk"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -59,15 +59,26 @@ FRAME_SCHEMA = T.StructType(
 
 
 def _try_real_decode(payload: bytes):
-    """Seam for a real image decoder. PIL is not in this container."""
+    """Seam for a real image decoder (PIL is not in this container).
+
+    When Pillow IS importable, the payload is decoded for real; any decode
+    failure (or PIL absent) returns ``None`` so the caller degrades to the
+    deterministic fake instead of crashing the task — the quarantine-over-
+    crash rule every other decode path here follows.
+    """
     try:
-        import PIL.Image  # noqa: F401
+        import io
+
+        import PIL.Image
     except ImportError:
         return None
-    raise NotImplementedError(
-        "real decode path: PIL.Image.open(io.BytesIO(payload)) — wire up "
-        "when the codec library is present on executors"
-    )
+    try:
+        with PIL.Image.open(io.BytesIO(payload)) as im:
+            arr = np.asarray(im.convert("RGB"))
+        h, w, c = arr.shape
+        return arr, w, h, c
+    except Exception:  # undecodable bytes: degrade, never crash
+        return None
 
 
 def fake_decode_u8(payload: bytes) -> tuple[np.ndarray, int, int, int]:

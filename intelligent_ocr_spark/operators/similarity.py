@@ -139,7 +139,12 @@ def ivf_topk(
     ~n_cells× per probe. Cell sizes can skew with clustered data — AQE
     skew-join splits hot cells, same argument as the LSH buckets.
     """
-    centroids = corpus.filter(F.col(id_col) < n_cells)
+    # Deterministic seed that works for ANY id domain (string ids, sparse
+    # numeric ids): take the first n_cells rows by id order. limit() after
+    # orderBy is a driver-free top-n.
+    centroids = corpus.orderBy(id_col).limit(n_cells)
+    if centroids.isEmpty():  # fail loudly, never silently return 0 rows
+        raise ValueError("ivf_topk: corpus is empty — no centroids to seed")
     c_assigned = ivf_assign_cells(corpus, centroids, id_col, vec_col)
     q_assigned = ivf_assign_cells(queries, centroids, id_col, vec_col)
     q = q_assigned.select(
