@@ -141,6 +141,67 @@ def q_extract_dual_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dual_insert_spans(extract_pages(pages_df(spark, 400)))
 
 
+@_q(
+    "extract_pixmap_pages",
+    # The pixel path is exactly oracled: pages are RENDERED from literal
+    # track texts chosen by doc_id parity, and extraction must invert the
+    # render byte-identically (glyph recognition + projection segmentation
+    # + reading order + variant dual layer).
+    """
+    SELECT 'img://docs/' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 2 = 0
+                THEN '竒書蔵於名山' || chr(10) || '傳之其人'
+                ELSE 'Doc-' || CAST(doc_id AS VARCHAR) || chr(10) || 'quick-brown-fox'
+           END AS extracted_text,
+           CASE WHEN doc_id % 2 = 0
+                THEN '奇書藏於名山' || chr(10) || '傳之其人'
+                ELSE 'Doc-' || CAST(doc_id AS VARCHAR) || chr(10) || 'quick-brown-fox'
+           END AS norm_text,
+           CAST(2 AS INT) AS n_blocks
+    FROM documents
+    """,
+)
+def q_extract_pixmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary page images through the SAME extract operator as HTML:
+    PXPG container decode → projection-profile segmentation → glyph
+    recognition → rescale/order/normalize (reference M1/M2 twin)."""
+    from intelligent_ocr_spark.sources.pages import EPOCH, PAGES_SCHEMA
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as _pd
+
+        from intelligent_ocr_spark.functions.pixmap import render_page_image
+
+        cols = [f.name for f in PAGES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                zoom = 1 + did % 3
+                if did % 2 == 0:
+                    html = render_page_image(
+                        ["竒書蔵於名山", "傳之其人"], vertical=True, zoom=zoom
+                    )
+                    lang = "zh"
+                else:
+                    html = render_page_image(
+                        [f"Doc-{did}", "quick-brown-fox"], vertical=False, zoom=zoom
+                    )
+                    lang = "en"
+                rows.append(
+                    {"url": f"img://docs/{did}", "warc_ts": EPOCH, "html": html,
+                     "text": "", "lang": lang}
+                )
+            yield _pd.DataFrame(rows, columns=cols)
+
+    pages = docs.mapInPandas(gen, PAGES_SCHEMA)
+    return extract_pages(pages).select(
+        "url", "extracted_text", "norm_text", "n_blocks"
+    )
+
+
 @_q("source_warc_extract")  # rows-only: WARC container parsing (ISO 28500)
 def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common Crawl's real container format end-to-end: synthetic WARC

@@ -49,6 +49,7 @@ from pyspark.sql import types as T
 from intelligent_ocr_spark.functions.fasthtml import fast_applicable, fast_feed
 from intelligent_ocr_spark.functions.layout import Block, estimate_font_size, is_vertical, reading_order
 from intelligent_ocr_spark.functions.normalize import get_normalizer, nfkc
+from intelligent_ocr_spark.functions.pixmap import PXPG_MAGIC, analyze_page_image
 
 __all__ = [
     "EXTRACT_SCHEMA",
@@ -311,11 +312,23 @@ def extract_record(
     if html is None:
         out["error"] = "html_null"
         return out
-    try:
-        raw = bytes(html).decode("utf-8")
-    except (UnicodeDecodeError, ValueError) as e:
-        out["error"] = f"html_decode: {e.__class__.__name__}"
-        return out
+    data = bytes(html)
+    if data[:4] == PXPG_MAGIC:
+        # binary page image (M1/M2 pixel path): container decode →
+        # projection-profile segmentation → glyph recognition, emitting
+        # the same geo-block shape as HTML bbox pages
+        def _parse():
+            return analyze_page_image(data)
+
+    else:
+        try:
+            raw = data.decode("utf-8")
+        except (UnicodeDecodeError, ValueError) as e:
+            out["error"] = f"html_decode: {e.__class__.__name__}"
+            return out
+
+        def _parse():
+            return _parse_html(raw)
 
     # R1: bounded in-UDF retry around the parse (deterministic — no sleep;
     # Spark task retries cover process death).
@@ -325,7 +338,7 @@ def extract_record(
         try:
             if _fail_hook is not None:
                 _fail_hook(url, attempts)
-            parser = _parse_html(raw)
+            parser = _parse()
             break
         except Exception as e:  # noqa: BLE001 — quarantine, never crash the job
             attempts += 1

@@ -244,6 +244,62 @@ def gen_row(i: int, seed: int = 42) -> dict:
     }
 
 
+def gen_image_row(i: int, seed: int = 42) -> dict:
+    """Pure function (seed, i) → one BINARY page-image row (PXPG container
+    in the ``html`` column — the pixel-path twin of :func:`gen_row`).
+
+    Classes by ``i % 10``: 0-4 vertical CJK classic (variant chars, zoom
+    1-3 → rescale), 5-6 horizontal ascii page, 7 blank image (X6 gradient
+    gate), 8 corrupt container (quarantine), 9 low-confidence noise column
+    (unknown glyphs → F4 drop) next to one good column.
+    """
+    from intelligent_ocr_spark.functions.pixmap import render_page_image
+
+    rng = random.Random(f"img:{seed}:{i}")
+    cls = i % 10
+    zoom = 1 + i % 3
+    lang = "zh"
+    if cls <= 4:
+        tracks = [rng.choice(_ZH_FRAGMENTS) for _ in range(rng.randint(2, 4))]
+        html = render_page_image(tracks, vertical=True, zoom=zoom)
+    elif cls <= 6:
+        lang = "en"
+        words = "the quick brown fox jumps over lazy dogs".split()
+        tracks = ["-".join(rng.choice(words) for _ in range(3)) for _ in range(rng.randint(2, 3))]
+        html = render_page_image(tracks, vertical=False, zoom=zoom)
+    elif cls == 7:
+        import numpy as np
+
+        from intelligent_ocr_spark.functions.pixmap import encode_page_image
+
+        html = encode_page_image(np.full((64, 64), 255, dtype=np.uint8), True, 1)
+    elif cls == 8:
+        html = render_page_image([rng.choice(_ZH_FRAGMENTS)], vertical=True, zoom=1)[: 10 + i % 7]
+    else:
+        noise = "".join(chr(1 + (i + k) % 8) for k in range(6))  # not in alphabet
+        html = render_page_image([noise, rng.choice(_ZH_FRAGMENTS)], vertical=True, zoom=1)
+    return {
+        "url": f"img://{host_for(i)}/page-{i:08d}",
+        "warc_ts": EPOCH + timedelta(seconds=i),
+        "html": html,
+        "text": "",
+        "lang": lang,
+    }
+
+
+def image_pages_df(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Distributed page-image generation (same determinism contract as
+    :func:`pages_df`)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_image_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
+
+    rng_df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, PAGES_SCHEMA)
+
+
 def gen_pandas(indices: list[int] | range, seed: int = 42) -> pd.DataFrame:
     rows = [gen_row(i, seed) for i in indices]
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
