@@ -303,7 +303,7 @@ def run_extraction_job(
     min_confidence: float = DEFAULT_MIN_CONFIDENCE,
     existing_text_min_chars: int = DEFAULT_EXISTING_TEXT_MIN_CHARS,
     retry_limit: int = DEFAULT_RETRY_LIMIT,
-    integrity_check: bool = True,
+    integrity_check: bool | str = True,
     _partition_fail_hook: Callable[[int], None] | None = None,
     _crash_between_renames: Callable[[int], None] | None = None,
     _flush_probe: Callable[[int], None] | None = None,
@@ -354,15 +354,47 @@ def run_extraction_job(
     }
 
     if integrity_check:
-        # R5 gate: every input url must be committed exactly once under this
-        # (snapshot, config) — reference core/pdf_processor.py:1585-1603.
+        # R5 gate (reference core/pdf_processor.py:1585-1603). Two modes:
+        # * "input" (default, and what `True` means): every input url is
+        #   committed exactly once — exact, but re-scans the input; right
+        #   for a full run, wasteful when resuming a 1% tail of a 100 TB
+        #   table.
+        # * "lineage": reconcile the checkpoint against the lineage docs
+        #   sums for this generation — O(commit metadata), no input scan;
+        #   catches torn/missing partition commits, not absent inputs.
         committed = completed_urls(spark, ckpt_dir, input_snapshot_id, cfg_hash)
         n_committed = committed.count() if committed is not None else 0
-        n_input = input_df.select("url").distinct().count()
-        if n_committed != n_input:
-            raise IntegrityError(
-                f"committed urls {n_committed} != input urls {n_input}"
-            )
+        if integrity_check == "lineage":
+            # scope to THIS generation's commit digests (lineage rows carry
+            # the snapshot but not the config hash)
+            lin = read_committed(spark, out_dir, "lineage")
+            ckpt = read_table_dir(spark, ckpt_dir)
+            n_lineage = 0
+            if lin is not None and ckpt is not None:
+                gen_digests = (
+                    ckpt.filter(
+                        (F.col("input_snapshot_id") == F.lit(input_snapshot_id))
+                        & (F.col("config_hash") == F.lit(cfg_hash))
+                    )
+                    .select("commit_digest")
+                    .distinct()
+                )
+                n_lineage = (
+                    lin.join(F.broadcast(gen_digests), "commit_digest", "left_semi")
+                    .agg(F.sum("docs"))
+                    .collect()[0][0]
+                    or 0
+                )
+            if n_committed != n_lineage:
+                raise IntegrityError(
+                    f"checkpoint urls {n_committed} != lineage docs {n_lineage}"
+                )
+        else:
+            n_input = input_df.select("url").distinct().count()
+            if n_committed != n_input:
+                raise IntegrityError(
+                    f"committed urls {n_committed} != input urls {n_input}"
+                )
         summary["integrity_ok"] = True
     return summary
 

@@ -131,6 +131,25 @@ def test_integrity_gate_raises_on_missing_urls(spark, tmp_path, monkeypatch):
         P.run_extraction_job(spark, inp, out, SNAPSHOT, num_partitions=4)
 
 
+def test_lineage_integrity_mode(spark, tmp_path):
+    """integrity_check='lineage' reconciles checkpoint vs lineage sums
+    without re-scanning the input (the 100-TB resume-tail mode)."""
+    out = str(tmp_path / "out")
+    inp = pages_df(spark, 60, partitions=2)
+    s = run_extraction_job(
+        spark, inp, out, SNAPSHOT, num_partitions=4, integrity_check="lineage"
+    )
+    assert s["integrity_ok"] and s["docs_processed"] == 60
+    # corrupt: delete one lineage file → counts disagree → gate raises
+    lineage_dir = os.path.join(out, "lineage")
+    victim = sorted(os.listdir(lineage_dir))[0]
+    os.remove(os.path.join(lineage_dir, victim))
+    with pytest.raises(IntegrityError):
+        run_extraction_job(
+            spark, inp, out, SNAPSHOT, num_partitions=4, integrity_check="lineage"
+        )
+
+
 def test_lineage_rows(spark, tmp_path):
     out = str(tmp_path / "out")
     inp = pages_df(spark, N, partitions=4)
