@@ -87,12 +87,20 @@ def _check_whole_start_tag(raw: str, i: int) -> int:
 
 def _parse_starttag(handler, raw: str, i: int) -> int:
     """Port of ``parse_starttag`` (CDATA elements excluded by the bail)."""
+    # fast path: attribute-less tag ('<p>', '<li>', …) — the dominant
+    # shape. tagfind_tolerant consumes the name plus trailing space/slash
+    # runs, so name-then-'>' means: no attrs, endpos = k+1, end == '>';
+    # identical to the full route below (differential suite pins it).
+    m = tagfind_tolerant.match(raw, i + 1)
+    if m is not None and raw[m.end() : m.end() + 1] == ">":
+        handler.handle_starttag(m.group(1).lower(), [])
+        return m.end() + 1
     endpos = _check_whole_start_tag(raw, i)
     if endpos < 0:
         return endpos
     attrs = []
-    m = tagfind_tolerant.match(raw, i + 1)
-    k = m.end()
+    k = m.end()  # tagfind match from the fast check above (always matches
+    # after starttagopen: '<' + letter guarantees the name prefix)
     tag = m.group(1).lower()
     while k < endpos:
         am = attrfind_tolerant.match(raw, k)
@@ -130,6 +138,12 @@ def _parse_endtag(handler, raw: str, i: int) -> int:
     if gt < 0:
         return -1
     gtpos = gt + 1
+    # fast path: '</name>' with a plain alphanumeric name — what endtagfind
+    # would match with group(1) == name; skips the verbose-regex engine.
+    name = raw[i + 2 : gt]
+    if name and name[0].isascii() and name[0].isalpha() and name.isalnum():
+        handler.handle_endtag(name.lower())
+        return gtpos
     m = endtagfind.match(raw, i)
     if not m:
         nm = tagfind_tolerant.match(raw, i + 2)
