@@ -1088,6 +1088,27 @@ def q_export_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_txt(extract_pages(_docs_as_pages(spark, sf_dir)))
 
 
+@_q(
+    "k4_md_export",
+    """
+    SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+           '# doc://' || source || '/' || CAST(doc_id AS VARCHAR)
+           || chr(10) || chr(10)
+           || '## 第 1 页' || chr(10) || chr(10) || '### doc ' || CAST(doc_id AS VARCHAR)
+           || chr(10) || chr(10) || '---' || chr(10) || chr(10)
+           || '## 第 2 页' || chr(10) || chr(10) || trim(text) AS md
+    FROM documents
+    """,
+)
+def q_export_md(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # K4 Markdown export over real extraction output (reference
+    # export_markdown core/pdf_processor.py:234-262): heading blocks render
+    # as '###' sections under per-block '## 第 N 页' headers
+    from intelligent_ocr_spark.operators.export import export_markdown
+
+    return export_markdown(extract_pages(_docs_as_pages(spark, sf_dir)))
+
+
 # --------------------------------------------------------------------------
 # text analysis (documents table)
 # --------------------------------------------------------------------------
