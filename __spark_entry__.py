@@ -776,6 +776,90 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q17_small_quantity_revenue",
+    """
+    WITH thr AS (
+      SELECT l_partkey AS pk,
+             (CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / count(*)) * 0.2 AS tq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / 7.0 * 1e2) / 1e2
+             AS avg_yearly,
+           count(*) AS n
+    FROM lineitem JOIN thr ON l_partkey = pk
+    WHERE l_quantity < tq
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 shape: correlated scalar subquery (per-part avg quantity)
+    # decorrelated into an aggregate + join — the form Catalyst plans well.
+    # Threshold computed identically in both engines (decimal-exact sum /
+    # count, then *0.2) so the boundary comparison cannot diverge.
+    li = _t(spark, sf_dir, "lineitem")
+    thr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            (_dsum(F.col("l_quantity")) / F.count("*")) * F.lit(0.2)
+        ).alias("tq")
+    )
+    small = li.join(thr, li.l_partkey == thr.pk).filter(F.col("l_quantity") < F.col("tq"))
+    return small.agg(
+        (F.floor(_dsum(F.col("l_extendedprice")) / F.lit(7.0) * F.lit(1e2)) / F.lit(1e2)).alias(
+            "avg_yearly"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q21_sole_returning_supplier",
+    """
+    WITH rl AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM rl l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape: EXISTS (semi join on a non-equi condition) +
+    # NOT EXISTS (anti join) stacked on the same fact table
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rl = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_ls = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    r_ls = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    cand = rl.join(
+        all_ls,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        r_ls,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@_q(
     "q22_above_avg_balance",
     """
     WITH t AS (
@@ -1207,6 +1291,57 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_hash",
         "n_docs",
         F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias("ids"),
+    )
+
+
+@_q(
+    "pipeline_quality_dedup",
+    # composite training-data pipeline: quality filter → exact dedup
+    # (keep lowest doc_id per content hash) → per-lang corpus stats
+    """
+    WITH t AS (
+      SELECT doc_id, text, lang,
+             length(text)::DOUBLE AS n,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, lang,
+             floor((
+               0.5 * (least(n, 2000.0) / 2000.0)
+               + 0.3 * (CASE WHEN len(toks) > 0
+                   THEN len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','for','with'], x)))::DOUBLE / len(toks)::DOUBLE
+                   ELSE 0.0 END)
+               + 0.2 * (1.0 - least((CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) * 5.0, 1.0))
+             ) * 1e6) / 1e6 AS quality
+      FROM t
+    ), kept AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM scored WHERE quality >= 0.35
+      ) WHERE rn = 1
+    )
+    SELECT lang, count(*) AS docs,
+           CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM kept GROUP BY lang
+    """,
+)
+def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-data shape: quality score → threshold filter →
+    exact dedup keeping the first doc per content hash → corpus stats.
+    One quality pass (JVM codegen), one dedup shuffle on the content hash,
+    one stats shuffle — nothing materializes in between."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.filter(quality_score(F.col("text")) >= 0.35)
+    w_first = W.partitionBy(F.md5(F.encode("text", "UTF-8"))).orderBy("doc_id")
+    kept = (
+        scored.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.length("text")).cast("long").alias("chars"),
     )
 
 
