@@ -122,6 +122,33 @@ def test_distributed_equals_local(spark):
     )
 
 
+def test_render_extract_roundtrip_fuzz():
+    """Hypothesis: ANY tracks drawn from the codebook alphabet, any
+    orientation, any zoom — extraction must invert the render exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alpha = default_alphabet()
+    track = st.text(alphabet=alpha, min_size=1, max_size=12)
+
+    @given(
+        tracks=st.lists(track, min_size=1, max_size=5),
+        vertical=st.booleans(),
+        zoom=st.integers(1, 3),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(tracks, vertical, zoom):
+        e = _rec(render_page_image(tracks, vertical=vertical, zoom=zoom))
+        assert e["error"] is None
+        expected = [nfkc(t) for t in tracks]
+        got = e["extracted_text"].split("\n") if e["extracted_text"] else []
+        # blocks whose conf is full (all glyphs known) must reproduce the
+        # track text; NFKC applies as in the HTML path
+        assert got == [t for t in expected if t], (tracks, got)
+
+    check()
+
+
 def test_mixed_html_and_pixmap_batch(spark):
     """One table, both payload kinds — the operator dispatches per row."""
     from intelligent_ocr_spark.sources.pages import pages_df
