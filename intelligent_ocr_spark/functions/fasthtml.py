@@ -54,6 +54,12 @@ _BAIL_RE = re.compile(r"<!\[|<script|<style", re.IGNORECASE)
 
 _ALPHA_EQ_SLASH = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
+# strict common attribute shape: lowercase-name="value", no '&' (no
+# unescape needed), value may contain anything else incl. <> (same as the
+# stdlib's quoted-value grammar); trailing whitespace consumed like
+# attrfind_tolerant does
+_SIMPLE_ATTR = re.compile(r'([a-z][a-z0-9_-]*)="([^"&]*)"\s*')
+
 
 def fast_applicable(raw: str) -> bool:
     """True when the fast port's grammar covers this input."""
@@ -92,9 +98,24 @@ def _parse_starttag(handler, raw: str, i: int) -> int:
     # runs, so name-then-'>' means: no attrs, endpos = k+1, end == '>';
     # identical to the full route below (differential suite pins it).
     m = tagfind_tolerant.match(raw, i + 1)
-    if m is not None and raw[m.end() : m.end() + 1] == ">":
+    k0 = m.end()
+    if raw[k0 : k0 + 1] == ">":
         handler.handle_starttag(m.group(1).lower(), [])
-        return m.end() + 1
+        return k0 + 1
+    # fast path 2: a run of strict name="value" attributes then '>' —
+    # exactly what attrfind_tolerant would yield for this shape (names
+    # already lowercase, quotes stripped, no '&' so no unescape)
+    fast_attrs = []
+    j = k0
+    while True:
+        am = _SIMPLE_ATTR.match(raw, j)
+        if am is None:
+            break
+        fast_attrs.append((am.group(1), am.group(2)))
+        j = am.end()
+    if fast_attrs and raw[j : j + 1] == ">":
+        handler.handle_starttag(m.group(1).lower(), fast_attrs)
+        return j + 1
     endpos = _check_whole_start_tag(raw, i)
     if endpos < 0:
         return endpos

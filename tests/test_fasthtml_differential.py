@@ -65,6 +65,11 @@ _TAGS = ["p", "div", "a", "li", "h1", "td", "nav", "em", "my-tag", "br", "img"]
 _ATTR_FRAG = [
     "", ' class="menu"', " href=/x", ' data-bbox="1,2,3,4"', ' data-conf="0.7"',
     ' id="a b"', " disabled", ' title="x > y"', " x='1'", ' q="a&amp;b"',
+    # strict-attr fast-path stressors: multi-attr runs, no-space packing,
+    # empty values, uppercase names, mixed quote styles, trailing slash
+    ' a="1" b="2" c="3"', ' href="x"class="y"', ' e=""', ' HREF="UP"',
+    ' a-b_c1="v" z="w"', ' a="1" b=\'2\'', ' a="1" disabled', ' a="x/y" /',
+    ' a = "1"', ' a="<i>"',
 ]
 _TEXT = [
     "hello", "a & b", "&amp;", "x &lt; y", "  ", "中文 ＡＢ", "", "1 < 2?", "a&b",
