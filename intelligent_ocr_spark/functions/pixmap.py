@@ -56,6 +56,7 @@ __all__ = [
     "decode_page_image",
     "render_page_image",
     "analyze_page_image",
+    "analyze_decoded_image",
     "PixmapResult",
     "default_alphabet",
 ]
@@ -227,6 +228,12 @@ def analyze_page_image(data: bytes) -> PixmapResult:
     """Full pixel path: decode → blank gate → binarize → projection-profile
     segmentation → glyph recognition → geo blocks (pixel bboxes + zoom)."""
     arr, vertical, zoom = decode_page_image(data)
+    return analyze_decoded_image(arr, vertical, zoom)
+
+
+def analyze_decoded_image(arr: np.ndarray, vertical: bool, zoom: int) -> PixmapResult:
+    """Analysis over an already-validated decode (lets the caller separate
+    container errors — quarantine/fallback — from analysis)."""
     if edge_magnitude(arr.astype(np.float32)) < _BLANK_THRESHOLD:  # X6 gate
         return PixmapResult([], float(zoom), "vertical" if vertical else "horizontal")
     ink = arr < 128

@@ -49,7 +49,11 @@ from pyspark.sql import types as T
 from intelligent_ocr_spark.functions.fasthtml import fast_applicable, fast_feed
 from intelligent_ocr_spark.functions.layout import Block, estimate_font_size, is_vertical, reading_order
 from intelligent_ocr_spark.functions.normalize import get_normalizer, nfkc
-from intelligent_ocr_spark.functions.pixmap import PXPG_MAGIC, analyze_page_image
+from intelligent_ocr_spark.functions.pixmap import (
+    PXPG_MAGIC,
+    analyze_decoded_image,
+    decode_page_image,
+)
 
 __all__ = [
     "EXTRACT_SCHEMA",
@@ -313,17 +317,31 @@ def extract_record(
         out["error"] = "html_null"
         return out
     data = bytes(html)
+    pix = None
     if data[:4] == PXPG_MAGIC:
-        # binary page image (M1/M2 pixel path): container decode →
-        # projection-profile segmentation → glyph recognition, emitting
-        # the same geo-block shape as HTML bbox pages
+        # binary page image (M1/M2 pixel path). Container validation
+        # happens HERE, not in the retry loop: a corrupt header is
+        # deterministic (retrying is wasted work) and a text page that
+        # merely STARTS with the ASCII letters 'PXPG' must fall through to
+        # the HTML path instead of being quarantined.
+        try:
+            pix = decode_page_image(data)
+        except ValueError:
+            pix = None
+    if pix is not None:
+        arr, vertical, zoom = pix
+
         def _parse():
-            return analyze_page_image(data)
+            # projection-profile segmentation → glyph recognition,
+            # emitting the same geo-block shape as HTML bbox pages
+            return analyze_decoded_image(arr, vertical, zoom)
 
     else:
         try:
             raw = data.decode("utf-8")
         except (UnicodeDecodeError, ValueError) as e:
+            # covers corrupt/truncated PXPG containers too: binary bytes
+            # fail utf-8 → non-retryable quarantine, same as bad HTML
             out["error"] = f"html_decode: {e.__class__.__name__}"
             return out
 

@@ -140,11 +140,16 @@ def ivf_topk(
     skew-join splits hot cells, same argument as the LSH buckets.
     """
     # Deterministic seed that works for ANY id domain (string ids, sparse
-    # numeric ids): take the first n_cells rows by id order. limit() after
-    # orderBy is a driver-free top-n.
-    centroids = corpus.orderBy(id_col).limit(n_cells)
-    if centroids.isEmpty():  # fail loudly, never silently return 0 rows
+    # numeric ids): the first n_cells rows by id order, materialized ONCE
+    # (TakeOrdered — n_cells rows, tiny by construction) and re-created as
+    # a local frame, so the two downstream assignment joins broadcast it
+    # instead of re-running a corpus sort each.
+    seed_rows = corpus.select(id_col, vec_col).orderBy(id_col).take(n_cells)
+    if not seed_rows:  # fail loudly, never silently return 0 rows
         raise ValueError("ivf_topk: corpus is empty — no centroids to seed")
+    centroids = corpus.sparkSession.createDataFrame(
+        seed_rows, corpus.select(id_col, vec_col).schema
+    )
     c_assigned = ivf_assign_cells(corpus, centroids, id_col, vec_col)
     q_assigned = ivf_assign_cells(queries, centroids, id_col, vec_col)
     q = q_assigned.select(

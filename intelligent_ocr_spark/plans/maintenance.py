@@ -155,6 +155,14 @@ def remove_orphan_files(spark: SparkSession, out_dir: str) -> list[str]:
         if not os.path.isdir(d):
             continue
         for fname in sorted(os.listdir(d)):
+            # .tmp-* = a streamed write whose task died before rename (a
+            # SIGKILL skips the in-task cleanup); invisible to readers but
+            # it holds disk — sweep it (precondition above: no job writing)
+            if fname.startswith(".tmp-"):
+                path = os.path.join(d, fname)
+                os.remove(path)
+                removed.append(path)
+                continue
             if not fname.endswith(".parquet"):
                 continue
             digest = fname.rsplit("-", 1)[-1].removesuffix(".parquet")

@@ -223,8 +223,14 @@ def _make_commit_fn(
             if partition_fail_hook is not None:
                 partition_fail_hook(pid)  # test-only kill injection
         except BaseException:
-            if writer is not None:
-                writer.close()
+            # best-effort cleanup: close() can itself raise (disk full) and
+            # a SIGKILL skips this entirely — remove_orphan_files sweeps
+            # leftover .tmp-* files, so a leak here is bounded, not forever
+            try:
+                if writer is not None:
+                    writer.close()
+            except Exception:
+                pass
             if os.path.exists(tmp_data):
                 os.remove(tmp_data)  # never-renamed temp: invisible to readers anyway
             raise
@@ -362,34 +368,38 @@ def run_extraction_job(
         # * "lineage": reconcile the checkpoint against the lineage docs
         #   sums for this generation — O(commit metadata), no input scan;
         #   catches torn/missing partition commits, not absent inputs.
-        committed = completed_urls(spark, ckpt_dir, input_snapshot_id, cfg_hash)
-        n_committed = committed.count() if committed is not None else 0
         if integrity_check == "lineage":
-            # scope to THIS generation's commit digests (lineage rows carry
-            # the snapshot but not the config hash)
+            # Every extracted record writes exactly one checkpoint ROW and
+            # counts once in lineage docs, so compare row counts (NOT
+            # distinct urls — duplicate input urls legitimately commit one
+            # row each and must not trip the gate). Scope to THIS
+            # generation's commit digests (lineage rows carry the snapshot
+            # but not the config hash).
             lin = read_committed(spark, out_dir, "lineage")
             ckpt = read_table_dir(spark, ckpt_dir)
+            n_rows = 0
             n_lineage = 0
-            if lin is not None and ckpt is not None:
-                gen_digests = (
-                    ckpt.filter(
-                        (F.col("input_snapshot_id") == F.lit(input_snapshot_id))
-                        & (F.col("config_hash") == F.lit(cfg_hash))
+            if ckpt is not None:
+                gen_ckpt = ckpt.filter(
+                    (F.col("input_snapshot_id") == F.lit(input_snapshot_id))
+                    & (F.col("config_hash") == F.lit(cfg_hash))
+                )
+                n_rows = gen_ckpt.count()
+                if lin is not None:
+                    gen_digests = gen_ckpt.select("commit_digest").distinct()
+                    n_lineage = (
+                        lin.join(F.broadcast(gen_digests), "commit_digest", "left_semi")
+                        .agg(F.sum("docs"))
+                        .collect()[0][0]
+                        or 0
                     )
-                    .select("commit_digest")
-                    .distinct()
-                )
-                n_lineage = (
-                    lin.join(F.broadcast(gen_digests), "commit_digest", "left_semi")
-                    .agg(F.sum("docs"))
-                    .collect()[0][0]
-                    or 0
-                )
-            if n_committed != n_lineage:
+            if n_rows != n_lineage:
                 raise IntegrityError(
-                    f"checkpoint urls {n_committed} != lineage docs {n_lineage}"
+                    f"checkpoint rows {n_rows} != lineage docs {n_lineage}"
                 )
         else:
+            committed = completed_urls(spark, ckpt_dir, input_snapshot_id, cfg_hash)
+            n_committed = committed.count() if committed is not None else 0
             n_input = input_df.select("url").distinct().count()
             if n_committed != n_input:
                 raise IntegrityError(

@@ -274,7 +274,10 @@ def gen_image_row(i: int, seed: int = 42) -> dict:
 
         html = encode_page_image(np.full((64, 64), 255, dtype=np.uint8), True, 1)
     elif cls == 8:
-        html = render_page_image([rng.choice(_ZH_FRAGMENTS)], vertical=True, zoom=1)[: 10 + i % 7]
+        # truncate INTO the pixel body (≥5 bytes of 0xFF white margin):
+        # container validation fails AND the utf-8 fallback fails →
+        # deterministic non-retryable quarantine
+        html = render_page_image([rng.choice(_ZH_FRAGMENTS)], vertical=True, zoom=1)[: 15 + i % 7]
     else:
         noise = "".join(chr(1 + (i + k) % 8) for k in range(6))  # not in alphabet
         html = render_page_image([noise, rng.choice(_ZH_FRAGMENTS)], vertical=True, zoom=1)

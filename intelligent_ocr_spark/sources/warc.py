@@ -141,6 +141,7 @@ def _http_body(record_body: bytes) -> bytes | None:
 
 
 _GZIP_MAGIC = b"\x1f\x8b"
+_GZ_FEED = 1 << 18  # 256 KiB per decompressor feed (see _iter_gzip_members)
 
 
 def _iter_gzip_members(payload: bytes) -> Iterator[bytes]:
@@ -148,8 +149,13 @@ def _iter_gzip_members(payload: bytes) -> Iterator[bytes]:
 
     A corrupt member (bad deflate stream or CRC) or a truncated tail member
     is dropped and the walk resyncs at the next member magic — one bad
-    record never swallows the rest of a 1 GB segment. memoryview feeds
-    zlib without copying the remaining buffer per member.
+    record never swallows the rest of a 1 GB segment.
+
+    The decompressor is fed bounded chunks, never ``payload[pos:]``: zlib
+    copies everything past a member's end into ``.unused_data``, so
+    whole-tail feeding would make a record-per-member 1 GB segment
+    O(members × file_size) in memcpy. Chunked feeding caps the leftover
+    copy at one feed chunk per member.
     """
     view = memoryview(payload)
     pos = 0
@@ -162,8 +168,12 @@ def _iter_gzip_members(payload: bytes) -> Iterator[bytes]:
             pos = nxt
             continue
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)  # gzip wrapper
+        out: list[bytes] = []
+        feed_end = pos
         try:
-            chunk = d.decompress(view[pos:])
+            while feed_end < n and not d.eof:
+                out.append(d.decompress(view[feed_end : feed_end + _GZ_FEED]))
+                feed_end = min(feed_end + _GZ_FEED, n)
         except zlib.error:
             nxt = payload.find(_GZIP_MAGIC, pos + 2)
             if nxt < 0:
@@ -172,8 +182,8 @@ def _iter_gzip_members(payload: bytes) -> Iterator[bytes]:
             continue
         if not d.eof:
             return  # truncated tail member
-        yield chunk
-        pos = n - len(d.unused_data)
+        yield b"".join(out)
+        pos = feed_end - len(d.unused_data)
 
 
 def parse_warc_bytes(payload: bytes) -> list[dict]:

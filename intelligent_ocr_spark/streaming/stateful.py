@@ -113,9 +113,10 @@ def stream_dedup_within_watermark(
     pages_stream: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:
     """Bounded-window dedup with zero custom state code: Spark's
-    watermarked ``dropDuplicates`` — state for urls older than the
-    watermark is evicted by the engine. First choice when re-crawls only
-    need suppressing within an event-time window."""
-    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(
-        ["url", "warc_ts"]
+    ``dropDuplicatesWithinWatermark`` keyed on url alone — a re-crawl of
+    the same url at a DIFFERENT timestamp inside the window is suppressed
+    (plain ``dropDuplicates(["url", "warc_ts"])`` would keep it), and
+    per-url state older than the watermark is evicted by the engine."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
     )

@@ -68,11 +68,26 @@ def test_blank_image_gate():
 
 
 def test_corrupt_container_quarantined():
-    e = _rec(b"PXPG\x01\x01garbage-too-short")
-    assert e["error"] is not None and "parse_error" in e["error"]
+    """A truncated container is binary, so after the PXPG validation
+    fails it ALSO fails the utf-8 fallback → deterministic quarantine,
+    zero retries (same class as undecodable HTML)."""
     truncated = render_page_image(TRACKS_V, True, 1)[:40]
-    e2 = _rec(truncated)
-    assert e2["error"] is not None
+    e = _rec(truncated)
+    assert e["error"] is not None and "html_decode" in e["error"]
+    assert e["retries"] == 0
+
+
+def test_pxpg_magic_collision_falls_back_to_html():
+    """A legitimate TEXT page that merely starts with the ASCII letters
+    'PXPG' must not be quarantined: container validation fails → the row
+    falls through to the HTML path and its real text is extracted."""
+    html = (
+        "PXPG is a raster container. <article><h1>t</h1>"
+        "<p>notes about the PXPG format</p></article>"
+    ).encode()
+    e = _rec(html)
+    assert e["error"] is None
+    assert "notes about the PXPG format" in e["extracted_text"]
 
 
 def test_unknown_glyphs_low_confidence_dropped():

@@ -81,10 +81,16 @@ def test_ttl_timeout_evicts_state():
 
 
 def test_watermark_dedup_builtin(spark, tmp_path):
+    from pyspark.sql import functions as F
+
     inp = str(tmp_path / "in")
     os.makedirs(inp)
     pages_df(spark, 40, partitions=2).write.parquet(inp + "/b1")
-    pages_df(spark, 40, partitions=2).write.parquet(inp + "/b2")
+    # re-crawls of the SAME urls at DIFFERENT timestamps inside the window
+    # must be suppressed (plain dropDuplicates on (url, ts) would keep them)
+    pages_df(spark, 40, partitions=2).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 5 MINUTES")
+    ).write.parquet(inp + "/b2")
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 2)
