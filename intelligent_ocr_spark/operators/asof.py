@@ -39,6 +39,26 @@ from pyspark.sql import types as T
 __all__ = ["asof_join", "asof_join_salted"]
 
 
+def _output_shape(left, right, on, by, payload, suffix):
+    """Shared output-schema derivation: left columns + matched right
+    timestamp + suffixed payload columns (all right side nullable)."""
+    left_fields = list(left.schema.fields)
+    r_on = on + suffix
+    right_out_fields = [T.StructField(r_on, right.schema[on].dataType, True)] + [
+        T.StructField(c + suffix, right.schema[c].dataType, True) for c in payload
+    ]
+    out_fields = left_fields + right_out_fields
+    return (
+        left_fields,
+        [f.name for f in left_fields],
+        r_on,
+        [c + suffix for c in payload],
+        right_out_fields,
+        T.StructType(out_fields),
+        [f.name for f in out_fields],
+    )
+
+
 def _make_merge(by, on, r_on, left_names, r_payload, right_out_fields, out_names):
     """Grouped-map kernel shared by the plain and salted paths: split the
     tagged union back into sides and run pandas merge_asof."""
@@ -95,16 +115,10 @@ def asof_join(
     + each payload column as ``col+suffix``; NULLs when no right row at or
     before the left timestamp exists.
     """
-    left_fields = list(left.schema.fields)
-    left_names = [f.name for f in left_fields]
-    r_on = on + suffix
-    r_payload = [c + suffix for c in payload]
-    right_out_fields = [T.StructField(r_on, right.schema[on].dataType, True)] + [
-        T.StructField(c + suffix, right.schema[c].dataType, True) for c in payload
-    ]
-    out_fields = left_fields + right_out_fields
-    out_schema = T.StructType(out_fields)
-    out_names = [f.name for f in out_fields]
+    (left_fields, left_names, r_on, r_payload,
+     right_out_fields, out_schema, out_names) = _output_shape(
+        left, right, on, by, payload, suffix
+    )
 
     # tagged union: left rows carry NULL right columns and vice versa
     lpart = left.withColumn("_side", F.lit(0))
@@ -151,16 +165,10 @@ def asof_join_salted(
     Shuffle shape: one big hash shuffle on ``(by, bucket)`` for the
     events (the split one), plus two small aggregates for the patch.
     """
-    left_fields = list(left.schema.fields)
-    left_names = [f.name for f in left_fields]
-    r_on = on + suffix
-    r_payload = [c + suffix for c in payload]
-    right_out_fields = [T.StructField(r_on, right.schema[on].dataType, True)] + [
-        T.StructField(c + suffix, right.schema[c].dataType, True) for c in payload
-    ]
-    out_fields = left_fields + right_out_fields
-    out_schema = T.StructType(out_fields)
-    out_names = [f.name for f in out_fields]
+    (left_fields, left_names, r_on, r_payload,
+     right_out_fields, out_schema, out_names) = _output_shape(
+        left, right, on, by, payload, suffix
+    )
 
     def bucket_of(col: str):
         return F.window(F.col(col), bucket_width)["start"]
