@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 from intelligent_ocr_spark.operators.extract import extract_pages
 from intelligent_ocr_spark.sources.pages import PAGES_SCHEMA
 
-__all__ = ["stream_pages", "stream_extract", "windowed_lineage", "run_stream_to_parquet"]
+__all__ = [
+    "stream_pages",
+    "stream_warc_pages",
+    "stream_extract",
+    "windowed_lineage",
+    "run_stream_to_parquet",
+]
 
 
 def stream_pages(spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8) -> DataFrame:
@@ -34,6 +40,38 @@ def stream_pages(spark: SparkSession, input_dir: str, max_files_per_trigger: int
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
+
+
+def stream_warc_pages(
+    spark: SparkSession, path_glob: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Continuous Common-Crawl ingestion: WARC / WARC.GZ segments landing
+    in a directory stream through ``binaryFile`` (one row per segment per
+    micro-batch, exactly-once via the stream checkpoint) into the same
+    record parser the batch source uses — new crawl segments extract as
+    they arrive, no re-listing of processed ones."""
+    import pandas as pd
+
+    from intelligent_ocr_spark.sources.warc import parse_warc_bytes
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's fixed schema, required explicitly for streaming
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path_glob)
+        .select("content")
+    )
+
+    def op(batches):
+        cols = [f.name for f in PAGES_SCHEMA.fields]
+        for pdf in batches:
+            out: list[dict] = []
+            for payload in pdf["content"]:
+                out.extend(parse_warc_bytes(bytes(payload)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(op, PAGES_SCHEMA)
 
 
 def stream_extract(pages_stream: DataFrame) -> DataFrame:

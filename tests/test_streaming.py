@@ -101,3 +101,42 @@ def test_windowed_lineage(spark, tmp_path):
         .collect()
     )
     assert sum(r["count"] for r in per_window) == N
+
+
+def test_stream_warc_gz_ingestion(spark, tmp_path):
+    """Continuous Common-Crawl shape: .warc.gz segments dropped into a
+    directory stream through the binaryFile source into the shared record
+    parser + extraction operator; a later segment is picked up by a later
+    micro-batch without re-reading the first."""
+    import os
+
+    from intelligent_ocr_spark.sources.pages import gen_row
+    from intelligent_ocr_spark.sources.warc import write_synthetic_warc
+    from intelligent_ocr_spark.streaming.ingest import stream_extract, stream_warc_pages
+
+    seg_dir = tmp_path / "segs"
+    os.makedirs(seg_dir)
+    rows = [gen_row(i) for i in range(40)]
+    write_synthetic_warc(str(seg_dir / "seg-0.warc.gz"), rows[:20])
+
+    q = (
+        stream_extract(stream_warc_pages(spark, str(seg_dir), max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName("warc_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) c FROM warc_stream_out").collect()[0]["c"]
+        write_synthetic_warc(str(seg_dir / "seg-1.warc.gz"), rows[20:])
+        q.processAllAvailable()
+        got = spark.sql("SELECT url FROM warc_stream_out").collect()
+    finally:
+        q.stop()
+    urls = [r["url"] for r in got]
+    expected = {r["url"] for r in rows if r["html"] is not None}
+    assert set(urls) == expected
+    assert len(urls) == len(set(urls))  # each segment ingested exactly once
+    assert 0 < n1 < len(expected)  # second segment arrived in a later batch
