@@ -216,6 +216,11 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached path would race concurrent drivers / go stale across versions
     d = tempfile.mkdtemp(prefix="spark_graft_warc_")
     rows = [gen_row(i) for i in range(120)]
+    # segment 1 stores wire-encoded HTTP bodies (chunked TE, gzip/deflate
+    # CE) like real Common Crawl captures; one broken record quarantines
+    encs = [None, "chunked", "gzip", "deflate", "chunked+gzip"]
+    for i, r in enumerate(rows[60:]):
+        r["encoding"] = "truncated-chunk" if i == 7 else encs[i % len(encs)]
     # one gzip member per record — Common Crawl's published layout
     write_synthetic_warc(os.path.join(d, "seg-0.warc.gz"), rows[:60])
     write_synthetic_warc(os.path.join(d, "seg-1.warc.gz"), rows[60:])

@@ -46,15 +46,52 @@ __all__ = ["write_synthetic_warc", "read_warc_pages", "parse_warc_bytes"]
 _CRLF = b"\r\n"
 
 
-def _warc_record(url: str, ts: datetime, html: bytes, lang: str) -> bytes:
-    """One WARC response record wrapping an HTTP/1.1 200 response."""
+def _encode_chunked(body: bytes, chunk: int = 17) -> bytes:
+    """Deterministic HTTP/1.1 chunked framing (hex size line, CRLF-delimited
+    chunks, terminating 0-chunk). Fixed small chunk size so fixtures exercise
+    multi-chunk bodies even for short documents."""
+    out = bytearray()
+    for i in range(0, len(body), chunk):
+        piece = body[i : i + chunk]
+        out += f"{len(piece):x}".encode() + _CRLF + piece + _CRLF
+    out += b"0" + _CRLF + _CRLF
+    return bytes(out)
+
+
+def _warc_record(
+    url: str, ts: datetime, html: bytes, lang: str, encoding: str | None = None
+) -> bytes:
+    """One WARC response record wrapping an HTTP/1.1 200 response.
+
+    ``encoding`` mirrors what real Common Crawl captures store (the wire
+    bytes, not the decoded entity): ``"chunked"``, ``"gzip"``, ``"deflate"``,
+    or ``"chunked+gzip"`` (gzip entity re-framed as chunks, the common
+    nginx+keepalive shape). ``"truncated-chunk"`` emits a chunked body whose
+    final chunk is cut short — a broken record that must quarantine."""
+    body = html
+    extra = b""
+    if encoding in ("gzip", "chunked+gzip"):
+        body = gzip.compress(body, mtime=0)
+        extra += b"Content-Encoding: gzip" + _CRLF
+    elif encoding == "deflate":
+        body = zlib.compress(body)
+        extra += b"Content-Encoding: deflate" + _CRLF
+    if encoding in ("chunked", "chunked+gzip", "truncated-chunk"):
+        body = _encode_chunked(body)
+        if encoding == "truncated-chunk":
+            body = body[: max(3, len(body) // 2)]
+        extra += b"Transfer-Encoding: chunked" + _CRLF
+        length_line = b""
+    else:
+        length_line = f"Content-Length: {len(body)}".encode() + _CRLF
     http = (
         b"HTTP/1.1 200 OK" + _CRLF
         + b"Content-Type: text/html; charset=utf-8" + _CRLF
         + f"Content-Language: {lang}".encode() + _CRLF
-        + f"Content-Length: {len(html)}".encode() + _CRLF
+        + extra
+        + length_line
         + _CRLF
-        + html
+        + body
     )
     headers = (
         b"WARC/1.0" + _CRLF
@@ -71,7 +108,8 @@ def _warc_record(url: str, ts: datetime, html: bytes, lang: str) -> bytes:
 def write_synthetic_warc(path: str, rows: list[dict]) -> None:
     """Write rows (url, warc_ts, html, lang) as one .warc file; a ``.gz``
     path emits one gzip member per record (Common Crawl's layout),
-    ``mtime=0`` for byte-stable fixtures."""
+    ``mtime=0`` for byte-stable fixtures. An optional per-row ``encoding``
+    key selects the HTTP body framing (see ``_warc_record``)."""
     as_gz = path.endswith(".gz")
 
     def member(b: bytes) -> bytes:
@@ -83,9 +121,10 @@ def write_synthetic_warc(path: str, rows: list[dict]) -> None:
         for r in rows:
             if r["html"] is None:
                 continue
-            f.write(member(
-                _warc_record(r["url"], r["warc_ts"], bytes(r["html"]), r["lang"])
-            ))
+            f.write(member(_warc_record(
+                r["url"], r["warc_ts"], bytes(r["html"]), r["lang"],
+                encoding=r.get("encoding"),
+            )))
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -132,12 +171,80 @@ def _iter_records(payload: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         pos = body_end + 4  # skip the two record-separator CRLFs
 
 
+_MAX_BODY = 1 << 26  # 64 MiB decoded-entity cap (zip-bomb guard)
+
+
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode HTTP/1.1 chunked transfer framing; None on any malformation
+    (bad size line, missing chunk CRLF, truncated chunk) — the caller
+    quarantines the record, never the segment. Trailer headers after the
+    0-chunk are ignored per RFC 9112 §7.1."""
+    out: list[bytes] = []
+    total = 0
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            return None
+        try:  # chunk extensions after ';' are legal — drop them
+            size = int(body[pos:eol].split(b";", 1)[0].strip(), 16)
+        except ValueError:
+            return None
+        pos = eol + 2
+        if size == 0:
+            return b"".join(out)
+        total += size
+        if total > _MAX_BODY or pos + size + 2 > n:
+            return None  # bomb or truncated chunk
+        if body[pos + size : pos + size + 2] != _CRLF:
+            return None
+        out.append(body[pos : pos + size])
+        pos += size + 2
+
+
+def _inflate(body: bytes, wbits: int) -> bytes | None:
+    """Bounded one-shot decompress; None on corrupt stream or cap breach."""
+    d = zlib.decompressobj(wbits=wbits)
+    try:
+        out = d.decompress(body, _MAX_BODY)
+    except zlib.error:
+        return None
+    if d.unconsumed_tail:
+        return None  # decoded entity exceeds the cap
+    return out
+
+
 def _http_body(record_body: bytes) -> bytes | None:
-    """Strip the HTTP response envelope; None if not a parseable response."""
+    """Decode the HTTP response envelope down to the entity bytes.
+
+    WARC response records store the WIRE bytes, so real Common Crawl pages
+    routinely arrive with ``Transfer-Encoding: chunked`` framing and/or a
+    ``Content-Encoding: gzip|deflate`` compressed entity (reference reads
+    pre-decoded files and never sees this layer; the crawl source must).
+    Returns None — quarantining just this record — for a non-HTTP payload,
+    malformed/truncated chunking, a corrupt compressed entity, a decoded
+    entity over the 64 MiB cap, or an encoding we cannot decode (e.g. br
+    without a brotli codec in the runtime)."""
     sep = record_body.find(_CRLF + _CRLF)
     if sep < 0 or not record_body.startswith(b"HTTP/"):
         return None
-    return record_body[sep + 4 :]
+    headers = _parse_headers(record_body[:sep])
+    body = record_body[sep + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+        if body is None:
+            return None
+    ce = headers.get("content-encoding", "").strip().lower()
+    if ce in ("gzip", "x-gzip"):
+        return _inflate(body, 16 + zlib.MAX_WBITS)
+    if ce == "deflate":
+        # RFC says zlib-wrapped, but raw-deflate senders are legion: sniff.
+        out = _inflate(body, zlib.MAX_WBITS)
+        return out if out is not None else _inflate(body, -zlib.MAX_WBITS)
+    if ce in ("", "identity"):
+        return body
+    return None  # br/zstd/unknown: no codec in this runtime → quarantine
 
 
 _GZIP_MAGIC = b"\x1f\x8b"

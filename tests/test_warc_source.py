@@ -160,3 +160,114 @@ def test_gzip_reader_through_spark(spark, tmp_path):
     pages = read_warc_pages(spark, str(tmp_path / "*.warc.gz"))
     got = {r["url"] for r in pages.collect()}
     assert got == {r["url"] for r in rows if r["html"] is not None}
+
+
+# ---- HTTP payload decoding (wire bytes: chunked TE, gzip/deflate CE) ----
+
+
+def _encoded_rows(encodings):
+    rows = [r for r in _rows()[: len(encodings)] if r["html"] is not None]
+    for r, enc in zip(rows, encodings):
+        r["encoding"] = enc
+    return rows
+
+
+def test_http_chunked_body_decoded(tmp_path):
+    rows = _encoded_rows(["chunked"] * 8)
+    path = str(tmp_path / "c.warc")
+    write_synthetic_warc(path, rows)
+    payload = open(path, "rb").read()
+    assert b"Transfer-Encoding: chunked" in payload
+    parsed = {p["url"]: p for p in parse_warc_bytes(payload)}
+    for r in rows:
+        assert bytes(parsed[r["url"]]["html"]) == bytes(r["html"])
+
+
+def test_http_gzip_and_deflate_bodies_decoded(tmp_path):
+    rows = _encoded_rows(["gzip", "deflate"] * 4)
+    path = str(tmp_path / "g.warc")
+    write_synthetic_warc(path, rows)
+    parsed = {p["url"]: p for p in parse_warc_bytes(open(path, "rb").read())}
+    for r in rows:
+        assert bytes(parsed[r["url"]]["html"]) == bytes(r["html"])
+
+
+def test_http_chunked_gzip_combined(tmp_path):
+    """nginx+keepalive shape: gzip entity re-framed as chunks."""
+    rows = _encoded_rows(["chunked+gzip"] * 6)
+    path = str(tmp_path / "cg.warc")
+    write_synthetic_warc(path, rows)
+    parsed = {p["url"]: p for p in parse_warc_bytes(open(path, "rb").read())}
+    for r in rows:
+        assert bytes(parsed[r["url"]]["html"]) == bytes(r["html"])
+
+
+def test_http_truncated_chunk_quarantines_record_only(tmp_path):
+    """A truncated chunked body nulls THAT record's html; neighbors survive."""
+    rows = _encoded_rows([None, "truncated-chunk", None, "chunked", None])
+    path = str(tmp_path / "t.warc")
+    write_synthetic_warc(path, rows)
+    parsed = {p["url"]: p for p in parse_warc_bytes(open(path, "rb").read())}
+    assert len(parsed) == len(rows)  # record still emitted (quarantine row)
+    for r in rows:
+        if r["encoding"] == "truncated-chunk":
+            assert parsed[r["url"]]["html"] is None
+        else:
+            assert bytes(parsed[r["url"]]["html"]) == bytes(r["html"])
+
+
+def test_http_corrupt_gzip_entity_quarantines(tmp_path):
+    rows = _encoded_rows(["gzip", "gzip", "gzip"])
+    path = str(tmp_path / "cg.warc")
+    write_synthetic_warc(path, rows)
+    payload = bytearray(open(path, "rb").read())
+    # flip bytes inside the SECOND record's gzip entity (after its headers)
+    second = payload.find(b"Content-Encoding: gzip",
+                          payload.find(b"Content-Encoding: gzip") + 1)
+    entity = payload.find(b"\x1f\x8b", second)
+    for j in range(entity + 12, entity + 18):
+        payload[j] ^= 0xFF
+    parsed = {p["url"]: p for p in parse_warc_bytes(bytes(payload))}
+    assert parsed[rows[1]["url"]]["html"] is None
+    assert bytes(parsed[rows[0]["url"]]["html"]) == bytes(rows[0]["html"])
+    assert bytes(parsed[rows[2]["url"]]["html"]) == bytes(rows[2]["html"])
+
+
+def test_http_unknown_content_encoding_quarantines():
+    from intelligent_ocr_spark.sources.warc import _http_body
+
+    rec = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+           b"Content-Length: 4\r\n\r\nXXXX")
+    assert _http_body(rec) is None
+    # identity passthrough still works
+    rec2 = b"HTTP/1.1 200 OK\r\nContent-Length: 4\r\n\r\nXXXX"
+    assert _http_body(rec2) == b"XXXX"
+
+
+def test_dechunk_edge_cases():
+    from intelligent_ocr_spark.sources.warc import _dechunk
+
+    assert _dechunk(b"0\r\n\r\n") == b""                        # empty body
+    assert _dechunk(b"4;ext=1\r\nwxyz\r\n0\r\n\r\n") == b"wxyz"  # extension
+    assert _dechunk(b"zz\r\nwxyz\r\n0\r\n\r\n") is None          # bad size
+    assert _dechunk(b"4\r\nwx") is None                          # truncated
+    assert _dechunk(b"4\r\nwxyzXX0\r\n\r\n") is None             # missing CRLF
+    assert _dechunk(b"ffffffff\r\n" + b"x" * 16) is None         # bomb-sized
+
+
+def test_encoded_bodies_through_spark_extraction(spark, tmp_path):
+    """Mixed wire encodings must extract byte-identically to plain bodies."""
+    encs = [None, "chunked", "gzip", "deflate", "chunked+gzip"] * 6
+    rows = _encoded_rows(encs)
+    write_synthetic_warc(str(tmp_path / "seg-0.warc.gz"), rows)
+    ext = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(read_warc_pages(spark, str(tmp_path / "*.warc.gz"))).collect()
+    }
+    plain = [dict(r, encoding=None) for r in rows]
+    write_synthetic_warc(str(tmp_path / "plain.warc"), plain)
+    ext_plain = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(read_warc_pages(spark, str(tmp_path / "plain.warc"))).collect()
+    }
+    assert ext == ext_plain and len(ext) == len(rows)
