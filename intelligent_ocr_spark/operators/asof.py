@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -157,13 +157,15 @@ def asof_join_salted(
     restored by a boundary patch: for every left bucket, the single most
     recent right row from any EARLIER bucket (the carry-in) is replicated
     into that bucket's group, so a backward match can still reach across
-    the boundary. The carry-in is computed on a per-(key, bucket)
-    aggregate — O(buckets) rows per key, never the event stream — via a
-    lexicographic struct max (right ``(by, on)`` uniqueness makes the
-    argmax exact).
+    the boundary. The carry-in is a RUNNING lexicographic struct max over
+    the per-(key, bucket) aggregates (window ``rowsBetween(unboundedPreceding,
+    -1)``) — O(B log B) total per key in the bucket count, never O(B²)
+    join rows and never the event stream; right ``(by, on)`` uniqueness
+    makes the argmax exact.
 
     Shuffle shape: one big hash shuffle on ``(by, bucket)`` for the
-    events (the split one), plus two small aggregates for the patch.
+    events (the split one), plus one small aggregate + one window sort
+    for the patch.
     """
     (left_fields, left_names, r_on, r_payload,
      right_out_fields, out_schema, out_names) = _output_shape(
@@ -184,24 +186,38 @@ def asof_join_salted(
     ).withColumn("_b", bucket_of(r_on))
 
     # boundary patch: latest right row per (by, bucket), then for each LEFT
-    # bucket the latest of those from strictly earlier buckets
-    last_per = rbase.groupBy(by, "_b").agg(
-        F.max(F.struct(F.col(r_on), *[F.col(c) for c in r_payload])).alias("_last")
+    # bucket the latest of those from strictly earlier buckets. Computed as
+    # a RUNNING max over the per-bucket aggregates, not a (R._b < L._b)
+    # theta join: the join materializes O(B²/2) intermediate rows per key
+    # (a hot key spanning 3 years of 1-hour buckets ≈ 26k buckets → ~340M
+    # rows — the very blowup the salt exists to avoid), while the window
+    # scan is O(B log B) per key with identical semantics. Left markers
+    # order BEFORE same-bucket right aggregates so "preceding rows" sees
+    # only strictly-earlier right buckets; max() skips the markers' NULLs.
+    last_per = (
+        rbase.where(F.col(r_on).isNotNull())  # null ts never carries (SQL <)
+        .groupBy(by, "_b")
+        .agg(F.max(F.struct(F.col(r_on), *[F.col(c) for c in r_payload])).alias("_last"))
     )
-    left_buckets = lpart.select(by, "_b").distinct()
+    null_last = F.lit(None).cast(last_per.schema["_last"].dataType)
+    marks = (
+        lpart.select(by, "_b").distinct()
+        .withColumn("_last", null_last).withColumn("_ord", F.lit(0))
+        .unionByName(last_per.withColumn("_ord", F.lit(1)))
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("_b", "_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     carry = (
-        left_buckets.alias("L")
-        .join(
-            last_per.alias("R"),
-            (F.col(f"L.{by}") == F.col(f"R.{by}")) & (F.col("R._b") < F.col("L._b")),
-        )
-        .groupBy(F.col(f"L.{by}").alias(by), F.col("L._b").alias("_b"))
-        .agg(F.max("R._last").alias("_last"))
+        marks.withColumn("_carry", F.max("_last").over(w))
+        .where((F.col("_ord") == 0) & F.col("_carry").isNotNull())
         .select(
             F.col(by),
             F.col("_b"),
-            F.col("_last").getField(r_on).alias(r_on),
-            *[F.col("_last").getField(c).alias(c) for c in r_payload],
+            F.col("_carry").getField(r_on).alias(r_on),
+            *[F.col("_carry").getField(c).alias(c) for c in r_payload],
         )
     )
     rpart = rbase.unionByName(carry).withColumn("_side", F.lit(1))

@@ -113,3 +113,34 @@ def test_salted_asof_hot_key(spark):
         .count()
     )
     assert n_buckets > 5
+
+
+def test_salted_asof_thousand_buckets_no_theta_join(spark):
+    """Scale guard for the carry-in: a single key spanning >1,000 one-minute
+    buckets must (a) still match the plain path exactly and (b) compile to a
+    plan with NO nested-loop/theta join — the carry is a running window max,
+    so an O(B²) BroadcastNestedLoopJoin/CartesianProduct is a regression."""
+    left_rows, right_rows = [], []
+    for i in range(1200):  # one event per minute → 1,200 distinct buckets
+        left_rows.append((1, EPOCH + timedelta(minutes=i, seconds=30), f"t{i}"))
+    for i in range(0, 1200, 3):  # right rows in every 3rd bucket
+        right_rows.append((1, EPOCH + timedelta(minutes=i, seconds=10), float(i)))
+    left = spark.createDataFrame(left_rows, "user_id int, ts timestamp, tag string")
+    right = spark.createDataFrame(right_rows, "user_id int, ts timestamp, value double")
+    salted = asof_join_salted(
+        left, right, on="ts", by="user_id", payload=["value"], bucket_width="1 minute"
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        salted.explain("formatted")
+    plan = buf.getvalue()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    got = {r["tag"]: (r["ts_r"], r["value_r"]) for r in salted.collect()}
+    plain = {
+        r["tag"]: (r["ts_r"], r["value_r"])
+        for r in asof_join(left, right, on="ts", by="user_id", payload=["value"]).collect()
+    }
+    assert got == plain
