@@ -35,7 +35,7 @@ from intelligent_ocr_spark.operators.dedup import (
     exact_dup_groups,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
-    simhash32,
+    simhash64,
 )
 from intelligent_ocr_spark.operators.extract import dual_insert_spans, extract_pages
 from intelligent_ocr_spark.operators.multimodal import decode_image_stats, sample_frames
@@ -1404,22 +1404,33 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
     ), hashed AS (
-      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h FROM toks
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS hi,
+             CAST(('0x' || substr(md5(tok), 9, 8))::UBIGINT AS BIGINT) AS lo
+      FROM toks
     ), bits AS (
       SELECT doc_id, b.bit,
-             CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
-      FROM hashed, (SELECT unnest(range(0, 32)) AS bit) b
+             CASE WHEN (CASE WHEN b.bit < 32 THEN lo >> b.bit
+                             ELSE hi >> (b.bit - 32) END) & 1 = 1
+                  THEN 1 ELSE -1 END AS vote
+      FROM hashed, (SELECT unnest(range(0, 64)) AS bit) b
     ), votes AS (
       SELECT doc_id, bit, sum(vote) AS votes FROM bits GROUP BY doc_id, bit
+    ), chunks AS (
+      SELECT doc_id, bit // 16 AS chunk,
+             CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << (bit % 16)) ELSE 0 END)
+                  AS BIGINT) AS cv
+      FROM votes GROUP BY doc_id, bit // 16
     )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
+    SELECT doc_id, string_agg(printf('%04x', cv), '' ORDER BY chunk DESC) AS simhash
+    FROM chunks GROUP BY doc_id
     """,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash as a 16-hex-char string (chunked build — see
+    ``simhash64`` for why signed BIGINT packing can't be oracle-checked)."""
     d = _t(spark, sf_dir, "documents")
-    return simhash32(d)
+    return simhash64(d).select("doc_id", "simhash")
 
 
 @_q(

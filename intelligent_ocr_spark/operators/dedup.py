@@ -33,6 +33,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_candidates",
     "simhash32",
+    "simhash64",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
 ]
@@ -163,6 +164,11 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """32-bit SimHash over distinct tokens: bit i of the result is 1 iff
     ``sum over tokens of (bit i of md5_32(token) ? +1 : -1) > 0``.
 
+    LEGACY small-corpus variant — :func:`simhash64` is the default (the
+    32-bit hash space saturates past ~10⁹ docs, yielding spurious
+    Hamming-close pairs); kept for compactness where the corpus is known
+    small and a single non-negative long is convenient.
+
     Shape: explode distinct tokens × 32 bit positions → groupBy doc —
     map-side combine keeps the shuffle at O(docs × 32) rows.
     """
@@ -188,45 +194,90 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over distinct tokens, emitted as four 16-bit chunk
+    columns ``c0..c3`` (bit i of chunk k = simhash bit 16k+i) plus the
+    packed ``simhash`` as a 16-char lowercase hex string.
+
+    Why chunks + hex instead of one BIGINT: bit 63 makes the packed value
+    negative in two's complement, and DuckDB raises on ``1::BIGINT << 63``,
+    so a signed-long representation can't be oracle-checked exactly. The
+    16-bit chunks (0..65535) use identical integer arithmetic in both
+    engines, double as the LSH band values, and saturate at 2⁶⁴ hash space
+    — 32-bit simhash produces spurious Hamming-close pairs past ~10⁹ docs.
+
+    Token hash = first 16 hex chars of md5 split as two 32-bit words
+    (hi = chars 1-8, lo = chars 9-16; bit b reads lo for b<32, hi above).
+    Shape: explode distinct tokens × 64 bit positions → two grouped
+    aggregations — map-side combine keeps the shuffle at O(docs × 64) rows.
+    """
+    md5 = F.md5(F.col("tok").cast("binary"))
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    bits = toks.select(
+        "doc_id", "hi", "lo", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
+    ).withColumn(
+        "vote",
+        F.when(
+            F.expr("(CASE WHEN bit < 32 THEN lo >> bit ELSE hi >> (bit - 32) END) & 1") == 1, 1
+        ).otherwise(-1),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("votes"))
+    chunks = votes.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("bit") >= 16 * k) & (F.col("bit") < 16 * (k + 1)) & (F.col("votes") > 0),
+                    F.expr("shiftleft(1L, bit % 16)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias(f"c{k}")
+            for k in range(4)
+        ]
+    )
+    hex_chunks = [F.lpad(F.lower(F.hex(F.col(f"c{k}"))), 4, "0") for k in (3, 2, 1, 0)]
+    return chunks.withColumn("simhash", F.concat(*hex_chunks))
+
+
 def simhash_near_dups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
-    candidate-blocked on four 8-bit bands: by pigeonhole, any pair within
-    Hamming distance 3 differs in at most 3 bands, so it MUST share one —
-    recall is exact for the default ``max_hamming=3`` (round-1 advice fix;
-    two 16-bit bands only guaranteed d ≤ 1). Exact distance verified with
-    ``bit_count(xor)``.
-
-    Scale note: 8-bit bands mean 256 buckets per band — fine up to ~10⁵
-    docs per partition-of-interest; at web scale move to a 64-bit simhash
-    with four 16-bit bands (same pigeonhole bound, 65,536 buckets)."""
-    sh = simhash32(df, id_col, text_col)
+    """Near-dup pairs by 64-bit SimHash Hamming distance ≤ ``max_hamming``,
+    candidate-blocked on the four 16-bit chunks as LSH bands: by pigeonhole,
+    any pair within Hamming distance 3 differs in at most 3 bands, so it
+    MUST share one — recall is exact for the default ``max_hamming=3``.
+    16-bit bands give 65,536 buckets per band (vs 256 for the former 8-bit
+    bands over a 32-bit hash), so bucket join fan-out stays bounded at web
+    scale. Exact distance verified with per-chunk ``bit_count(xor)``."""
+    sh = simhash64(df, id_col, text_col)
     banded = sh.select(
         "doc_id",
-        "simhash",
+        *[f"c{k}" for k in range(4)],
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.expr(f"(simhash >> {8 * i}) & 255").alias("chunk"),
-                    )
-                    for i in range(4)
+                    F.struct(F.lit(k).alias("band"), F.col(f"c{k}").alias("chunk"))
+                    for k in range(4)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.chunk")
+    ).select("doc_id", "c0", "c1", "c2", "c3", "bb.band", "bb.chunk")
     a, b = banded.alias("a"), banded.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.c{k}").bitwiseXOR(F.col(f"b.c{k}"))) for k in range(4)
+    )
     return (
         a.join(b, ["band", "chunk"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

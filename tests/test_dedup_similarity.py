@@ -10,7 +10,7 @@ from intelligent_ocr_spark.operators.dedup import (
     minhash_lsh_candidates,
     minhash_signature,
     ngram_jaccard_pairs,
-    simhash32,
+    simhash64,
     simhash_near_dups,
 )
 from intelligent_ocr_spark.operators.multimodal import decode_image_stats, sample_frames
@@ -58,15 +58,56 @@ def test_minhash_lsh_candidates(docs):
 
 
 def test_simhash_near_dups(docs):
-    sh = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
-    assert sh[1] == sh[2]
-    assert 0 <= sh[1] < 2**32
+    sh = {r["doc_id"]: r for r in simhash64(docs).collect()}
+    assert sh[1]["simhash"] == sh[2]["simhash"]
+    assert len(sh[1]["simhash"]) == 16  # 64-bit hex string
+    # hex string is exactly the chunk concatenation (c3..c0)
+    packed = "".join(f"{sh[1][f'c{k}']:04x}" for k in (3, 2, 1, 0))
+    assert sh[1]["simhash"] == packed
+    for k in range(4):
+        assert 0 <= sh[1][f"c{k}"] < 2**16
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in simhash_near_dups(docs, max_hamming=6).collect()
     }
     assert pairs[(1, 2)] == 0
     assert (1, 4) not in pairs
+
+
+def test_simhash64_matches_python_reference(docs):
+    """Spark 64-bit simhash == a direct python md5-vote implementation."""
+    import hashlib
+    import re
+
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    for doc_id, text in rows.items():
+        toks = set(re.findall(r"[0-9A-Za-z]+", text.lower()))
+        votes = [0] * 64
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        val = sum(1 << b for b in range(64) if votes[b] > 0)
+        assert got[doc_id] == f"{val:016x}", doc_id
+
+
+def test_simhash_band_recall_d3(spark):
+    """Pigeonhole recall guarantee: ANY pair at Hamming distance ≤ 3 shares
+    at least one 16-bit band, so simhash_near_dups must report it. Build
+    synthetic docs whose simhashes differ in exactly 3 bits by flipping
+    tokens is hard to control — instead verify on the BANDING math directly:
+    perturb a known chunk vector in ≤3 bit positions spread across bands and
+    check the candidate join would block them together."""
+    import itertools
+
+    base = [0x1234, 0xABCD, 0x0F0F, 0x7777]
+    for positions in itertools.combinations(range(64), 3):
+        chunks = list(base)
+        for p in positions:
+            chunks[p // 16] ^= 1 << (p % 16)
+        # at most 3 of 4 bands touched → at least one band equal
+        assert any(chunks[k] == base[k] for k in range(4))
 
 
 def test_ngram_jaccard(docs):
