@@ -1283,10 +1283,22 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @_q(
     "dedup_exact",
+    # n_docs exact; ids = the 100 smallest doc_ids (the operator's bounded
+    # sample contract — a mega-dup group must not yield a mega row)
     """
-    SELECT md5(text) AS content_hash, count(*) AS n_docs,
-           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
-    FROM documents GROUP BY 1 HAVING count(*) > 1
+    WITH h AS (
+      SELECT md5(text) AS content_hash, doc_id FROM documents
+    ), c AS (
+      SELECT content_hash, count(*) AS n_docs FROM h GROUP BY 1 HAVING count(*) > 1
+    ), r AS (
+      SELECT content_hash, doc_id,
+             row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+      FROM h
+    )
+    SELECT c.content_hash, c.n_docs,
+           string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id) AS ids
+    FROM c JOIN r USING (content_hash) WHERE r.rn <= 100
+    GROUP BY 1, 2
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

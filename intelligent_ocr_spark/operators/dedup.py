@@ -56,19 +56,41 @@ def shingles(col: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_cap: int = 100,
+) -> DataFrame:
     """Exact duplicate groups: md5(text) with >1 member.
 
-    Returns (content_hash, n_docs, doc_ids sorted). Map-side partial
-    aggregation makes this one short-key shuffle regardless of doc size.
+    Returns (content_hash, n_docs exact, doc_ids = the ``sample_cap``
+    SMALLEST ids sorted). The sample is bounded BEFORE collection — rows
+    are ranked with a window (disk-spillable sort) and only rank ≤ cap
+    reaches collect_list — so a boilerplate page duplicated 10⁷ times
+    costs one spill-safe sort, never a multi-hundred-MB array in an agg
+    buffer or an output row. One hash shuffle on content_hash; the window
+    and the final aggregation reuse the same partitioning (no second
+    exchange).
     """
-    return (
-        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("content_hash"))
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.array_sort(F.collect_list(F.col(id_col))).alias("doc_ids"),
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
+    ranked = (
+        df.select(
+            F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
+            F.col(id_col).alias("_id"),
         )
-        .filter(F.col("n_docs") > 1)
+        .withColumn("n_docs", F.count("*").over(w))
+        .withColumn("_rn", F.row_number().over(w.orderBy("_id")))
+    )
+    return (
+        ranked.filter((F.col("n_docs") > 1) & (F.col("_rn") <= sample_cap))
+        .groupBy("content_hash")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.array_sort(F.collect_list("_id")).alias("doc_ids"),
+        )
     )
 
 

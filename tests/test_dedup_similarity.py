@@ -37,6 +37,20 @@ def test_exact_dup_groups(docs):
     assert groups[0]["doc_ids"] == [1, 2]
 
 
+def test_exact_dup_groups_mega_group_bounded(spark):
+    """A 10,000-member dup group (boilerplate page duplicated everywhere)
+    keeps the exact count but yields a bounded id sample — never a
+    multi-hundred-MB output row."""
+    rows = [(i, "the same boilerplate page") for i in range(10_000)]
+    rows += [(100_000, "unique"), (100_001, "other unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    groups = exact_dup_groups(df, sample_cap=100).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_docs"] == 10_000  # count stays exact
+    assert g["doc_ids"] == list(range(100))  # 100 smallest ids, sorted
+
+
 def test_minhash_signature_properties(docs):
     sigs = {r["doc_id"]: r["sig"] for r in minhash_signature(docs).collect()}
     assert 5 not in sigs  # too short for 3-shingles
