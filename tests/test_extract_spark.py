@@ -124,6 +124,37 @@ def test_dual_insert_expanded_variant_groups(spark):
     assert sorted(forms) == sorted(["国学之体変也", "國學之體變也"])
 
 
+def test_dual_insert_round3_expansion_groups(spark):
+    """Dual-insert golden over variants NOT in the round-2 325-group table:
+    the simplified-radical series (语→語, 钱→錢, 鸟→鳥, 页→頁) and the
+    unambiguous per-char simplified list (区→區, 爱→愛) added in round 3."""
+    from pyspark.sql import functions as F
+
+    html = (
+        "<html><body><article><h1>t</h1><p>语钱之鸟页区爱也</p></article>"
+        "</body></html>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [("u://1", None, bytearray(html), "", "zh")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01")))
+    dual = dual_insert_spans(extract_pages(pages))
+    forms = [r["form"] for r in dual.collect() if r["kind"] == "line"]
+    assert sorted(forms) == sorted(["语钱之鸟页区爱也", "語錢之鳥頁區愛也"])
+
+
+def test_variant_table_ambiguous_merges_unmapped():
+    """The expansion must NOT fold one-to-many PRC merges (发←發/髮,
+    历←曆/歷, 钟←鐘/鍾) or independent classical words (据/听/面/里/云/后):
+    those chars pass through unchanged."""
+    from intelligent_ocr_spark.functions.normalize import get_normalizer
+
+    n = get_normalizer()
+    keep = "发历钟汇据听面里云后干谷斗几丑台"
+    assert n.normalize(keep) == keep
+    assert n.variant_count > 2500  # round-3 full-size table
+
+
 def test_extraction_plan_is_narrow(spark):
     """No shuffle in the extraction transform itself (scale contract)."""
     df = extract_pages(pages_df(spark, 100, partitions=4))
