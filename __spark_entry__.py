@@ -1545,8 +1545,24 @@ def _l2_sql(a: str, b: str) -> str:
 @_q(
     "sim_ivf_topk",
     f"""
-    WITH cents AS (
+    WITH cents0 AS (
       SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ), a0 AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_l2_sql('e.embedding', 'c.cvec')}, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents0 c
+      ) WHERE rn = 1
+    ), dims AS (
+      -- one Lloyd step on floor-scaled integers (order-independent sums)
+      SELECT a0.cell, p.pos, CAST(floor(a0.embedding[p.pos]::DOUBLE * 1e6) AS BIGINT) AS sv
+      FROM a0, LATERAL (SELECT unnest(range(1, len(a0.embedding) + 1)) AS pos) p
+    ), cagg AS (
+      SELECT cell, pos, sum(sv) AS s, count(*) AS n FROM dims GROUP BY 1, 2
+    ), cents AS (
+      SELECT cell AS cent_id, list(floor(s::DOUBLE / n) / 1e6 ORDER BY pos) AS cvec
+      FROM cagg GROUP BY cell
     ), assigned AS (
       SELECT vec_id, embedding, cell FROM (
         SELECT e.vec_id, e.embedding, c.cent_id AS cell,

@@ -126,16 +126,51 @@ def ivf_assign_cells(
     )
 
 
+def ivf_refine_centroids(
+    assigned: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One deterministic Lloyd step: new centroid = per-cell element-wise
+    mean of the assigned vectors, computed on FLOOR-SCALED integers —
+    ``floor(sum(floor(v·10⁶)) / n) / 10⁶`` — so the result is exactly
+    reproducible in any engine (a plain double mean depends on summation
+    order; integer sums don't). Empty cells simply disappear (their members
+    went elsewhere), matching k-means semantics.
+
+    Shape: posexplode → groupBy(cell, pos) partial-agg → groupBy(cell)
+    rebuild — two short-key shuffles over (cells × dims) rows, independent
+    of corpus size after the partial aggregation.
+    """
+    dims = assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    agg = dims.groupBy("cell", "pos").agg(
+        F.sum(F.floor(F.col("v").cast("double") * F.lit(1e6)).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = agg.withColumn(
+        "c", F.floor(F.col("s").cast("double") / F.col("n")) / F.lit(1e6)
+    )
+    return (
+        cent.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_pc"))
+        .select(
+            F.col("cell").alias(id_col),
+            F.transform("_pc", lambda x: x["c"]).alias(vec_col),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 8,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", refine: int = 1,
 ) -> DataFrame:
     """IVF ANN (single-probe): the second scale path beside sign-LSH.
 
-    Centroids = the first ``n_cells`` corpus vectors by id — a
-    deterministic, training-free seeding (a production deployment would
-    k-means-refine them; the query/assignment plumbing is identical).
-    Queries score only candidates in their own cell: candidate set shrinks
+    Seed centroids = the first ``n_cells`` corpus vectors by id (a
+    deterministic, training-free seeding), then ``refine`` Lloyd
+    iterations (default 1): assign → per-cell floor-scaled mean →
+    re-assign. Refined centroids track the data's actual clusters, so
+    recall@k beats the seed-only index whenever the first ids are not
+    spread across clusters (see ``test_ivf_refined_recall``). Queries
+    score only candidates in their own cell: candidate set shrinks
     ~n_cells× per probe. Cell sizes can skew with clustered data — AQE
     skew-join splits hot cells, same argument as the LSH buckets.
     """
@@ -151,6 +186,15 @@ def ivf_topk(
         seed_rows, corpus.select(id_col, vec_col).schema
     )
     c_assigned = ivf_assign_cells(corpus, centroids, id_col, vec_col)
+    for _ in range(refine):
+        # materialize the refined centroids (n_cells × dims — tiny) so the
+        # corpus and query assignment joins broadcast a local frame instead
+        # of each re-running the corpus-wide mean aggregation
+        refined = ivf_refine_centroids(c_assigned, id_col, vec_col)
+        centroids = corpus.sparkSession.createDataFrame(
+            refined.collect(), refined.schema
+        )
+        c_assigned = ivf_assign_cells(corpus, centroids, id_col, vec_col)
     q_assigned = ivf_assign_cells(queries, centroids, id_col, vec_col)
     q = q_assigned.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"

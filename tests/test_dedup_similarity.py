@@ -194,3 +194,51 @@ def test_multimodal_determinism(spark):
     a = decode_image_stats(df).collect()[0]
     b = decode_image_stats(df).collect()[0]
     assert a == b
+
+
+def test_ivf_refined_recall(spark):
+    """One Lloyd step must improve recall@k vs the seed-only index when the
+    seed ids all fall in one cluster (the degenerate case the training-free
+    seeding suffers from). Ground truth = brute-force cosine_topk."""
+    import hashlib
+    import math
+
+    from intelligent_ocr_spark.operators.similarity import ivf_topk
+
+    # 4 well-separated clusters in 8-d with hash-driven noise (so true
+    # neighbors do NOT share the components that decide degenerate-seed
+    # cell assignment); ids 0..7 (the seeds) ALL in cluster 0
+    def h(i, d):
+        return int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16) / 65535.0
+
+    def vec(cluster, i):
+        base = [0.0] * 8
+        base[cluster * 2] = 1.0
+        v = [b + 0.25 * (h(i, d) - 0.5) for d, b in enumerate(base)]
+        nrm = math.sqrt(sum(x * x for x in v))
+        return [x / nrm for x in v]
+
+    rows = [(j, vec(0, j)) for j in range(8)]
+    nid = 8
+    for cluster in range(4):
+        for j in range(24):
+            rows.append((nid, vec(cluster, 100 + nid)))
+            nid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id >= 8")
+
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in cosine_topk(corpus, queries, k=3).collect()
+    }
+
+    def recall(refine):
+        got = {
+            (r["query_id"], r["cand_id"])
+            for r in ivf_topk(corpus, queries, k=3, n_cells=4, refine=refine).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 > r0, (r0, r1)
+    assert r1 >= 0.9, (r0, r1)
