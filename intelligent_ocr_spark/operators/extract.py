@@ -321,13 +321,18 @@ def extract_record(
     if data[:4] == PXPG_MAGIC:
         # binary page image (M1/M2 pixel path). Container validation
         # happens HERE, not in the retry loop: a corrupt header is
-        # deterministic (retrying is wasted work) and a text page that
-        # merely STARTS with the ASCII letters 'PXPG' must fall through to
-        # the HTML path instead of being quarantined.
+        # deterministic, so retrying is wasted work. A failed decode
+        # quarantines as pxpg_decode rather than falling through to the
+        # HTML path — the 4-byte magic makes genuine HTML essentially
+        # impossible, while a truncated container whose tail happens to be
+        # valid UTF-8 (ASCII pixel rows) would otherwise parse as garbage
+        # "HTML", and one with an accidentally self-consistent header
+        # would be misrouted.
         try:
             pix = decode_page_image(data)
-        except ValueError:
-            pix = None
+        except ValueError as e:
+            out["error"] = f"pxpg_decode: {e.args[0] if e.args else ''}"
+            return out
     if pix is not None:
         arr, vertical, zoom = pix
 
@@ -340,8 +345,7 @@ def extract_record(
         try:
             raw = data.decode("utf-8")
         except (UnicodeDecodeError, ValueError) as e:
-            # covers corrupt/truncated PXPG containers too: binary bytes
-            # fail utf-8 → non-retryable quarantine, same as bad HTML
+            # binary bytes fail utf-8 → non-retryable quarantine
             out["error"] = f"html_decode: {e.__class__.__name__}"
             return out
 

@@ -147,6 +147,27 @@ def read_committed(spark: SparkSession, out_dir: str, sub: str) -> DataFrame | N
         # Data files carry the digest in their NAME (part-{pid}-{digest}),
         # not as a column — the streamed writer can't know the digest until
         # the partition's last batch. Same derivation the janitor uses.
+        # The name is the ONLY link between a data file and the checkpoint,
+        # so a misnamed-but-present file must fail loudly rather than
+        # silently vanish from the committed view (regexp_extract returns
+        # '' for non-matches, which would semi-join to nothing).
+        import re as _re
+
+        data_dir = _os.path.join(out_dir, sub)
+        bad = [
+            f
+            for f in sorted(_os.listdir(data_dir))
+            if f.endswith(".parquet")
+            and not f.startswith(".")
+            and not _re.search(r"-[0-9a-f]{16}\.parquet$", f)
+        ]
+        if bad:
+            raise ValueError(
+                f"read_committed: {len(bad)} data file(s) in {data_dir} carry no "
+                f"commit digest in their name (contract: part-<pid>-<16 hex>."
+                f"parquet) and would silently drop from the committed view: "
+                f"{bad[:5]}"
+            )
         table = table.withColumn(
             "commit_digest",
             F.regexp_extract(F.input_file_name(), r"-([0-9a-f]{16})\.parquet$", 1),

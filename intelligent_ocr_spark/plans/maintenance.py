@@ -37,7 +37,9 @@ __all__ = [
 
 # R3 token tables (reference desktop/workers.py:241-288). Classification by
 # substring match, NON-retryable checked first (same precedence as reference).
-_NON_RETRYABLE_TOKENS = ("html_null", "html_decode", "permission", "corrupt", "encrypted")
+_NON_RETRYABLE_TOKENS = (
+    "html_null", "html_decode", "pxpg_decode", "permission", "corrupt", "encrypted",
+)
 _RETRYABLE_TOKENS = ("parse_error", "timeout", "memory", "connection")
 
 
@@ -139,12 +141,22 @@ def expire_stale_generations(
     return removed
 
 
-def remove_orphan_files(spark: SparkSession, out_dir: str) -> list[str]:
+def remove_orphan_files(
+    spark: SparkSession, out_dir: str, tmp_grace_seconds: float = 3600.0
+) -> list[str]:
     """Janitor for torn commits: delete data/lineage files whose
     commit_digest is referenced by NO checkpoint row (the crash window
     between the data/lineage renames and the checkpoint rename). Run only
     while no job is writing to ``out_dir`` — an in-flight partition between
-    its renames looks identical to an orphan."""
+    its renames looks identical to an orphan.
+
+    ``.tmp-*`` files are additionally protected by ``tmp_grace_seconds``
+    (default 1 h): only temps whose mtime is older than the grace window
+    are swept, so a janitor started against the docstring's precondition
+    while a streamed commit is in flight cannot delete a LIVE temp parquet
+    and fail that partition — a temp still being row-group-appended has a
+    fresh mtime. Pass 0 to force-sweep everything (offline cleanup)."""
+    now = time.time()
     digests_df = committed_digests(spark, os.path.join(out_dir, "checkpoint"))
     committed = (
         {r["commit_digest"] for r in digests_df.collect()} if digests_df is not None else set()
@@ -157,11 +169,17 @@ def remove_orphan_files(spark: SparkSession, out_dir: str) -> list[str]:
         for fname in sorted(os.listdir(d)):
             # .tmp-* = a streamed write whose task died before rename (a
             # SIGKILL skips the in-task cleanup); invisible to readers but
-            # it holds disk — sweep it (precondition above: no job writing)
+            # it holds disk — sweep it once it has aged past the grace
+            # window (a live temp is still being appended → fresh mtime)
             if fname.startswith(".tmp-"):
                 path = os.path.join(d, fname)
-                os.remove(path)
-                removed.append(path)
+                try:
+                    age = now - os.path.getmtime(path)
+                except OSError:
+                    continue  # renamed/removed concurrently — not ours
+                if age >= tmp_grace_seconds:
+                    os.remove(path)
+                    removed.append(path)
                 continue
             if not fname.endswith(".parquet"):
                 continue

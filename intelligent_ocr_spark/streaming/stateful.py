@@ -14,13 +14,20 @@ Scale design (round-1 judge fix):
   cardinalities (total urls / buckets) the birthday bound keeps that
   negligible, and dedup semantics tolerate it (false-drop, never
   false-emit).
-* State is rewritten **only on micro-batches that actually add urls**
-  (no per-batch re-sort, no no-op ``state.update``) — re-crawl-heavy
-  streams stop paying O(state) serialization per batch.
-* **TTL eviction** via ``ProcessingTimeTimeout``: a bucket idle for
-  ``ttl_minutes`` is dropped from the store, bounding total state for
-  bounded re-crawl windows. ``ttl_minutes=None`` keeps state forever
-  (exact semantics, for finite backfills).
+* State is rewritten **only on micro-batches that actually change it**
+  (a url added or an entry expired — no no-op ``state.update``) —
+  re-crawl-heavy streams stop paying O(state) serialization per batch.
+* **Per-url TTL eviction**: each hash carries its first-seen processing
+  time; entries older than ``ttl_minutes`` are pruned on every
+  invocation, so the re-crawl window is UNIFORM per url — a url expires
+  exactly ttl after it was first seen, regardless of how busy its bucket
+  is. The window is fixed (not sliding: re-crawls inside the window are
+  suppressed but do NOT refresh the stamp — refreshing would force a
+  state rewrite on every duplicate-heavy batch, the very cost the
+  rewrite-on-change rule avoids). A bucket-level ``ProcessingTimeTimeout``
+  backstop removes fully-idle buckets whose entries have all expired but
+  that no longer receive batches to prune on. ``ttl_minutes=None`` keeps
+  state forever (exact semantics, for finite backfills).
 
 For the purely bounded-window case Spark's built-in watermarked
 ``dropDuplicates`` is the zero-custom-code answer —
@@ -48,7 +55,7 @@ __all__ = [
 DEDUP_OUTPUT_SCHEMA = (
     "bucket INT, url STRING, warc_ts TIMESTAMP, lang STRING"
 )
-STATE_SCHEMA = "seen ARRAY<LONG>"
+STATE_SCHEMA = "seen ARRAY<LONG>, first_seen_ms ARRAY<LONG>"
 
 
 def _make_dedup_group(ttl_ms: int | None):
@@ -58,20 +65,36 @@ def _make_dedup_group(ttl_ms: int | None):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            state.remove()  # TTL eviction: idle bucket's state dropped
+            # backstop only: a bucket idle ≥ ttl has every entry expired
+            # (per-url stamps are all older than ttl by definition)
+            state.remove()
             return
-        seen: set[int] = set(state.get[0]) if state.exists else set()
+        if state.exists:
+            hashes, stamps = state.get
+            seen: dict[int, int] = dict(zip(hashes, stamps))
+        else:
+            seen = {}
+        changed = False
+        now = 0
+        if ttl_ms is not None:
+            now = state.getCurrentProcessingTimeMs()
+            if seen:
+                alive = {h: t for h, t in seen.items() if now - t < ttl_ms}
+                if len(alive) != len(seen):
+                    changed = True  # per-url prune: uniform re-crawl window
+                    seen = alive
         out: list[pd.DataFrame] = []
-        n_before = len(seen)
         for pdf in pdfs:
             # within-batch first-seen: stable drop_duplicates, then state filter
             pdf = pdf.drop_duplicates(subset=["url_hash"], keep="first")
-            fresh = pdf[~pdf["url_hash"].isin(seen)]
-            seen.update(int(h) for h in fresh["url_hash"])
+            fresh = pdf[~pdf["url_hash"].isin(seen.keys())]
+            for h in fresh["url_hash"]:
+                seen[int(h)] = now
             if len(fresh):
+                changed = True
                 out.append(fresh[["bucket", "url", "warc_ts", "lang"]])
-        if len(seen) != n_before:  # rewrite state ONLY when it grew
-            state.update((list(seen),))
+        if changed:  # rewrite state ONLY when it grew or pruned
+            state.update((list(seen.keys()), list(seen.values())))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)  # re-arm on every activity
         if out:
@@ -86,9 +109,11 @@ def stream_dedup_first_seen(
     """url-deduplicated page stream (first occurrence wins, exactly-once
     per url across micro-batches given the stream checkpoint).
 
-    ``ttl_minutes``: evict a bucket's seen-set after that much processing
-    time without activity (bounded re-crawl window); ``None`` = exact
-    forever (state grows with distinct urls — use for finite backfills).
+    ``ttl_minutes``: each url's entry expires that many minutes of
+    processing time after it was FIRST seen (uniform per-url re-crawl
+    window, pruned on every bucket invocation; an idle bucket is dropped
+    whole by the timeout backstop). ``None`` = exact forever (state grows
+    with distinct urls — use for finite backfills).
     """
     keyed = (
         pages_stream.withColumn("url_hash", F.xxhash64("url"))

@@ -68,26 +68,28 @@ def test_blank_image_gate():
 
 
 def test_corrupt_container_quarantined():
-    """A truncated container is binary, so after the PXPG validation
-    fails it ALSO fails the utf-8 fallback → deterministic quarantine,
-    zero retries (same class as undecodable HTML)."""
+    """A truncated container quarantines as pxpg_decode the moment the
+    header/body validation fails — deterministic, zero retries. It must
+    NOT fall through to the HTML path: a truncated tail that happens to
+    be valid UTF-8 (ASCII pixel rows) would silently parse as garbage."""
     truncated = render_page_image(TRACKS_V, True, 1)[:40]
     e = _rec(truncated)
-    assert e["error"] is not None and "html_decode" in e["error"]
+    assert e["error"] is not None and "pxpg_decode" in e["error"]
     assert e["retries"] == 0
 
 
-def test_pxpg_magic_collision_falls_back_to_html():
-    """A legitimate TEXT page that merely starts with the ASCII letters
-    'PXPG' must not be quarantined: container validation fails → the row
-    falls through to the HTML path and its real text is extracted."""
+def test_pxpg_magic_prefix_always_routes_to_pixel_path():
+    """Anything starting with the 4-byte magic is treated as a (possibly
+    broken) pixel container, never as text: a genuine page beginning with
+    the literal letters 'PXPG' is essentially impossible, while a corrupt
+    container mis-parsed as HTML is a real corruption vector."""
     html = (
         "PXPG is a raster container. <article><h1>t</h1>"
         "<p>notes about the PXPG format</p></article>"
     ).encode()
     e = _rec(html)
-    assert e["error"] is None
-    assert "notes about the PXPG format" in e["extracted_text"]
+    assert e["error"] is not None and "pxpg_decode" in e["error"]
+    assert e["extracted_text"] is None or e["extracted_text"] == ""
 
 
 def test_unknown_glyphs_low_confidence_dropped():

@@ -110,3 +110,43 @@ def test_watermark_dedup_builtin(spark, tmp_path):
         q.stop()
     urls = [r["url"] for r in spark.sql("SELECT url FROM wm_out").collect()]
     assert len(urls) == len(set(urls)) == 40
+
+
+def test_ttl_per_url_expiry():
+    """Per-url TTL: an entry expires exactly ttl after FIRST seen — an
+    expired url re-emits (and re-stamps); a fresh one stays suppressed
+    with its original stamp (fixed window, no refresh-on-duplicate)."""
+    import pandas as pd
+
+    class FakeState:
+        hasTimedOut = False
+        exists = True
+
+        def __init__(self):
+            self.get = ([10, 20], [1_000, 50_000])  # 10 expired, 20 alive
+            self.updated = None
+
+        def getCurrentProcessingTimeMs(self):
+            return 61_001
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    fn = _make_dedup_group(ttl_ms=60_000)
+    st = FakeState()
+    pdf = pd.DataFrame(
+        {
+            "bucket": [0, 0],
+            "url_hash": [10, 20],
+            "url": ["a", "b"],
+            "warc_ts": [None, None],
+            "lang": ["en", "en"],
+        }
+    )
+    out = pd.concat(list(fn((0,), iter([pdf]), st)))
+    assert list(out["url"]) == ["a"]  # expired → fresh again; 20 suppressed
+    d = dict(zip(*st.updated))
+    assert d == {10: 61_001, 20: 50_000}

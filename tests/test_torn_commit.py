@@ -73,3 +73,53 @@ def test_crash_between_renames_no_duplicates(spark, tmp_path):
     # committed lineage likewise excludes torn lineage rows
     lin = read_committed(spark, out, "lineage")
     assert sum(r["docs"] for r in lin.collect()) == N
+
+
+def test_tmp_sweep_respects_grace_window(spark, tmp_path):
+    """A FRESH .tmp-* (a streamed commit possibly in flight) survives the
+    janitor; one older than the grace window is swept. Protects a live
+    temp parquet from a janitor run that violated the no-writer
+    precondition."""
+    import time
+
+    out = str(tmp_path / "out")
+    for sub in ("data", "checkpoint"):
+        os.makedirs(os.path.join(out, sub), exist_ok=True)
+    fresh = os.path.join(out, "data", ".tmp-fresh.parquet")
+    stale = os.path.join(out, "data", ".tmp-stale.parquet")
+    for p in (fresh, stale):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+
+    removed = remove_orphan_files(spark, out)  # default 1 h grace
+    assert stale in removed and fresh not in removed
+    assert os.path.exists(fresh) and not os.path.exists(stale)
+
+    # grace 0 = offline force-sweep
+    removed2 = remove_orphan_files(spark, out, tmp_grace_seconds=0)
+    assert fresh in removed2 and not os.path.exists(fresh)
+
+
+def test_misnamed_data_file_fails_loudly(spark, tmp_path):
+    """A parquet file in data/ without the part-<pid>-<digest> name would
+    silently disappear from the committed view (its derived digest is '');
+    the read must raise instead — the name is the only commit link."""
+    import pytest
+
+    from intelligent_ocr_spark.plans.checkpoint import read_committed
+
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, pages_df(spark, 40, partitions=2), out, SNAPSHOT, num_partitions=2)
+    # simulate a hand-copied / renamed file landing in the data dir
+    files = [f for f in os.listdir(os.path.join(out, "data")) if f.endswith(".parquet")]
+    src = os.path.join(out, "data", files[0])
+    rogue = os.path.join(out, "data", "restored-backup.parquet")
+    import shutil
+
+    shutil.copy(src, rogue)
+    with pytest.raises(ValueError, match="commit digest"):
+        read_committed(spark, out, "data").count()
+    os.remove(rogue)
+    assert read_committed(spark, out, "data").count() == 40
