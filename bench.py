@@ -190,6 +190,67 @@ def run_headliners(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str,
     return cold, warm
 
 
+def warm_delta_vs_prev(queries_warm: dict[str, float]) -> dict:
+    """Trend the warm-noop series against the previous committed round.
+
+    The cold series is too noisy to trend (the shared VM shows documented
+    ±20% swings and occasional 5× interference storms — BENCH/BASELINE.md);
+    the warm-noop numbers are steady-state plan costs, so a real plan
+    regression shows up here without judge archaeology. Deltas within the
+    noise band (|Δ| ≤ 30% or < 0.3 s absolute) are annotated ``noise``;
+    larger slowdowns ``investigate``; larger speedups ``improved``.
+
+    Source of truth = the newest driver-committed ``BENCH_r*.json`` in the
+    repo root. Also regenerates ``BENCH/WARM_TREND.md`` as a table.
+    """
+    import glob
+    import re
+
+    prior = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not prior:
+        return {"prev": None, "deltas": {}}
+    prev_path = prior[-1]
+    try:
+        prev_doc = json.load(open(prev_path))
+        prev_warm = prev_doc.get("parsed", prev_doc).get("queries_warm_noop", {})
+    except (OSError, ValueError):
+        return {"prev": os.path.basename(prev_path), "deltas": {}}
+    deltas: dict[str, dict] = {}
+    rows = []
+    for name, now_s in sorted(queries_warm.items()):
+        was = prev_warm.get(name)
+        if was is None:
+            deltas[name] = {"now": now_s, "prev": None, "verdict": "new"}
+            rows.append((name, "-", now_s, "-", "new"))
+            continue
+        pct = (now_s - was) / was * 100 if was else 0.0
+        if abs(pct) <= 30 or abs(now_s - was) < 0.3:
+            verdict = "noise"
+        elif pct > 0:
+            verdict = "investigate"
+        else:
+            verdict = "improved"
+        deltas[name] = {"now": now_s, "prev": was, "pct": round(pct, 1), "verdict": verdict}
+        rows.append((name, was, now_s, f"{pct:+.1f}%", verdict))
+    trend_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    if os.path.isdir(trend_dir):
+        with open(os.path.join(trend_dir, "WARM_TREND.md"), "w") as f:
+            f.write(
+                "# Warm-noop trend vs previous round\n\n"
+                f"Previous series: `{os.path.basename(prev_path)}`. "
+                "Verdicts: noise = |Δ| ≤ 30% or < 0.3 s (documented host "
+                "noise band); investigate = slower beyond the band; "
+                "improved = faster beyond it.\n\n"
+                "| query | prev (s) | now (s) | Δ | verdict |\n|---|---|---|---|---|\n"
+            )
+            for name, was, now_s, pct, verdict in rows:
+                f.write(f"| {name} | {was} | {now_s} | {pct} | {verdict} |\n")
+    return {"prev": os.path.basename(prev_path), "deltas": deltas}
+
+
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--child-extract":
         child_extract(int(sys.argv[2]), sys.argv[3], "--no-checksum" not in sys.argv)
@@ -231,6 +292,7 @@ def main() -> None:
     )
 
     queries, queries_warm = run_headliners(sf_dir, cpus)
+    warm_delta = warm_delta_vs_prev(queries_warm)
     queries[f"extract_{n_docs}docs_local{n_small}"] = round(small["sec"], 3)
     queries[f"extract_{n_docs}docs_local{n_big}"] = round(big["sec"], 3)
     queries[f"extract_{n_docs}docs_local{cpus}"] = round(full["sec"], 3)
@@ -244,6 +306,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "queries_warm_noop": queries_warm,
+                "warm_delta_vs_prev": warm_delta,
                 "sf": sf,
                 "extraction": {
                     "docs": n_docs,
