@@ -91,3 +91,40 @@ def test_ngram_jaccard_single_pass_df_count(spark):
     plan = _plan(ngram_jaccard_pairs(docs))
     n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
     assert n_exchanges <= 7, plan
+
+
+def test_exact_dup_groups_single_exchange(spark):
+    """The bounded-sample rewrite (window rank + agg) must reuse ONE
+    content_hash exchange — the window and the final aggregation share the
+    partitioning; a second hash exchange is a regression."""
+    from intelligent_ocr_spark.operators.dedup import exact_dup_groups
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i % 10}") for i in range(100)], "doc_id long, text string"
+    )
+    plan = _plan(exact_dup_groups(docs))
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
+    assert "Window" in plan
+
+
+def test_salted_asof_carry_no_nested_loop(spark):
+    """The carry-in must stay a running window max — a nested-loop or
+    cartesian join means the O(B²)-per-key theta formulation came back.
+    Exchange budget: ≤4 hash exchanges (events split, marks union, window
+    sort, final group)."""
+    from datetime import datetime, timedelta
+
+    from intelligent_ocr_spark.operators.asof import asof_join_salted
+
+    E = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, E + timedelta(minutes=i), f"t{i}") for i in range(50)],
+        "user_id int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, E + timedelta(minutes=i), float(i)) for i in range(0, 50, 3)],
+        "user_id int, ts timestamp, value double",
+    )
+    plan = _plan(asof_join_salted(left, right, on="ts", by="user_id", payload=["value"]))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 4, plan
