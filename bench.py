@@ -275,7 +275,14 @@ def main() -> None:
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     pages = ensure_bench_pages(n_docs)
     small, big, pairs = scaling_trials(n_small, n_big, pages, trials)
-    full = run_child(cpus, pages, 0) if cpus > n_big else big
+    # full level gets the same peak-of-trials treatment as the scaling
+    # pair: a single observation here was seen 2-4x off under host steal
+    if cpus > n_big:
+        runs = [run_child(cpus, pages, t) for t in range(2)]
+        full = max(runs, key=lambda r: r["docs_per_sec"])
+        full["checksum"] = runs[0]["checksum"]  # only trial 0 computes it
+    else:
+        full = big
     # headline efficiency from the PEAK throughput of each level across the
     # interleaved trials: host noise (shared VM) only ever slows a run, so
     # the fastest observation per level is the cleanest estimate of that
