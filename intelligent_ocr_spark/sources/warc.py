@@ -41,6 +41,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from intelligent_ocr_spark.sources.pages import PAGES_SCHEMA
 
+try:  # brotli bodies are common on real crawls; decode when a codec exists
+    import brotli as _brotli  # type: ignore[import-not-found]
+except ImportError:
+    try:
+        import brotlicffi as _brotli  # type: ignore[import-not-found]
+    except ImportError:
+        _brotli = None
+
 __all__ = ["write_synthetic_warc", "read_warc_pages", "parse_warc_bytes"]
 
 _CRLF = b"\r\n"
@@ -242,9 +250,15 @@ def _http_body(record_body: bytes) -> bytes | None:
         # RFC says zlib-wrapped, but raw-deflate senders are legion: sniff.
         out = _inflate(body, zlib.MAX_WBITS)
         return out if out is not None else _inflate(body, -zlib.MAX_WBITS)
+    if ce == "br" and _brotli is not None:
+        try:
+            out = _brotli.decompress(body)
+        except Exception:
+            return None
+        return out if len(out) <= _MAX_BODY else None
     if ce in ("", "identity"):
         return body
-    return None  # br/zstd/unknown: no codec in this runtime → quarantine
+    return None  # br-without-codec/zstd/unknown → quarantine this record
 
 
 _GZIP_MAGIC = b"\x1f\x8b"

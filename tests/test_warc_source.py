@@ -234,14 +234,24 @@ def test_http_corrupt_gzip_entity_quarantines(tmp_path):
 
 
 def test_http_unknown_content_encoding_quarantines():
-    from intelligent_ocr_spark.sources.warc import _http_body
+    from intelligent_ocr_spark.sources import warc as W
 
-    rec = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+    rec = (b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n"
            b"Content-Length: 4\r\n\r\nXXXX")
-    assert _http_body(rec) is None
+    assert W._http_body(rec) is None
+    # br decodes iff a brotli codec is importable; garbage br always quarantines
+    br = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+          b"Content-Length: 4\r\n\r\nXXXX")
+    if W._brotli is None:
+        assert W._http_body(br) is None
+    else:
+        assert W._http_body(br) is None  # XXXX is not a valid br stream
+        good = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n"
+                + W._brotli.compress(b"hello"))
+        assert W._http_body(good) == b"hello"
     # identity passthrough still works
     rec2 = b"HTTP/1.1 200 OK\r\nContent-Length: 4\r\n\r\nXXXX"
-    assert _http_body(rec2) == b"XXXX"
+    assert W._http_body(rec2) == b"XXXX"
 
 
 def test_dechunk_edge_cases():
