@@ -23,6 +23,7 @@ __all__ = [
     "token_count",
     "subword_estimate",
     "fingerprint",
+    "repetition_signals",
 ]
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "with")
@@ -102,3 +103,58 @@ def fingerprint(col: Column, k: int = 5) -> Column:
     ``core/checkpoint.py:104-124``)."""
     smallest = F.slice(F.array_sort(F.array_distinct(tokens(col))), 1, k)
     return F.md5(F.concat_ws("|", smallest).cast("binary"))
+
+
+def repetition_signals(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition quality signals per document.
+
+    Published training-data pipelines (Gopher/MassiveText, CCNet,
+    RefinedWeb — see PAPERS.md) filter documents whose content is
+    dominated by repeats. Emitted per doc:
+
+    * ``n_tokens`` — total token count
+    * ``distinct_frac`` — distinct/total tokens (low = repetitive)
+    * ``max_word_frac`` — share of the single most frequent token
+    * ``top_bigram_frac`` — share of tokens covered by the most frequent
+      2-gram (``2·count/ n``), the classic boilerplate-loop detector
+
+    Shape: one token explode → two-level aggregation with map-side
+    combine (the simhash shuffle argument: O(docs × distinct tokens)
+    rows into the exchange, never O(corpus tokens)); the bigram branch
+    reuses the same pattern and joins back on doc_id. Ties in "most
+    frequent" need no breaking — only the count reaches the output.
+    """
+    from intelligent_ocr_spark.operators.dedup import shingles
+
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    toks = base.select("doc_id", F.explode(tokens(F.col("_t"))).alias("tok"))
+    word_stats = (
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_word"),
+        )
+    )
+    bigrams = base.select(
+        "doc_id", F.explode(shingles(F.col("_t"), n=2)).alias("bg")
+    )
+    bigram_stats = (
+        bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram"))
+    )
+    n = F.col("n_tokens").cast("double")
+    return (
+        word_stats.join(bigram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_distinct") / n).alias("distinct_frac"),
+            (F.col("max_word") / n).alias("max_word_frac"),
+            F.coalesce(
+                F.lit(2.0) * F.col("max_bigram") / n, F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )

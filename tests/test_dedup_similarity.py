@@ -242,3 +242,17 @@ def test_ivf_refined_recall(spark):
     r0, r1 = recall(0), recall(1)
     assert r1 > r0, (r0, r1)
     assert r1 >= 0.9, (r0, r1)
+
+
+def test_repetition_signals_known_answers(spark):
+    from intelligent_ocr_spark.functions.textstats import repetition_signals
+
+    rows = [(1, "a a a b"), (2, "x y z w"), (3, "q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["distinct_frac"] == 0.5
+    assert got[1]["max_word_frac"] == 0.75
+    assert got[1]["top_bigram_frac"] == 1.0  # "a a" twice → 2·2/4
+    assert got[2]["distinct_frac"] == 1.0 and got[2]["top_bigram_frac"] == 0.5
+    assert got[3]["n_tokens"] == 1 and got[3]["top_bigram_frac"] == 0.0
