@@ -50,6 +50,8 @@ HEADLINE_QUERIES = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "mm_decode_stats",
+    "url_canonicalize",
+    "text_repetition_signals",
 ]
 
 
@@ -272,7 +274,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
     pages = ensure_bench_pages(n_docs)
     small, big, pairs = scaling_trials(n_small, n_big, pages, trials)
     # full level gets the same peak-of-trials treatment as the scaling
