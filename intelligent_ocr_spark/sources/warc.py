@@ -327,11 +327,17 @@ def _rows_from_stream(payload: bytes) -> list[dict]:
         if not url:
             continue
         html = _http_body(body)
-        try:
-            ts = datetime.strptime(
-                headers.get("warc-date", ""), "%Y-%m-%dT%H:%M:%SZ"
-            ).replace(tzinfo=timezone.utc)
-        except ValueError:
+        raw_ts = headers.get("warc-date", "")
+        ts = None
+        # WARC/1.0 dates are second-resolution; WARC/1.1 permits fractional
+        # seconds (ISO 8601) — accept both, fall back to epoch on garbage
+        for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+            try:
+                ts = datetime.strptime(raw_ts, fmt).replace(tzinfo=timezone.utc)
+                break
+            except ValueError:
+                continue
+        if ts is None:
             ts = datetime(1970, 1, 1, tzinfo=timezone.utc)
         rows.append(
             {"url": url, "warc_ts": ts, "html": html, "text": "", "lang": None}

@@ -281,3 +281,30 @@ def test_encoded_bodies_through_spark_extraction(spark, tmp_path):
         for r in extract_pages(read_warc_pages(spark, str(tmp_path / "plain.warc"))).collect()
     }
     assert ext == ext_plain and len(ext) == len(rows)
+
+
+def test_warc11_fractional_second_dates():
+    """WARC/1.1 ISO-8601 dates with fractional seconds parse; garbage
+    falls back to epoch rather than dropping the record."""
+    from datetime import datetime, timezone
+
+    from intelligent_ocr_spark.sources.warc import _rows_from_stream
+
+    def rec(date):
+        http = b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi"
+        head = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: http://x/\r\n"
+                + f"WARC-Date: {date}".encode() + b"\r\n"
+                + f"Content-Length: {len(http)}".encode() + b"\r\n\r\n")
+        return head + http + b"\r\n\r\n"
+
+    rows = _rows_from_stream(
+        rec("2024-03-01T10:20:30Z")
+        + rec("2024-03-01T10:20:30.123456Z")
+        + rec("not-a-date")
+    )
+    assert [r["warc_ts"] for r in rows] == [
+        datetime(2024, 3, 1, 10, 20, 30, tzinfo=timezone.utc),
+        datetime(2024, 3, 1, 10, 20, 30, 123456, tzinfo=timezone.utc),
+        datetime(1970, 1, 1, tzinfo=timezone.utc),
+    ]
