@@ -124,10 +124,16 @@ def repetition_signals(df, id_col: str = "doc_id", text_col: str = "text"):
     reuses the same pattern and joins back on doc_id. Ties in "most
     frequent" need no breaking — only the count reaches the output.
     """
-    from intelligent_ocr_spark.operators.dedup import shingles
+    from intelligent_ocr_spark.util import ensure_parallelism
 
-    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-    toks = base.select("doc_id", F.explode(tokens(F.col("_t"))).alias("tok"))
+    # materialize the token array ONCE: building shingles via
+    # transform+element_at over the raw text expression would re-evaluate
+    # the split per element access (Catalyst does not CSE inside lambda
+    # bodies) — quadratic per doc
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = base.select("doc_id", F.explode("_toks").alias("tok"))
     word_stats = (
         toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
@@ -137,9 +143,17 @@ def repetition_signals(df, id_col: str = "doc_id", text_col: str = "text"):
             F.max("c").alias("max_word"),
         )
     )
-    bigrams = base.select(
-        "doc_id", F.explode(shingles(F.col("_t"), n=2)).alias("bg")
-    )
+    tarr = F.col("_toks")
+    bigram_arr = F.when(
+        F.size(tarr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tarr) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tarr, i), F.element_at(tarr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = base.select("doc_id", F.explode(bigram_arr).alias("bg"))
     bigram_stats = (
         bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
