@@ -1426,6 +1426,100 @@ def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pipeline_web_corpus",
+    # the full web-corpus shape over messy crawl URLs: canonicalize →
+    # url-level dedup (two crawl spellings per canonical page) → token
+    # + repetition quality gates → per-lang corpus stats. avg distinct
+    # fraction is aggregated on floor-scaled integers so both engines
+    # compute the identical value (double-avg is summation-order-
+    # dependent).
+    """
+    WITH m AS (
+      SELECT doc_id, text, lang, doc_id // 2 AS base,
+        CASE WHEN doc_id % 2 = 0
+          THEN 'HTTP://Site' || CAST((doc_id // 2) % 13 AS VARCHAR)
+               || '.Example.COM:80/a/' || CAST(doc_id // 2 AS VARCHAR)
+               || '?utm_source=x&q=1#f'
+          ELSE 'http://site' || CAST((doc_id // 2) % 13 AS VARCHAR)
+               || '.example.com/a/' || CAST(doc_id // 2 AS VARCHAR) || '?q=1'
+        END AS url
+      FROM documents
+    ), canon AS (
+      -- both spellings canonicalize to http://site{h}.example.com/a/{base}?q=1
+      SELECT doc_id, text, lang,
+             'http://site' || CAST(base % 13 AS VARCHAR) || '.example.com/a/'
+             || CAST(base AS VARCHAR) || '?q=1' AS canon_url
+      FROM m
+    ), dedup AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn
+        FROM canon
+      ) WHERE rn = 1
+    ), gated AS (
+      SELECT doc_id, lang, len(toks) AS n_toks,
+             CAST(floor(len(list_distinct(toks))::DOUBLE / len(toks) * 1e6)
+                  AS BIGINT) AS df6
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM dedup)
+      WHERE len(toks) >= 10
+        AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.3
+    )
+    SELECT lang, count(*) AS docs, CAST(sum(n_toks) AS BIGINT) AS tokens,
+           CAST(floor(CAST(sum(df6) AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_distinct_frac_micros
+    FROM gated GROUP BY lang
+    """,
+)
+def q_pipeline_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed web-corpus pipeline: messy crawl URLs (two spellings per
+    canonical page) → canonical_url → first-seen url dedup → token-count
+    + repetition (distinct-fraction) quality gates → per-lang stats.
+    One window shuffle on the canonical url + one stats shuffle; every
+    expression JVM-side."""
+    from intelligent_ocr_spark.functions.urlnorm import canonical_url
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.floor(F.col("doc_id") / 2).cast("long")
+    messy_url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTP://Site"), (base % 13).cast("string"),
+            F.lit(".Example.COM:80/a/"), base.cast("string"),
+            F.lit("?utm_source=x&q=1#f"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://site"), (base % 13).cast("string"),
+            F.lit(".example.com/a/"), base.cast("string"), F.lit("?q=1"),
+        )
+    )
+    pages = d.select("doc_id", "text", "lang", canonical_url(messy_url).alias("canon_url"))
+    w_first = W.partitionBy("canon_url").orderBy("doc_id")
+    kept = pages.withColumn("_rn", F.row_number().over(w_first)).filter(F.col("_rn") == 1)
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    dfrac = F.size(F.array_distinct(toks)).cast("double") / n_toks
+    gated = (
+        kept.select(
+            "doc_id", "lang", n_toks.alias("n_toks"),
+            F.floor(dfrac * F.lit(1e6)).cast("long").alias("df6"),
+            dfrac.alias("_df"),
+        )
+        .filter((F.col("n_toks") >= 10) & (F.col("_df") >= 0.3))
+    )
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_toks").cast("long").alias("tokens"),
+        F.floor(F.sum("df6").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("avg_distinct_frac_micros"),
+    )
+
+
 _SHINGLE_SQL = """
       list_transform(
         range(1, greatest(len(toks) - 1, 1)),
@@ -1805,6 +1899,7 @@ _VERIFY_FIRST = [
     # new in round 3
     "url_canonicalize",
     "text_repetition_signals",
+    "pipeline_web_corpus",
     # never driver-verified through round 2 (VERDICT r2 "What's wrong" #1)
     "x3_dual_insert_variants",
     "mm_frame_sample",
