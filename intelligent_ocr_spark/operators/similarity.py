@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from intelligent_ocr_spark.util import ensure_parallelism
+
 __all__ = [
     "dot", "norm", "cosine", "cosine_topk", "sign_bucket", "ann_lsh_topk",
     "embedding_near_dups", "ivf_assign_cells", "ivf_topk",
@@ -61,7 +63,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -110,7 +114,8 @@ def ivf_assign_cells(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
-        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        ensure_parallelism(vectors)
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
         .crossJoin(F.broadcast(cents))
         .withColumn("d", _l2sq(F.col("vec"), F.col("cvec")))
     )
@@ -225,7 +230,7 @@ def embedding_near_dups(
     probability; ``b`` trades recall for cost, same scale argument as
     MinHash banding). Returns (id_a, id_b, score) with id_a < id_b.
     """
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         sign_bucket(F.col(vec_col), b).alias("bucket"),
@@ -262,7 +267,7 @@ def ann_lsh_topk(
         F.col(vec_col).alias("qvec"),
         sign_bucket(F.col(vec_col), b).alias("bucket"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cvec"),
         sign_bucket(F.col(vec_col), b).alias("bucket"),
