@@ -140,25 +140,36 @@ def run_child(cores: int, input_path: str, trial: int = 0) -> dict:
 
 def scaling_trials(
     n_small: int, n_big: int, input_path: str, trials: int
-) -> tuple[dict, dict, list[float]]:
+) -> tuple[list[dict], list[dict], list[float]]:
     """Interleaved paired trials: (small, big) back-to-back per trial so
     both levels sample the same host-noise environment (this VM shares a
-    host; absolute throughput drifts ±20% across minutes). Returns the
-    best run per level and the per-pair efficiency list."""
-    small_best: dict | None = None
-    big_best: dict | None = None
+    host; absolute throughput drifts ±20% across minutes). Returns ALL
+    runs per level plus the per-pair efficiency list — the caller derives
+    both the peak and the median-of-level estimators from the full
+    samples."""
+    smalls: list[dict] = []
+    bigs: list[dict] = []
     pairs: list[float] = []
     for t in range(max(trials, 1)):
         s = run_child(n_small, input_path, t)
         b = run_child(n_big, input_path, t)
         pairs.append(b["docs_per_sec"] / (4.0 * s["docs_per_sec"]))
-        if small_best is None or s["docs_per_sec"] > small_best["docs_per_sec"]:
-            s["checksum"] = s["checksum"] or (small_best or {}).get("checksum")
-            small_best = s
-        if big_best is None or b["docs_per_sec"] > big_best["docs_per_sec"]:
-            b["checksum"] = b["checksum"] or (big_best or {}).get("checksum")
-            big_best = b
-    return small_best, big_best, pairs
+        smalls.append(s)
+        bigs.append(b)
+    return smalls, bigs, pairs
+
+
+def _best(runs: list[dict]) -> dict:
+    best = max(runs, key=lambda r: r["docs_per_sec"])
+    if best["checksum"] is None:  # only trial 0 computes the checksum
+        best = dict(best, checksum=runs[0]["checksum"])
+    return best
+
+
+def _median_tput(runs: list[dict]) -> float:
+    import statistics
+
+    return statistics.median(r["docs_per_sec"] for r in runs)
 
 
 def run_headliners(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, float]]:
@@ -202,16 +213,38 @@ def warm_delta_vs_prev(queries_warm: dict[str, float]) -> dict:
     noise band (|Δ| ≤ 30% or < 0.3 s absolute) are annotated ``noise``;
     larger slowdowns ``investigate``; larger speedups ``improved``.
 
-    Source of truth = the newest driver-committed ``BENCH_r*.json`` in the
-    repo root. Also regenerates ``BENCH/WARM_TREND.md`` as a table.
+    Source of truth = the newest driver-committed ``BENCH_r*.json`` from a
+    round STRICTLY BEFORE the current one (current round read from
+    ``PROGRESS.jsonl``; override with ``SPARK_GRAFT_ROUND``). Without the
+    exclusion, a rerun after the driver has already written this round's
+    snapshot would compare the run against itself and report everything as
+    "noise" (round-3 advisor finding). Also regenerates
+    ``BENCH/WARM_TREND.md`` as a table.
     """
     import glob
     import re
 
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cur_round = None
+    if os.environ.get("SPARK_GRAFT_ROUND"):
+        cur_round = int(os.environ["SPARK_GRAFT_ROUND"])
+    else:
+        try:
+            with open(os.path.join(repo, "PROGRESS.jsonl")) as f:
+                lines = [ln for ln in f if ln.strip()]
+            cur_round = int(json.loads(lines[-1])["round"])
+        except (OSError, ValueError, KeyError, IndexError):
+            pass
     prior = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        glob.glob(os.path.join(repo, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
+    if cur_round is not None:
+        prior = [
+            p
+            for p in prior
+            if int(re.search(r"r(\d+)", os.path.basename(p)).group(1)) < cur_round
+        ]
     if not prior:
         return {"prev": None, "deltas": {}}
     prev_path = prior[-1]
@@ -274,26 +307,34 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
     pages = ensure_bench_pages(n_docs)
-    small, big, pairs = scaling_trials(n_small, n_big, pages, trials)
-    # full level gets the same peak-of-trials treatment as the scaling
-    # pair: a single observation here was seen 2-4x off under host steal
+    smalls, bigs, pairs = scaling_trials(n_small, n_big, pages, trials)
+    small, big = _best(smalls), _best(bigs)
+    # full level gets the same multi-trial treatment as the scaling pair:
+    # a single observation here was seen 2-4x off under host steal
     if cpus > n_big:
-        runs = [run_child(cpus, pages, t) for t in range(2)]
-        full = max(runs, key=lambda r: r["docs_per_sec"])
-        full["checksum"] = runs[0]["checksum"]  # only trial 0 computes it
+        runs = [run_child(cpus, pages, t) for t in range(3)]
+        full = _best(runs)
+        full_median = _median_tput(runs)
     else:
         full = big
-    # headline efficiency from the PEAK throughput of each level across the
-    # interleaved trials: host noise (shared VM) only ever slows a run, so
-    # the fastest observation per level is the cleanest estimate of that
-    # level; a per-pair ratio can be inflated when noise hits only the
-    # small run, so pairs are reported for transparency but not headlined
+        full_median = _median_tput(bigs)
+    # Three efficiency estimators, most to least robust under one-sided
+    # host noise (shared VM — noise only ever SLOWS a run):
+    #   * peak: fastest observation per level; cleanest per-level estimate
+    #     but a lucky big run can overstate the ratio;
+    #   * median-of-level: median throughput per level; a single stolen
+    #     run cannot move it, and unlike median-of-pairs it does not let
+    #     one noisy small run corrupt one pair ratio;
+    #   * median-pair: kept for round-over-round comparability and raw
+    #     transparency (it is the noisiest of the three: each ratio mixes
+    #     the noise of TWO runs).
     efficiency = big["docs_per_sec"] / (4.0 * small["docs_per_sec"])
     import statistics
 
     efficiency_median = statistics.median(pairs)
+    efficiency_median_level = _median_tput(bigs) / (4.0 * _median_tput(smalls))
     # differential gate: all parallelism levels must emit the identical corpus
     assert small["checksum"] == big["checksum"] == full["checksum"], (
         "output differs across parallelism levels",
@@ -323,11 +364,15 @@ def main() -> None:
                     "cores_4n": n_big,
                     "docs_per_sec_n": round(small["docs_per_sec"], 1),
                     "docs_per_sec_4n": round(big["docs_per_sec"], 1),
+                    "docs_per_sec_n_median": round(_median_tput(smalls), 1),
+                    "docs_per_sec_4n_median": round(_median_tput(bigs), 1),
                     "scaling_efficiency": round(efficiency, 3),
+                    "scaling_efficiency_median_level": round(efficiency_median_level, 3),
                     "scaling_efficiency_median_pair": round(efficiency_median, 3),
                     "efficiency_pairs": [round(p, 3) for p in pairs],
-                    "method": "peak throughput per level over interleaved trials; pairs shown for noise transparency",
+                    "method": "peak + median throughput per level over interleaved trials; median-of-level is the robust headline, pairs shown for noise transparency",
                     "docs_per_sec_full": round(full["docs_per_sec"], 1),
+                    "docs_per_sec_full_median": round(full_median, 1),
                     "cores_full": cpus,
                 },
             }

@@ -59,7 +59,10 @@ def canonical_url(url: Column) -> Column:
     ).otherwise(hostport)
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # the '?' must be matched BEFORE any '#': an unanchored \? would latch
+    # onto a '?' inside the fragment (http://h/p#a?x=1) and leak fragment
+    # content into the canonical query (round-3 advisor finding)
+    query = F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
     params = F.array_join(
         F.array_sort(
             F.filter(

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from intelligent_ocr_spark.functions.charset import decode_html_bytes
 from intelligent_ocr_spark.functions.fasthtml import fast_applicable, fast_feed
 from intelligent_ocr_spark.functions.layout import Block, estimate_font_size, is_vertical, reading_order
 from intelligent_ocr_spark.functions.normalize import get_normalizer, nfkc
@@ -342,11 +343,13 @@ def extract_record(
             return analyze_decoded_image(arr, vertical, zoom)
 
     else:
-        try:
-            raw = data.decode("utf-8")
-        except (UnicodeDecodeError, ValueError) as e:
-            # binary bytes fail utf-8 → non-retryable quarantine
-            out["error"] = f"html_decode: {e.__class__.__name__}"
+        # charset resolution (BOM → strict UTF-8 → <meta> sniff with
+        # WHATWG label mapping — functions/charset.py): GBK/Big5/Shift-JIS/
+        # EUC-KR/cp1252 pages decode instead of quarantining; only genuine
+        # decode failure (mislabeled bytes, no charset evidence) quarantines
+        raw, cs_err = decode_html_bytes(data)
+        if raw is None:
+            out["error"] = f"html_decode: {cs_err}"
             return out
 
         def _parse():

@@ -230,8 +230,14 @@ def gen_row(i: int, seed: int = 42) -> dict:
         text = _en_sentence(rng, 20) + " " + _en_sentence(rng, 15)
         html = _boilerplate_article(i, rng, "en").encode("utf-8")
     elif cls == 5:
-        # malformed: alternate NULL html and invalid-UTF-8 bytes
-        html = None if i % 2 == 0 else b"\xff\xfe\x00garbage<html" + bytes([i % 256])
+        # malformed: alternate NULL html and a broken byte stream — a
+        # UTF-16-LE BOM followed by an ODD number of bytes, so the charset
+        # resolver's BOM path rejects it (bom_utf16_bad) instead of the
+        # legacy-charset sniff rescuing it (charset layer: functions/charset.py).
+        # NB alternate on i//20, not i: class 5 sits at i%20==18, so i is
+        # always even and `i % 2` never varied — the byte-garbage branch was
+        # dead code through round 3
+        html = None if (i // 20) % 2 == 0 else b"\xff\xfegarbage<html" + bytes([i % 256])
     else:
         html = _low_conf_page(i, rng).encode("utf-8")
         lang = "zh"

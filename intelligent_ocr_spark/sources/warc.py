@@ -31,6 +31,7 @@ are byte-stable.
 from __future__ import annotations
 
 import gzip
+import re
 import zlib
 from datetime import datetime, timezone
 from typing import Iterable, Iterator
@@ -39,6 +40,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
+from intelligent_ocr_spark.functions.charset import decode_html_bytes, normalize_charset_label
 from intelligent_ocr_spark.sources.pages import PAGES_SCHEMA
 
 try:  # brotli bodies are common on real crawls; decode when a codec exists
@@ -67,7 +69,12 @@ def _encode_chunked(body: bytes, chunk: int = 17) -> bytes:
 
 
 def _warc_record(
-    url: str, ts: datetime, html: bytes, lang: str, encoding: str | None = None
+    url: str,
+    ts: datetime,
+    html: bytes,
+    lang: str,
+    encoding: str | None = None,
+    charset: str | None = "utf-8",
 ) -> bytes:
     """One WARC response record wrapping an HTTP/1.1 200 response.
 
@@ -75,7 +82,12 @@ def _warc_record(
     bytes, not the decoded entity): ``"chunked"``, ``"gzip"``, ``"deflate"``,
     or ``"chunked+gzip"`` (gzip entity re-framed as chunks, the common
     nginx+keepalive shape). ``"truncated-chunk"`` emits a chunked body whose
-    final chunk is cut short — a broken record that must quarantine."""
+    final chunk is cut short — a broken record that must quarantine.
+
+    ``charset`` is the label written into ``Content-Type`` (the caller
+    supplies ``html`` bytes already encoded in it); ``None`` omits the
+    charset attribute entirely — the header-less shape that forces the
+    extraction stage's own BOM/``<meta>`` sniff."""
     body = html
     extra = b""
     if encoding in ("gzip", "chunked+gzip"):
@@ -92,9 +104,12 @@ def _warc_record(
         length_line = b""
     else:
         length_line = f"Content-Length: {len(body)}".encode() + _CRLF
+    ctype = b"Content-Type: text/html" + (
+        f"; charset={charset}".encode() if charset else b""
+    )
     http = (
         b"HTTP/1.1 200 OK" + _CRLF
-        + b"Content-Type: text/html; charset=utf-8" + _CRLF
+        + ctype + _CRLF
         + f"Content-Language: {lang}".encode() + _CRLF
         + extra
         + length_line
@@ -132,6 +147,7 @@ def write_synthetic_warc(path: str, rows: list[dict]) -> None:
             f.write(member(_warc_record(
                 r["url"], r["warc_ts"], bytes(r["html"]), r["lang"],
                 encoding=r.get("encoding"),
+                charset=r.get("charset", "utf-8"),
             )))
 
 
@@ -212,18 +228,47 @@ def _dechunk(body: bytes) -> bytes | None:
 
 
 def _inflate(body: bytes, wbits: int) -> bytes | None:
-    """Bounded one-shot decompress; None on corrupt stream or cap breach."""
-    d = zlib.decompressobj(wbits=wbits)
-    try:
-        out = d.decompress(body, _MAX_BODY)
-    except zlib.error:
-        return None
-    if d.unconsumed_tail:
-        return None  # decoded entity exceeds the cap
-    return out
+    """Bounded decompress; None on corrupt OR TRUNCATED stream or cap breach.
+
+    Truncation is detected via ``d.eof`` — a cut-short gzip/deflate stream
+    decompresses without a zlib error, so without the eof check a truncated
+    capture would silently ingest partial HTML (round-3 advisor finding;
+    the ``_http_body`` contract is that truncated entities return None).
+    A gzip entity may legally be several concatenated members (RFC 9110
+    permits it; some servers emit it), so on clean eof with a further gzip
+    member in ``unused_data`` the walk continues; any other trailing bytes
+    are garbage -> quarantine.
+    """
+    out: list[bytes] = []
+    total = 0
+    data = body
+    while True:
+        d = zlib.decompressobj(wbits=wbits)
+        try:
+            chunk = d.decompress(data, _MAX_BODY - total)
+        except zlib.error:
+            return None
+        if d.unconsumed_tail:
+            return None  # decoded entity exceeds the cap
+        if not d.eof:
+            return None  # truncated stream
+        out.append(chunk)
+        total += len(chunk)
+        tail = d.unused_data
+        if not tail:
+            return b"".join(out)
+        if wbits > zlib.MAX_WBITS and tail[:2] == _GZIP_MAGIC:
+            data = tail  # next gzip member of a multi-member entity
+            continue
+        return None  # trailing garbage after the compressed stream
 
 
 def _http_body(record_body: bytes) -> bytes | None:
+    """Entity bytes only (compat wrapper over ``_http_entity``)."""
+    return _http_entity(record_body)[0]
+
+
+def _http_entity(record_body: bytes) -> tuple[bytes | None, dict[str, str]]:
     """Decode the HTTP response envelope down to the entity bytes.
 
     WARC response records store the WIRE bytes, so real Common Crawl pages
@@ -233,32 +278,70 @@ def _http_body(record_body: bytes) -> bytes | None:
     Returns None — quarantining just this record — for a non-HTTP payload,
     malformed/truncated chunking, a corrupt compressed entity, a decoded
     entity over the 64 MiB cap, or an encoding we cannot decode (e.g. br
-    without a brotli codec in the runtime)."""
+    without a brotli codec in the runtime). The second element is the
+    parsed HTTP header map (empty on a non-HTTP payload) — the charset in
+    ``Content-Type`` lives there and drives ingest-time transcoding."""
     sep = record_body.find(_CRLF + _CRLF)
     if sep < 0 or not record_body.startswith(b"HTTP/"):
-        return None
+        return None, {}
     headers = _parse_headers(record_body[:sep])
     body = record_body[sep + 4 :]
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
         if body is None:
-            return None
+            return None, headers
     ce = headers.get("content-encoding", "").strip().lower()
     if ce in ("gzip", "x-gzip"):
-        return _inflate(body, 16 + zlib.MAX_WBITS)
-    if ce == "deflate":
+        return _inflate(body, 16 + zlib.MAX_WBITS), headers
+    elif ce == "deflate":
         # RFC says zlib-wrapped, but raw-deflate senders are legion: sniff.
         out = _inflate(body, zlib.MAX_WBITS)
-        return out if out is not None else _inflate(body, -zlib.MAX_WBITS)
-    if ce == "br" and _brotli is not None:
-        try:
-            out = _brotli.decompress(body)
-        except Exception:
-            return None
+        body = out if out is not None else _inflate(body, -zlib.MAX_WBITS)
+    elif ce == "br" and _brotli is not None:
+        body = _brotli_body(body)
+    elif ce not in ("", "identity"):
+        body = None  # br-without-codec/zstd/unknown → quarantine this record
+    return body, headers
+
+
+def _brotli_body(body: bytes) -> bytes | None:
+    """Brotli entity decode with the 64 MiB cap enforced DURING
+    decompression, not after: the one-shot ``brotli.decompress`` would
+    materialize a bomb's full output before any size check could run
+    (round-3 advisor finding — gzip/deflate were already streamed-capped
+    via decompressobj limits, br was not). The ``brotlicffi`` binding
+    exposes ``Decompressor.decompress(data, max_output_length=...)`` which
+    enforces the cap natively; the Google ``brotli`` binding streams via
+    ``Decompressor.process`` with the cap checked per 64 KiB input feed
+    (bounds the overshoot to one feed's expansion instead of the whole
+    bomb); a binding with neither API falls back to one-shot + post-hoc
+    cap, no worse than before."""
+    try:
+        d = _brotli.Decompressor()
+        if hasattr(d, "decompress"):  # brotlicffi: native output cap
+            out = d.decompress(body, max_output_length=_MAX_BODY + 1)
+            if len(out) > _MAX_BODY:
+                return None
+            if hasattr(d, "is_finished") and not d.is_finished():
+                return None  # truncated brotli stream
+            return out
+        if hasattr(d, "process"):  # Google brotli: feed-bounded streaming
+            parts: list[bytes] = []
+            total = 0
+            step = 1 << 16
+            for i in range(0, len(body), step):
+                chunk = d.process(body[i : i + step])
+                total += len(chunk)
+                if total > _MAX_BODY:
+                    return None
+                parts.append(chunk)
+            if hasattr(d, "is_finished") and not d.is_finished():
+                return None
+            return b"".join(parts)
+        out = _brotli.decompress(body)  # binding without a streaming API
         return out if len(out) <= _MAX_BODY else None
-    if ce in ("", "identity"):
-        return body
-    return None  # br-without-codec/zstd/unknown → quarantine this record
+    except Exception:
+        return None  # corrupt / truncated stream, or cap raised natively
 
 
 _GZIP_MAGIC = b"\x1f\x8b"
@@ -318,6 +401,29 @@ def parse_warc_bytes(payload: bytes) -> list[dict]:
     return _rows_from_stream(payload)
 
 
+_CHARSET_RE = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9._:-]+)", re.IGNORECASE)
+
+
+def _transcode_legacy(entity: bytes | None, http_headers: dict[str, str]) -> bytes | None:
+    """Ingest-time charset normalization: when the HTTP ``Content-Type``
+    declares a legacy charset (GBK, Big5, Shift-JIS, EUC-KR, Latin-1, ...)
+    the entity is transcoded to UTF-8 here — the header is only in hand at
+    this layer; the pages-table schema (url, warc_ts, html, text, lang)
+    has no column to carry it downstream. The extraction stage's own
+    resolver (functions/charset.py) covers BOM and ``<meta>`` evidence, so
+    pages ingested from other sources still decode. On decode failure the
+    raw bytes pass through — extraction quarantines them with a stable
+    reason rather than ingest silently dropping the record."""
+    if entity is None:
+        return None
+    m = _CHARSET_RE.search(http_headers.get("content-type", ""))
+    codec = normalize_charset_label(m.group(1)) if m else None
+    if codec is None or codec == "utf-8":
+        return entity
+    text, _err = decode_html_bytes(entity, header_charset=m.group(1))
+    return text.encode("utf-8") if text is not None else entity
+
+
 def _rows_from_stream(payload: bytes) -> list[dict]:
     rows: list[dict] = []
     for headers, body in _iter_records(payload):
@@ -326,7 +432,7 @@ def _rows_from_stream(payload: bytes) -> list[dict]:
         url = headers.get("warc-target-uri")
         if not url:
             continue
-        html = _http_body(body)
+        html = _transcode_legacy(*_http_entity(body))
         raw_ts = headers.get("warc-date", "")
         ts = None
         # WARC/1.0 dates are second-resolution; WARC/1.1 permits fractional

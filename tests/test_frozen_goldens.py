@@ -15,7 +15,11 @@ import hashlib
 from intelligent_ocr_spark.operators.extract import extract_record
 from intelligent_ocr_spark.sources.pages import gen_row
 
-CORPUS_DIGEST_40 = "22328aef3a3220a1d8c8704b96e0973f"
+# regenerated in round 4 (reviewed diff: doc 38 only — the class-5
+# byte-garbage branch was dead code through round 3, `i % 2` with class 5
+# pinned to even i; it now alternates on i//20 and doc 38 quarantines as
+# html_decode: bom_utf16_bad instead of html_null)
+CORPUS_DIGEST_40 = "05370f173fba1680b1db82c0d1364115"
 
 PINNED = {
     # doc 0: boilerplate article (en)
