@@ -1770,8 +1770,15 @@ def _l2_sql(a: str, b: str) -> str:
                  ORDER BY {_l2_sql('e.embedding', 'c.cvec')}, c.cent_id) AS rn
         FROM embeddings e CROSS JOIN cents c
       ) WHERE rn = 1
+    ), qpick AS (
+      -- multi-probe: each query fans out to its nprobe=2 nearest cells
+      SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_l2_sql('e.embedding', 'c.cvec')}, c.cent_id) AS rn
+      FROM embeddings e CROSS JOIN cents c
+      WHERE e.vec_id < 20
     ), q AS (
-      SELECT vec_id AS query_id, embedding AS qvec, cell FROM assigned WHERE vec_id < 20
+      SELECT vec_id AS query_id, embedding AS qvec, cell FROM qpick WHERE rn <= 2
     ), c2 AS (
       SELECT vec_id AS cand_id, embedding AS cvec, cell FROM assigned
     ), scored AS (
@@ -1787,11 +1794,11 @@ def _l2_sql(a: str, b: str) -> str:
     """,
 )
 def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF ANN scale path (deterministic seed centroids, single probe)
+    # IVF ANN scale path (deterministic seed centroids, nprobe=2 multi-probe)
     from intelligent_ocr_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, e.filter(F.col("vec_id") < 20), k=5, n_cells=8)
+    return ivf_topk(e, e.filter(F.col("vec_id") < 20), k=5, n_cells=8, nprobe=2)
 
 
 # --------------------------------------------------------------------------
@@ -1917,6 +1924,9 @@ _CHANGED_THIS_ROUND = [
     # progresses; anything touched lands here
     "url_canonicalize",       # fragment-'?' fix in expr + oracle + data
     "source_warc_extract",    # _inflate eof check, brotli cap, charsets
+    "dedup_simhash",          # single-agg bit fold (no 64-row explode)
+    "sim_ivf_topk",           # nprobe=2 multi-probe + oracle twin
+    "a1_lineage_counters",    # lineage n_errors/fallback semantics
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 3's final ordering (re-verified by

@@ -105,11 +105,14 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 def ivf_assign_cells(
     vectors: DataFrame, centroids: DataFrame,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", nprobe: int = 1,
 ) -> DataFrame:
-    """IVF cell assignment: nearest centroid by squared-L2 (broadcast the
-    centroid table, window rank-1 per vector). Deterministic ties on
-    centroid id. Returns (vec_id, embedding, cell)."""
+    """IVF cell assignment: the ``nprobe`` nearest centroids by squared-L2
+    (broadcast the centroid table, window rank ≤ nprobe per vector).
+    Deterministic ties on centroid id. Returns (vec_id, embedding, cell)
+    — one row per probed cell, so ``nprobe=1`` (the default, used for the
+    corpus side) keeps the classic single-cell partitioning while query
+    sides can fan out to the k nearest cells."""
     cents = centroids.select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
     )
@@ -122,7 +125,7 @@ def ivf_assign_cells(
     w = W.partitionBy("vid").orderBy(F.col("d"), F.col("cent_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select(
             F.col("vid").alias(id_col),
             F.col("vec").alias(vec_col),
@@ -166,18 +169,25 @@ def ivf_refine_centroids(
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding", refine: int = 1,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN (single-probe): the second scale path beside sign-LSH.
+    """IVF ANN: the second scale path beside sign-LSH.
 
     Seed centroids = the first ``n_cells`` corpus vectors by id (a
     deterministic, training-free seeding), then ``refine`` Lloyd
     iterations (default 1): assign → per-cell floor-scaled mean →
     re-assign. Refined centroids track the data's actual clusters, so
     recall@k beats the seed-only index whenever the first ids are not
-    spread across clusters (see ``test_ivf_refined_recall``). Queries
-    score only candidates in their own cell: candidate set shrinks
-    ~n_cells× per probe. Cell sizes can skew with clustered data — AQE
-    skew-join splits hot cells, same argument as the LSH buckets.
+    spread across clusters (see ``test_ivf_refined_recall``). Each query
+    scores candidates from its ``nprobe`` nearest cells (standard IVF
+    multi-probe): ``nprobe=1`` loses recall for boundary-adjacent queries
+    — their true neighbors sit just across the cell wall — and raising it
+    buys recall for a linear candidate-cost factor (candidate set is
+    ~(nprobe/n_cells)× the corpus; see ``test_ivf_multiprobe_recall``).
+    Corpus rows stay single-cell, so a candidate appears at most once per
+    query and no post-join dedup is needed. Cell sizes can skew with
+    clustered data — AQE skew-join splits hot cells, same argument as the
+    LSH buckets.
     """
     # Deterministic seed that works for ANY id domain (string ids, sparse
     # numeric ids): the first n_cells rows by id order, materialized ONCE
@@ -200,7 +210,7 @@ def ivf_topk(
             refined.collect(), refined.schema
         )
         c_assigned = ivf_assign_cells(corpus, centroids, id_col, vec_col)
-    q_assigned = ivf_assign_cells(queries, centroids, id_col, vec_col)
+    q_assigned = ivf_assign_cells(queries, centroids, id_col, vec_col, nprobe=nprobe)
     q = q_assigned.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"
     )

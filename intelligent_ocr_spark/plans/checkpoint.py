@@ -73,7 +73,8 @@ LINEAGE_PA_SCHEMA = pa.schema(
         ("partition_id", pa.int32()),
         ("docs", pa.int64()),
         ("bytes", pa.int64()),
-        ("errors", pa.list_(pa.string())),
+        ("errors", pa.list_(pa.string())),  # bounded sample (first N sorted)
+        ("n_errors", pa.int64()),  # exact quarantine count (errors is a sample)
         ("skipped", pa.int64()),
         ("blank", pa.int64()),
         ("fallback", pa.int64()),

@@ -244,6 +244,69 @@ def test_ivf_refined_recall(spark):
     assert r1 >= 0.9, (r0, r1)
 
 
+def test_ivf_multiprobe_recall(spark):
+    """nprobe=2 must beat single-probe recall when queries sit near cell
+    boundaries (their true neighbors live just across the wall), and
+    multi-probe results must stay consistent: scores exact, ranks 1..k,
+    each (query, cand) pair at most once. Ground truth = brute force."""
+    import hashlib
+    import math
+
+    from intelligent_ocr_spark.operators.similarity import ivf_topk
+
+    def h(i, d):
+        return int(hashlib.md5(f"mp{i}:{d}".encode()).hexdigest()[:4], 16) / 65535.0
+
+    # corpus = two tight clusters on axes 0 and 2 (nothing in between, so
+    # the refined cells are exactly the clusters); queries = BOUNDARY
+    # vectors halfway between them, NOT in the corpus — each query's true
+    # top-5 necessarily mixes points from both cells, so single-probe
+    # (one cell per query) must lose recall and nprobe=2 must recover it
+    def vec(kind, i):
+        if kind == "a":
+            base = [1.0, 0, 0, 0]
+        elif kind == "b":
+            base = [0, 0, 1.0, 0]
+        else:  # boundary: equidistant direction
+            base = [0.7071, 0, 0.7071, 0]
+        v = [b + 0.15 * (h(i, d) - 0.5) for d, b in enumerate(base)]
+        nrm = math.sqrt(sum(x * x for x in v))
+        return [x / nrm for x in v]
+
+    rows = []
+    nid = 0
+    for kind in ("a", "b"):
+        for _ in range(20):
+            rows.append((nid, vec(kind, nid)))
+            nid += 1
+    qrows = [(1000 + i, vec("m", 1000 + i)) for i in range(10)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(qrows, "vec_id long, embedding array<double>")
+
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+
+    def run(nprobe):
+        return ivf_topk(corpus, queries, k=5, n_cells=2, refine=1, nprobe=nprobe)
+
+    got1 = run(1).collect()
+    got2 = run(2).collect()
+    rec1 = len({(r["query_id"], r["cand_id"]) for r in got1} & truth) / len(truth)
+    rec2 = len({(r["query_id"], r["cand_id"]) for r in got2} & truth) / len(truth)
+    assert rec2 > rec1, (rec1, rec2)
+    assert rec2 == 1.0, rec2  # 2 cells probed of 2 -> exhaustive
+    # structural consistency of the multi-probe result
+    pairs = [(r["query_id"], r["cand_id"]) for r in got2]
+    assert len(pairs) == len(set(pairs))
+    by_q = {}
+    for r in got2:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
 def test_repetition_signals_known_answers(spark):
     from intelligent_ocr_spark.functions.textstats import repetition_signals
 

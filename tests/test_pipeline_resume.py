@@ -158,9 +158,69 @@ def test_lineage_rows(spark, tmp_path):
     rows = lin.collect()
     assert sum(r["docs"] for r in rows) == N
     assert all(r["input_snapshot_id"] == SNAPSHOT for r in rows)
-    assert sum(len(r["errors"]) for r in rows) == N // 20  # malformed class = 5%
+    assert sum(r["n_errors"] for r in rows) == N // 20  # malformed class = 5%
+    assert sum(len(r["errors"]) for r in rows) <= sum(r["n_errors"] for r in rows)
     assert sum(r["blank"] for r in rows) == N // 20
     assert {r["partition_id"] for r in rows} <= set(range(8))
+
+
+def test_poisoned_partition_lineage_bounded(spark, tmp_path):
+    """A partition where EVERY row quarantines keeps its lineage row
+    bounded: errors is a capped sample, n_errors the exact count."""
+    from pyspark.sql import Row
+
+    from intelligent_ocr_spark.plans.pipeline import ERROR_SAMPLE_CAP
+    from intelligent_ocr_spark.sources.pages import EPOCH, PAGES_SCHEMA
+
+    n_bad = ERROR_SAMPLE_CAP * 4
+    rows = [
+        Row(
+            url=f"https://poison.example/{i}",
+            warc_ts=EPOCH,
+            # UTF-16-LE BOM + odd payload length -> truncated code unit ->
+            # bom_utf16_bad quarantine (even-length garbage would decode)
+            html=b"\xff\xfeod" + bytes([i % 256]),
+            text="",
+            lang=None,
+        )
+        for i in range(n_bad)
+    ]
+    inp = spark.createDataFrame(rows, PAGES_SCHEMA).repartition(1)
+    out = str(tmp_path / "out")
+    summary = run_extraction_job(spark, inp, out, SNAPSHOT, num_partitions=1)
+    assert summary["errors"] == n_bad  # exact count survives the cap
+    lin = read_table_dir(spark, os.path.join(out, "lineage")).collect()
+    assert len(lin) == 1
+    assert lin[0]["n_errors"] == n_bad
+    assert len(lin[0]["errors"]) == ERROR_SAMPLE_CAP
+    assert lin[0]["fallback"] == 0  # empty input text -> nothing recoverable
+
+
+def test_fallback_counts_recoverable_rows_only(spark, tmp_path):
+    """lineage.fallback == rows finalize_with_fallback actually recovers
+    (error + usable input text), not every quarantine candidate."""
+    from pyspark.sql import Row
+
+    from intelligent_ocr_spark.sources.pages import EPOCH, PAGES_SCHEMA
+
+    rows = [
+        # odd-length UTF-16 bodies quarantine (bom_utf16_bad)
+        # quarantines, HAS input text -> recoverable
+        Row(url="https://f/a", warc_ts=EPOCH, html=b"\xff\xfeodd", text="saved text", lang=None),
+        # quarantines, no input text -> not recoverable
+        Row(url="https://f/b", warc_ts=EPOCH, html=b"\xff\xfeot2", text="", lang=None),
+        # clean row
+        Row(url="https://f/c", warc_ts=EPOCH, html=b"<p>fine page here</p>", text="", lang="en"),
+    ]
+    inp = spark.createDataFrame(rows, PAGES_SCHEMA).repartition(1)
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, inp, out, SNAPSHOT, num_partitions=1)
+    lin = read_table_dir(spark, os.path.join(out, "lineage")).collect()
+    assert lin[0]["n_errors"] == 2
+    assert lin[0]["fallback"] == 1
+    final = finalize_with_fallback(spark, out, inp)
+    recovered = final.filter(F.col("is_fallback") & (F.col("final_text") != "")).count()
+    assert recovered == lin[0]["fallback"]
 
 
 def test_fallback_finalize(spark, tmp_path):
