@@ -308,3 +308,190 @@ def test_warc11_fractional_second_dates():
         datetime(2024, 3, 1, 10, 20, 30, 123456, tzinfo=timezone.utc),
         datetime(1970, 1, 1, tzinfo=timezone.utc),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Split-parallel record reader
+# ---------------------------------------------------------------------------
+
+
+def _split_sweep_rows():
+    from datetime import datetime, timezone
+
+    rows = [
+        {
+            "url": f"https://sweep.example/{i}",
+            "warc_ts": datetime(2024, 1, 1, tzinfo=timezone.utc),
+            "html": (
+                f"<html><body><p>page {i} " + "x" * (i * 37 % 900) + "</p></body></html>"
+            ).encode(),
+            "lang": "en",
+            "encoding": [None, "chunked", "gzip", "chunked+gzip", "deflate"][i % 5],
+        }
+        for i in range(40)
+    ]
+    rows.insert(
+        7,
+        {
+            "url": "https://sweep.example/rv",
+            "warc_ts": datetime(2024, 2, 2, tzinfo=timezone.utc),
+            "record_type": "revisit",
+            "refers_to": "https://sweep.example/3",
+            "refers_to_ts": datetime(2024, 1, 1, tzinfo=timezone.utc),
+            "digest": "AAAABBBB",
+            "html": None,
+        },
+    )
+    return rows
+
+
+def test_split_reader_matches_wholefile(tmp_path):
+    """Union of per-split records == whole-file parse, at every split size
+    (boundaries land mid-header, mid-body, mid-gzip-member): each record
+    parsed exactly once under the owns-its-first-byte rule."""
+    from intelligent_ocr_spark.sources.warc import _page_row, iter_split_records
+
+    rows = _split_sweep_rows()
+    for suffix in ("warc", "warc.gz"):
+        p = str(tmp_path / f"seg.{suffix}")
+        write_synthetic_warc(p, rows)
+        size = os.path.getsize(p)
+        whole = parse_warc_bytes(open(p, "rb").read())
+        for split in (size + 1, 997, 256, 64):
+            got = []
+            for s in range(0, size, split):
+                for h, b in iter_split_records(p, s, min(s + split, size)):
+                    r = _page_row(h, b)
+                    if r is not None:
+                        got.append(r)
+            assert [(g["url"], g["html"]) for g in got] == [
+                (w["url"], w["html"]) for w in whole
+            ], (suffix, split)
+
+
+def test_read_warc_pages_split_parallel(spark, tmp_path):
+    """read_warc_pages with a small split_size fans ONE file out across
+    many partitions (the plan-visible parallelism binaryFile could never
+    give) and still yields exactly the whole-file rows."""
+    from intelligent_ocr_spark.sources.warc import plan_warc_splits
+
+    rows = _split_sweep_rows()
+    p = str(tmp_path / "seg.warc.gz")
+    write_synthetic_warc(p, rows)
+    size = os.path.getsize(p)
+    split = max(size // 7, 64)
+
+    splits = plan_warc_splits(spark, str(tmp_path / "*.warc.gz"), split_size=split)
+    n_splits = splits.count()
+    assert n_splits >= 7  # one file, many byte-range tasks
+    assert splits.rdd.getNumPartitions() == n_splits  # one task per split
+
+    pages = read_warc_pages(spark, str(tmp_path / "*.warc.gz"), split_size=split)
+    whole = parse_warc_bytes(open(p, "rb").read())
+    got = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    assert got == {w["url"]: bytes(w["html"]) for w in whole}
+
+
+def test_read_warc_revisits_dedup_signal(spark, tmp_path):
+    """revisit records surface as exact-dup rows joinable back to pages —
+    the crawl's own byte-identical assertion, no hashing needed."""
+    from pyspark.sql import functions as F
+
+    from intelligent_ocr_spark.sources.warc import read_warc_revisits
+
+    rows = _split_sweep_rows()
+    p = str(tmp_path / "seg.warc.gz")
+    write_synthetic_warc(p, rows)
+
+    rev = read_warc_revisits(spark, str(tmp_path / "*.warc.gz"))
+    r = rev.collect()
+    assert len(r) == 1
+    assert r[0]["url"] == "https://sweep.example/rv"
+    assert r[0]["refers_to"] == "https://sweep.example/3"
+    assert r[0]["payload_digest"] == "AAAABBBB"
+
+    # join the signal against the pages table: the referred capture exists,
+    # so the revisit URL is a known exact duplicate of it
+    pages = read_warc_pages(spark, str(tmp_path / "*.warc.gz"))
+    dup_pairs = rev.join(
+        pages.select(F.col("url").alias("refers_to"), "html"), "refers_to"
+    )
+    assert dup_pairs.count() == 1
+
+
+def test_conversion_records_ingest(spark, tmp_path):
+    """conversion records (transcoded content, no HTTP envelope) ingest as
+    pages, including a legacy-charset body transcoded via the record's own
+    Content-Type header."""
+    from datetime import datetime, timezone
+
+    text = "<html><body><p>转换记录正文内容测试页面</p></body></html>"
+    rows = [
+        {
+            "url": "https://conv.example/utf8",
+            "warc_ts": datetime(2024, 1, 1, tzinfo=timezone.utc),
+            "record_type": "conversion",
+            "html": text.encode("utf-8"),
+        },
+        {
+            "url": "https://conv.example/gbk",
+            "warc_ts": datetime(2024, 1, 1, tzinfo=timezone.utc),
+            "record_type": "conversion",
+            "charset": "gbk",
+            "html": text.encode("gbk"),
+        },
+    ]
+    p = str(tmp_path / "conv.warc.gz")
+    write_synthetic_warc(p, rows)
+    got = {r["url"]: bytes(r["html"]) for r in read_warc_pages(spark, p).collect()}
+    assert set(got) == {"https://conv.example/utf8", "https://conv.example/gbk"}
+    # the GBK body was transcoded to UTF-8 at ingest (header in hand here)
+    assert got["https://conv.example/gbk"].decode("utf-8") == text
+    assert got["https://conv.example/utf8"].decode("utf-8") == text
+
+
+def test_over_2gb_segment_parses_split_parallel(spark, tmp_path):
+    """A segment past binaryFile's 2 GB content-column cap (the old
+    one-row-per-file reader could not load it at all) parses via the
+    split reader, with the file fanned out across byte-range tasks.
+    Level-0 gzip members are STORED blocks — no deflate happens — so the
+    body can repeat one random MiB and the fixture writes at IO speed
+    while the FILE size still exceeds 2^31 bytes."""
+    import gzip as _gz
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from intelligent_ocr_spark.sources.warc import _warc_record, plan_warc_splits
+
+    from datetime import datetime, timezone
+
+    body_mb = 50
+    n_rec = 43  # 43 * 50 MiB ≈ 2.10 GiB of wire bytes
+    one_mb = np.random.default_rng(7).bytes(1 << 20)
+    p = str(tmp_path / "big.warc.gz")
+    with open(p, "wb") as f:
+        for i in range(n_rec):
+            body = one_mb * body_mb
+            rec = _warc_record(
+                f"https://big.example/{i}",
+                datetime(2024, 1, 1, tzinfo=timezone.utc),
+                body,
+                "en",
+            )
+            f.write(_gz.compress(rec, compresslevel=0, mtime=0))
+    size = os.path.getsize(p)
+    assert size > (1 << 31), size  # genuinely past the binaryFile cap
+
+    splits = plan_warc_splits(spark, p)
+    assert splits.count() >= 16  # one 2 GB file -> many parallel tasks
+
+    pages = read_warc_pages(spark, p)
+    agg = pages.agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("html")).alias("bytes"),
+        F.countDistinct("url").alias("urls"),
+    ).collect()[0]
+    assert agg["n"] == n_rec
+    assert agg["urls"] == n_rec
+    assert agg["bytes"] == n_rec * (body_mb << 20)
