@@ -170,3 +170,35 @@ def test_repartition_and_salt_helpers(spark):
     assert 1 < len(stats) <= 4
     hosts = {r["host"] for r in salted.select("host").distinct().collect()}
     assert "mega0.example.com" in hosts
+
+
+def test_dual_insert_round4_expansion_groups(spark):
+    """Dual-insert golden over variants NOT in round 3's 2,956-char table:
+    the new curated sections (鳏→鰥, 踌→躊, 鞑→韃, 佥→僉) and the
+    ICU/CLDR-generated Unihan-route table (蕲→蘄, 娲→媧, 荭→葒)."""
+    from pyspark.sql import functions as F
+
+    html = (
+        "<html><body><article><h1>t</h1><p>鳏踌鞑佥蕲娲荭也</p></article>"
+        "</body></html>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [("u://1", None, bytearray(html), "", "zh")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01")))
+    dual = dual_insert_spans(extract_pages(pages))
+    forms = [r["form"] for r in dual.collect() if r["kind"] == "line"]
+    assert sorted(forms) == sorted(["鳏踌鞑佥蕲娲荭也", "鰥躊韃僉蘄媧葒也"])
+
+
+def test_variant_table_never_maps_borrowed_classical_chars():
+    """Chars the simplification scheme BORROWED from existing classical
+    words must never be folded: 千 (number), 秋, 松 (pine), 出, 占 (占卜),
+    丑 (earthly branch), 范 (surname), 尸, 苹 (食野之苹), 漓 (淋漓) —
+    mapping any of them corrupts ordinary classical text. Also the lossy
+    merges (发←發/髮 ...) stay unmapped in every section."""
+    from intelligent_ocr_spark.functions.normalize import get_normalizer
+
+    n = get_normalizer()
+    safe = "千秋松出占丑范尸苹漓发历钟汇签"
+    assert n.normalize(safe) == safe

@@ -120,3 +120,39 @@ def test_env_var_table_seam(tmp_path, monkeypatch):
         assert N.get_normalizer().normalize("乙") == "甲"
     finally:
         monkeypatch.setattr(N, "_SINGLETON", None)  # don't poison other tests
+
+
+def test_variants_icu_regen(spark):
+    """The checked-in ICU/CLDR-generated table is exactly what the
+    generator reproduces from the session JVM's own icu4j data — no
+    hand edits can drift in, and the provenance claim stays checkable."""
+    import sys
+
+    sys.path.insert(0, ".")
+    try:
+        from tools_gen_variants import generate_lines
+    finally:
+        sys.path.pop(0)
+    try:
+        spark._jvm.com.ibm.icu.text.Transliterator  # noqa: B018
+    except Exception:
+        pytest.skip("icu4j not on the JVM classpath")
+    from intelligent_ocr_spark.functions.variants_icu import VARIANTS_ICU_TEXT
+
+    regenerated = generate_lines(spark)
+    checked_in = [l for l in VARIANTS_ICU_TEXT.splitlines() if l.strip()]
+    assert regenerated == checked_in
+
+
+def test_combined_table_char_uniqueness_across_sections():
+    """Each char belongs to at most one group across the curated AND
+    generated sections (order-independent behavior of the combined
+    table)."""
+    from intelligent_ocr_spark.functions.variants_data import VARIANTS_TEXT
+
+    seen: dict = {}
+    for ln, line in enumerate(VARIANTS_TEXT.splitlines()):
+        for c in line.strip():
+            assert c not in seen, (c, seen[c], ln)
+            seen[c] = ln
+    assert len(seen) >= 5000  # the round-4 coverage bar
