@@ -250,8 +250,29 @@ def warm_delta_vs_prev(queries_warm: dict[str, float]) -> dict:
     prev_path = prior[-1]
     try:
         prev_doc = json.load(open(prev_path))
-        prev_warm = prev_doc.get("parsed", prev_doc).get("queries_warm_noop", {})
-    except (OSError, ValueError):
+        # the driver snapshot wraps the bench stdout: {"parsed": <json line
+        # or null>, "tail": <last 2000 chars>, ...}. "parsed" can be null
+        # when the tail truncated the line mid-object — recover the warm
+        # map from the tail text in that case rather than crashing after a
+        # 20-minute measurement run.
+        cand = prev_doc.get("parsed") if isinstance(prev_doc, dict) else None
+        if cand is None and isinstance(prev_doc, dict) and "queries_warm_noop" in prev_doc:
+            cand = prev_doc
+        if not isinstance(cand, dict):
+            m = re.search(
+                r'"queries_warm_noop"\s*:\s*(\{[^{}]*\})', prev_doc.get("tail", "") or ""
+            )
+            cand = {"queries_warm_noop": json.loads(m.group(1))} if m else {}
+        if "queries_warm_noop" not in cand:
+            # last resort: the builder's own full-JSON confirmation runs
+            # recorded under BENCH/ for the same prior round
+            r_prev = int(re.search(r"r(\d+)", os.path.basename(prev_path)).group(1))
+            own = sorted(glob.glob(os.path.join(repo, "BENCH", f"bench_r{r_prev}_local*.json")))
+            if own:
+                prev_path = own[-1]
+                cand = json.load(open(prev_path))
+        prev_warm = cand.get("queries_warm_noop", {})
+    except (OSError, ValueError, AttributeError):
         return {"prev": os.path.basename(prev_path), "deltas": {}}
     deltas: dict[str, dict] = {}
     rows = []
