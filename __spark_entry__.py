@@ -206,7 +206,7 @@ def q_extract_pixmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("source_warc_extract")  # rows-only: WARC container parsing (ISO 28500)
 def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common Crawl's real container format end-to-end: synthetic WARC
-    segments → binaryFile scan → record parser → extraction."""
+    segments → split-parallel byte-range record reader → extraction."""
     import os
     import tempfile
 
@@ -227,6 +227,56 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_synthetic_warc(os.path.join(d, "seg-1.warc.gz"), rows[60:])
     return extract_pages(read_warc_pages(spark, os.path.join(d, "*.warc.gz"))).select(
         "url", "extracted_text", "norm_text", "n_blocks"
+    )
+
+
+@_q("warc_revisit_dedup")  # rows-only: fixture-generated WARC, no table twin
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``revisit`` records as a free exact-dup signal: the crawler already
+    proved these captures byte-identical to an earlier one (ISO 28500
+    identical-payload-digest profile), so joining them back to the pages
+    table extends exact dedup across crawls WITHOUT hashing bodies that
+    were never stored. Returns (dup_url, kept_url, n_pages_kept)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from intelligent_ocr_spark.sources.pages import gen_row
+    from intelligent_ocr_spark.sources.warc import (
+        read_warc_pages,
+        read_warc_revisits,
+        write_synthetic_warc,
+    )
+
+    d = tempfile.mkdtemp(prefix="spark_graft_warc_rv_")
+    rows = [gen_row(i) for i in range(60)]
+    kept = [r for r in rows if r["html"] is not None]
+    # every 5th page got re-crawled later and found unchanged
+    for i, r in enumerate(kept[::5]):
+        rows.append(
+            {
+                "url": r["url"] + "?recrawl",
+                "warc_ts": r["warc_ts"],
+                "record_type": "revisit",
+                "refers_to": r["url"],
+                "refers_to_ts": r["warc_ts"],
+                "digest": f"D{i:04d}",
+                "html": None,
+            }
+        )
+    write_synthetic_warc(os.path.join(d, "seg-0.warc.gz"), rows)
+    glob = os.path.join(d, "*.warc.gz")
+    pages = read_warc_pages(spark, glob).select(F.col("url").alias("refers_to"))
+    rev = read_warc_revisits(spark, glob)
+    return (
+        rev.join(pages, "refers_to")  # dup assertion -> the kept capture
+        .groupBy(F.col("url").alias("dup_url"))
+        .agg(
+            F.min("refers_to").alias("kept_url"),
+            F.count(F.lit(1)).alias("n_pages_kept"),
+        )
+        .orderBy("dup_url")
     )
 
 
@@ -1923,10 +1973,12 @@ _CHANGED_THIS_ROUND = [
     # round 4: new queries / changed plans or oracles — filled as the round
     # progresses; anything touched lands here
     "url_canonicalize",       # fragment-'?' fix in expr + oracle + data
-    "source_warc_extract",    # _inflate eof check, brotli cap, charsets
-    "dedup_simhash",          # single-agg bit fold (no 64-row explode)
+    "source_warc_extract",    # charset decode + split-parallel reader
+    "dedup_simhash",          # 4-chunk explode (fold variant rejected)
     "sim_ivf_topk",           # nprobe=2 multi-probe + oracle twin
     "a1_lineage_counters",    # lineage n_errors/fallback semantics
+    "warc_revisit_dedup",     # NEW: revisit records as exact-dup signal
+    "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 3's final ordering (re-verified by
