@@ -1729,6 +1729,78 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.4, doc_freq_cap=50)
 
 
+@_q(
+    "dedup_substring_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), pos AS (
+      SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS s
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, s, md5(array_to_string(ts[s:s+7], ' ')) AS g FROM pos
+    ), dup AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams)
+      GROUP BY g HAVING count(*) >= 2
+    ), dpos AS (
+      SELECT doc_id, s FROM grams JOIN dup USING (g)
+    ), isl AS (
+      SELECT doc_id, s,
+             s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS island
+      FROM dpos
+    )
+    SELECT doc_id,
+           min(s) AS span_start,
+           max(s) + 7 AS span_end,
+           max(s) + 7 - min(s) + 1 AS dup_tokens
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022): maximal token runs
+    shared verbatim across documents, as (doc, span) rows."""
+    from intelligent_ocr_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(_t(spark, sf_dir, "documents"), run_n=8)
+
+
+@_q(
+    "text_benchmark_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), pos AS (
+      SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS s
+      FROM toks
+    ), grams AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(ts[s:s+7], ' ')) AS g FROM pos
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < 25
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_contaminated
+      FROM grams JOIN bench USING (g) GROUP BY doc_id
+    )
+    SELECT s.doc_id, n_grams,
+           CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           floor(COALESCE(n_contaminated, 0) * 1.0 / n_grams * 1e6) / 1e6
+             AS contamination_frac
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (GPT-3 appendix-C n-gram overlap): each
+    doc's fraction of 8-gram hashes appearing in a benchmark set (docs
+    with id < 25 stand in for the benchmark)."""
+    from intelligent_ocr_spark.operators.dedup import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    return benchmark_contamination(d, d.filter(F.col("doc_id") < 25), run_n=8)
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings table)
 # --------------------------------------------------------------------------
@@ -1978,6 +2050,8 @@ _CHANGED_THIS_ROUND = [
     "sim_ivf_topk",           # nprobe=2 multi-probe + oracle twin
     "a1_lineage_counters",    # lineage n_errors/fallback semantics
     "warc_revisit_dedup",     # NEW: revisit records as exact-dup signal
+    "dedup_substring_spans",  # NEW: exact-substring duplicate runs
+    "text_benchmark_contamination",  # NEW: n-gram decontamination signal
     "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [

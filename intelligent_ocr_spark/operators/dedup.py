@@ -36,6 +36,8 @@ __all__ = [
     "simhash64",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
+    "substring_dup_spans",
+    "benchmark_contamination",
 ]
 
 
@@ -384,4 +386,139 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    run_n: int = 8, min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans: maximal token runs shared VERBATIM
+    with at least ``min_docs - 1`` other documents.
+
+    The operator behind suffix-array exact-substring dedup in LLM training
+    pipelines (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — public paper; no reference analog), realized
+    Spark-first without the suffix array: every token position's
+    ``run_n``-gram is hashed JVM-side (``transform`` over a ``sequence``
+    of start offsets — no Python, no explode until the position rows), a
+    gram shared by ≥ ``min_docs`` distinct docs marks its positions
+    duplicated, and consecutive duplicated positions merge into maximal
+    spans by the gaps-and-islands window (island id = start −
+    row_number). Any shared substring of ≥ ``run_n`` tokens is covered by
+    at least one shared gram, so recall over spans ≥ run_n is exact —
+    the suffix array's contribution is only generality below run_n.
+
+    Scale shape: the position→gram expansion is a projection (one row per
+    token position, ~L× rows, the same class as the shingle explodes);
+    gram doc-frequency is a distinct + groupBy on the gram hash; marking
+    positions is an equi-join where each position row matches AT MOST
+    once (the dup-gram set is distinct), so no quadratic pair blowup
+    exists anywhere — unlike pair-joins this never materializes doc×doc.
+    Returns (doc_id, span_start, span_end, dup_tokens), 1-based token
+    offsets, ordered.
+    """
+    ts = F.split(F.col(text_col), " ")
+    n_starts = F.size(ts) - (run_n - 1)
+    grams = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                n_starts >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_starts),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.md5(F.concat_ws(" ", F.slice(ts, i, run_n))).alias("g"),
+                    ),
+                ),
+            ).otherwise(F.array())  # sequence(1,0) would step BACKWARD
+        ).alias("p"),
+    ).select("doc_id", F.col("p.s").alias("s"), F.col("p.g").alias("g"))
+    dup_grams = (
+        grams.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("g")
+    )
+    dpos = grams.join(dup_grams, "g").select("doc_id", "s")
+    w = Window.partitionBy("doc_id").orderBy("s")
+    islands = dpos.withColumn("island", F.col("s") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").alias("span_start"),
+            (F.max("s") + (run_n - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def benchmark_contamination(
+    df: DataFrame, benchmark: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text", run_n: int = 8,
+) -> DataFrame:
+    """Train/test decontamination signal: per training doc, the fraction
+    of its distinct token ``run_n``-grams that appear ANYWHERE in the
+    benchmark set (the GPT-3 appendix-C / FineWeb 13-gram overlap test,
+    public method; no reference analog).
+
+    Scale shape: both sides reduce to DISTINCT gram-hash sets (training
+    side also per-doc); the overlap is a LEFT SEMI join doc-grams ⋈
+    bench-grams on the 16-byte hash — each training gram row matches at
+    most once, the benchmark set is typically small enough for a
+    broadcast, and no doc×doc or doc×bench pair row ever materializes.
+    Returns (doc_id, n_grams, n_contaminated, contamination_frac),
+    floor-scaled to 1e-6 for cross-engine exactness.
+    """
+    def gram_set(frame: DataFrame) -> DataFrame:
+        ts = F.split(F.col(text_col), " ")
+        n_starts = F.size(ts) - (run_n - 1)
+        return frame.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.when(
+                    n_starts >= 1,
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), n_starts),
+                            lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, run_n))),
+                        )
+                    ),
+                ).otherwise(F.array())
+            ).alias("g"),
+        )
+
+    doc_grams = gram_set(ensure_parallelism(df))
+    bench_grams = gram_set(benchmark).select("g").distinct()
+    sizes = doc_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        doc_grams.join(bench_grams, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_contaminated"), F.lit(0))
+                    / F.col("n_grams")
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("contamination_frac"),
+        )
+        .orderBy("doc_id")
     )

@@ -319,3 +319,53 @@ def test_repetition_signals_known_answers(spark):
     assert got[1]["top_bigram_frac"] == 1.0  # "a a" twice → 2·2/4
     assert got[2]["distinct_frac"] == 1.0 and got[2]["top_bigram_frac"] == 0.5
     assert got[3]["n_tokens"] == 1 and got[3]["top_bigram_frac"] == 0.0
+
+
+def test_substring_dup_spans_known_answers(spark):
+    """Maximal shared-run recovery: two docs share a verbatim 12-token run
+    (one span, exact boundaries, both docs); a doc with no 8-gram overlap
+    yields nothing; a shared run split by one divergent token yields NO
+    span when both halves are shorter than run_n."""
+    from intelligent_ocr_spark.operators.dedup import substring_dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        # doc 0: prefix(3) + shared(12) + suffix(2) -> span tokens 4..15
+        (0, "p1 p2 p3 " + shared + " s1 s2"),
+        # doc 1: shared(12) + suffix(3) -> span tokens 1..12
+        (1, shared + " t1 t2 t3"),
+        # doc 2: disjoint vocabulary, no shared 8-gram
+        (2, "one two three four five six seven eight nine ten eleven twelve"),
+        # doc 3: shared run but with token 6 replaced -> longest common run
+        # with docs 0/1 is 5 tokens < run_n -> no span for ANY doc from it
+        (3, shared.replace("zeta", "ZETA") + " u1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["dup_tokens"])
+        for r in substring_dup_spans(df, run_n=8).collect()
+    ]
+    assert got == [(0, 4, 15, 12), (1, 1, 12, 12)]
+
+
+def test_benchmark_contamination_known_answers(spark):
+    """Exact overlap accounting: a doc fully inside the benchmark scores
+    1.0; a doc sharing exactly its first 8-gram scores 1/n_grams; a
+    disjoint doc scores 0.0 (and still appears, via the left join)."""
+    from intelligent_ocr_spark.operators.dedup import benchmark_contamination
+
+    bench_text = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    rows = [
+        (0, bench_text),                              # == benchmark: frac 1.0
+        (1, "b1 b2 b3 b4 b5 b6 b7 b8 x1 x2 x3"),      # shares gram @1 only
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),            # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"], r["contamination_frac"])
+        for r in benchmark_contamination(df, bench, run_n=8).collect()
+    }
+    assert got[0] == (3, 3, 1.0)
+    assert got[1] == (4, 1, 0.25)
+    assert got[2] == (2, 0, 0.0)
