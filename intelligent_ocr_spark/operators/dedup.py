@@ -410,10 +410,14 @@ def substring_dup_spans(
     the suffix array's contribution is only generality below run_n.
 
     Scale shape: the position→gram expansion is a projection (one row per
-    token position, ~L× rows, the same class as the shingle explodes);
-    gram doc-frequency is a distinct + groupBy on the gram hash; marking
-    positions is an equi-join where each position row matches AT MOST
-    once (the dup-gram set is distinct), so no quadratic pair blowup
+    token position, ~L× rows, the same class as the shingle explodes).
+    For the default ``min_docs=2``, "shared by another doc" is decided
+    WITHOUT a join or a second pass: ``min(doc_id) ≠ max(doc_id)`` over a
+    window on the gram hash — one exchange on g, positions preserved (a
+    distinct+groupBy+join formulation plan-audited at 14 exchanges with
+    the gram subtree computed twice; this one is 3). ``min_docs > 2``
+    needs a true doc-distinct count and takes the join path; either way
+    each position row matches at most once, so no quadratic pair blowup
     exists anywhere — unlike pair-joins this never materializes doc×doc.
     Returns (doc_id, span_start, span_end, dup_tokens), 1-based token
     offsets, ordered.
@@ -435,15 +439,24 @@ def substring_dup_spans(
             ).otherwise(F.array())  # sequence(1,0) would step BACKWARD
         ).alias("p"),
     ).select("doc_id", F.col("p.s").alias("s"), F.col("p.g").alias("g"))
-    dup_grams = (
-        grams.select("doc_id", "g")
-        .distinct()
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("g")
-    )
-    dpos = grams.join(dup_grams, "g").select("doc_id", "s")
+    if min_docs <= 2:
+        wg = Window.partitionBy("g")
+        dpos = (
+            grams.withColumn("_lo", F.min("doc_id").over(wg))
+            .withColumn("_hi", F.max("doc_id").over(wg))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("doc_id", "s")
+        )
+    else:
+        dup_grams = (
+            grams.select("doc_id", "g")
+            .distinct()
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("g")
+        )
+        dpos = grams.join(dup_grams, "g").select("doc_id", "s")
     w = Window.partitionBy("doc_id").orderBy("s")
     islands = dpos.withColumn("island", F.col("s") - F.row_number().over(w))
     return (

@@ -128,3 +128,21 @@ def test_salted_asof_carry_no_nested_loop(spark):
     plan = _plan(asof_join_salted(left, right, on="ts", by="user_id", payload=["value"]))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 4, plan
+
+
+def test_substring_spans_no_join_single_subtree(spark):
+    """min_docs=2 substring dedup must use the windowed min/max-doc mark,
+    not the join formulation that computed the gram subtree twice:
+    no join operator at all, one Generate (gram explode), and ≤3 hash
+    exchanges (gram window, doc window, span group reusing the doc
+    partitioning)."""
+    from intelligent_ocr_spark.operators.dedup import substring_dup_spans
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j k l " + f"x{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = _plan(substring_dup_spans(docs))
+    assert "Join" not in plan and "NestedLoop" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 1, plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 3, plan
