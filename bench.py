@@ -52,6 +52,8 @@ HEADLINE_QUERIES = [
     "mm_decode_stats",
     "url_canonicalize",
     "text_repetition_signals",
+    "dedup_substring_spans",
+    "text_benchmark_contamination",
 ]
 
 
