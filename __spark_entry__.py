@@ -1801,6 +1801,61 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_contamination(d, d.filter(F.col("doc_id") < 25), run_n=8)
 
 
+@_q(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(c) AS total FROM freq
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           floor(avg(ln(c * 1.0 / total)) * 1e6) / 1e6 AS mean_logprob
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: per-doc mean unigram log-probability
+    under the corpus's own token distribution."""
+    from intelligent_ocr_spark.functions.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "sample_stratified_counts",
+    f"""
+    WITH kept AS (
+      SELECT source, doc_id FROM documents
+      WHERE ('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            < CAST(0.2 * 4294967296 AS UBIGINT)
+    )
+    SELECT source, count(*) AS n_kept,
+           CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed 20% sample, summarized per source
+    stratum — reproducible across engines, partitionings, and retries
+    (the resumability property df.sample lacks)."""
+    from intelligent_ocr_spark.functions.textstats import deterministic_sample
+
+    kept = deterministic_sample(_t(spark, sf_dir, "documents"), frac=0.2, salt="s0")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings table)
 # --------------------------------------------------------------------------
@@ -2052,6 +2107,8 @@ _CHANGED_THIS_ROUND = [
     "warc_revisit_dedup",     # NEW: revisit records as exact-dup signal
     "dedup_substring_spans",  # NEW: exact-substring duplicate runs
     "text_benchmark_contamination",  # NEW: n-gram decontamination signal
+    "text_unigram_logprob",   # NEW: CCNet-style perplexity proxy
+    "sample_stratified_counts",  # NEW: deterministic sampling
     "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [

@@ -24,6 +24,8 @@ __all__ = [
     "subword_estimate",
     "fingerprint",
     "repetition_signals",
+    "unigram_logprob",
+    "deterministic_sample",
 ]
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "with")
@@ -172,3 +174,63 @@ def repetition_signals(df, id_col: str = "doc_id", text_col: str = "text"):
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document mean unigram log-probability — the cheap perplexity
+    proxy CCNet-class pipelines use to rank document "well-formedness"
+    (a doc of common words scores high; rare-token soup scores low).
+    CCNet proper uses a 5-gram KenLM; the unigram form keeps the entire
+    computation relational and exactly oracle-reproducible.
+
+    Two aggregations over ONE token explode: corpus token frequencies
+    (groupBy token, map-side combine — the model "training" pass), then
+    each token row joins its own frequency (equi-join on the token; at
+    web scale the frequency table is Zipf-skewed, so AQE's skew split
+    handles the stop-word keys) and a per-doc mean of
+    ``ln(count/total)`` follows. Corpus total is a broadcast scalar
+    (crossJoin of a 1-row aggregate), never a collect. Returns
+    (doc_id, n_tokens, mean_logprob) floor-scaled to 1e-6.
+    """
+    from intelligent_ocr_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    scored = toks.join(freq, "tok").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.floor(F.avg(F.log(F.col("c") / F.col("total"))) * F.lit(1e6))
+                / F.lit(1e6)
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def deterministic_sample(
+    df, id_col: str = "doc_id", frac: float = 0.2, salt: str = "s0",
+):
+    """Deterministic content-addressed sampling: keep a row iff the first
+    8 md5 hex chars of ``salt|id`` fall under ``frac`` of the 32-bit
+    space. Unlike ``df.sample`` this is reproducible across engines,
+    partitionings, retries, and reruns (the property a resumable 100-TB
+    pipeline needs — a task retry must not change the sample), and the
+    salt gives independent draws for train/val splits.
+    DuckDB twin: ``('0x'||substr(md5(salt||'|'||id),1,8))::UBIGINT``.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.filter(h < F.lit(int(frac * (1 << 32))))

@@ -369,3 +369,44 @@ def test_benchmark_contamination_known_answers(spark):
     assert got[0] == (3, 3, 1.0)
     assert got[1] == (4, 1, 0.25)
     assert got[2] == (2, 0, 0.0)
+
+
+def test_unigram_logprob_known_answers(spark):
+    """Hand-checkable corpus: 4 'a', 2 'b', 2 'c' tokens (total 8).
+    doc 0 = 'a a' -> mean ln(4/8) = ln(.5); doc 1 = 'b c' ->
+    mean ln(2/8) = ln(.25); common-word docs MUST outscore rare-word
+    docs (the CCNet ranking property)."""
+    import math
+
+    from intelligent_ocr_spark.functions.textstats import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a a"), (1, "b c"), (2, "a a b c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"]) for r in unigram_logprob(df).collect()}
+    assert got[0] == (2, math.floor(math.log(0.5) * 1e6) / 1e6)
+    assert got[1] == (2, math.floor(math.log(0.25) * 1e6) / 1e6)
+    assert got[0][1] > got[1][1]  # common words outrank rare soup
+    mixed = (2 * math.log(0.5) + 2 * math.log(0.25)) / 4
+    assert got[2] == (4, math.floor(mixed * 1e6) / 1e6)
+
+
+def test_deterministic_sample_properties(spark):
+    """The sample is a pure function of (salt, id): stable across
+    partitionings and reruns, different salts give (near-)independent
+    draws, and the kept fraction tracks frac."""
+    from intelligent_ocr_spark.functions.textstats import deterministic_sample
+
+    rows = [(i, f"t{i}") for i in range(2000)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    df8 = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    k1 = sorted(r["doc_id"] for r in deterministic_sample(df1, frac=0.2).collect())
+    k8 = sorted(r["doc_id"] for r in deterministic_sample(df8, frac=0.2).collect())
+    assert k1 == k8  # partitioning-independent
+    assert 0.15 < len(k1) / 2000 < 0.25
+    k_other = sorted(
+        r["doc_id"] for r in deterministic_sample(df1, frac=0.2, salt="s1").collect()
+    )
+    assert k_other != k1  # independent draw under a different salt
+    overlap = len(set(k1) & set(k_other)) / len(k1)
+    assert overlap < 0.35  # ~frac expected under independence
