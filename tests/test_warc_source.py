@@ -495,3 +495,36 @@ def test_over_2gb_segment_parses_split_parallel(spark, tmp_path):
     assert agg["n"] == n_rec
     assert agg["urls"] == n_rec
     assert agg["bytes"] == n_rec * (body_mb << 20)
+
+
+def test_split_reader_resyncs_past_corrupt_member(tmp_path):
+    """A corrupt gzip member mid-split loses ONLY its own record: the
+    walk resyncs at the next member magic inside the same split, and
+    records in other splits are untouched."""
+    from intelligent_ocr_spark.sources.warc import _page_row, iter_split_records
+
+    rows = _split_sweep_rows()
+    p = str(tmp_path / "seg.warc.gz")
+    write_synthetic_warc(p, rows)
+    data = bytearray(open(p, "rb").read())
+    # find the 10th member start and trash its deflate payload
+    import re
+
+    starts = [m.start() for m in re.finditer(b"\x1f\x8b\x08", bytes(data))]
+    victim = starts[10]
+    data[victim + 12 : victim + 18] = b"\xde\xad\xbe\xef\xde\xad"
+    pc = str(tmp_path / "corrupt.warc.gz")
+    open(pc, "wb").write(bytes(data))
+
+    size = len(data)
+    split = max(size // 5, 64)
+    got = []
+    for s in range(0, size, split):
+        for h, b in iter_split_records(pc, s, min(s + split, size)):
+            r = _page_row(h, b)
+            if r is not None:
+                got.append(r["url"])
+    whole_urls = [r["url"] for r in parse_warc_bytes(open(p, "rb").read())]
+    lost = set(whole_urls) - set(got)
+    assert len(lost) <= 1, lost  # at most the victim record
+    assert len(got) >= len(whole_urls) - 1
