@@ -468,18 +468,26 @@ def test_over_2gb_segment_parses_split_parallel(spark, tmp_path):
 
     body_mb = 50
     n_rec = 43  # 43 * 50 MiB ≈ 2.10 GiB of wire bytes
-    one_mb = np.random.default_rng(7).bytes(1 << 20)
-    p = str(tmp_path / "big.warc.gz")
-    with open(p, "wb") as f:
-        for i in range(n_rec):
-            body = one_mb * body_mb
-            rec = _warc_record(
-                f"https://big.example/{i}",
-                datetime(2024, 1, 1, tzinfo=timezone.utc),
-                body,
-                "en",
-            )
-            f.write(_gz.compress(rec, compresslevel=0, mtime=0))
+    # the fixture is deterministic, and this host's disk writes are
+    # throttled (~12 MB/s) — cache it under .bench_data (gitignored)
+    # across test runs instead of paying ~3 min of IO per pytest run
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".bench_data")
+    os.makedirs(cache_dir, exist_ok=True)
+    p = os.path.join(cache_dir, f"big_{n_rec}x{body_mb}.warc.gz")
+    if not os.path.exists(p):
+        one_mb = np.random.default_rng(7).bytes(1 << 20)
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            for i in range(n_rec):
+                body = one_mb * body_mb
+                rec = _warc_record(
+                    f"https://big.example/{i}",
+                    datetime(2024, 1, 1, tzinfo=timezone.utc),
+                    body,
+                    "en",
+                )
+                f.write(_gz.compress(rec, compresslevel=0, mtime=0))
+        os.replace(tmp, p)
     size = os.path.getsize(p)
     assert size > (1 << 31), size  # genuinely past the binaryFile cap
 
