@@ -536,3 +536,54 @@ def test_split_reader_resyncs_past_corrupt_member(tmp_path):
     lost = set(whole_urls) - set(got)
     assert len(lost) <= 1, lost  # at most the victim record
     assert len(got) >= len(whole_urls) - 1
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n_rows=st.integers(2, 12),
+    enc_seed=st.integers(0, 4),
+    split_frac=st.floats(0.02, 1.2),
+    as_gz=st.booleans(),
+    data=st.data(),
+)
+def test_split_reader_property_exactly_once(tmp_path_factory, n_rows, enc_seed, split_frac, as_gz, data):
+    """Property: for ANY row mix, body encoding, container flavor, and
+    split size, the union of per-split records equals the whole-file
+    parse — each record exactly once, in file order."""
+    from datetime import datetime, timezone
+
+    from intelligent_ocr_spark.sources.warc import _page_row, iter_split_records
+
+    encs = [None, "chunked", "gzip", "deflate", "chunked+gzip"]
+    rows = []
+    for i in range(n_rows):
+        body_len = data.draw(st.integers(0, 700))
+        rows.append(
+            {
+                "url": f"https://prop.example/{i}",
+                "warc_ts": datetime(2024, 1, 1, tzinfo=timezone.utc),
+                "html": (f"<p>d{i} " + "y" * body_len + "</p>").encode(),
+                "lang": "en",
+                "encoding": encs[(i + enc_seed) % len(encs)],
+            }
+        )
+    d = tmp_path_factory.mktemp("prop")
+    p = str(d / ("s.warc.gz" if as_gz else "s.warc"))
+    write_synthetic_warc(p, rows)
+    size = os.path.getsize(p)
+    split = max(int(size * split_frac), 32)
+    got = []
+    for s in range(0, size, split):
+        for h, b in iter_split_records(p, s, min(s + split, size)):
+            r = _page_row(h, b)
+            if r is not None:
+                got.append((r["url"], bytes(r["html"]) if r["html"] else None))
+    whole = [
+        (w["url"], bytes(w["html"]) if w["html"] else None)
+        for w in parse_warc_bytes(open(p, "rb").read())
+    ]
+    assert got == whole
