@@ -673,7 +673,9 @@ def _iter_split_records_gz(
         except zlib.error:
             ok = False
         if not ok:
-            pos = r.find(anchor, pos + 3, end)
+            # advance by ONE byte: a real member magic may overlap the
+            # failed candidate's tail (e.g. \x1f\x1f\x8b\x08...)
+            pos = r.find(anchor, pos + 1, end)
             continue
         member_end = feed - len(d.unused_data)
         yield from _iter_records(b"".join(out))
