@@ -183,23 +183,26 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     CCNet proper uses a 5-gram KenLM; the unigram form keeps the entire
     computation relational and exactly oracle-reproducible.
 
-    Two aggregations over ONE token explode: corpus token frequencies
-    (groupBy token, map-side combine — the model "training" pass), then
-    each token row joins its own frequency (equi-join on the token; at
-    web scale the frequency table is Zipf-skewed, so AQE's skew split
-    handles the stop-word keys) and a per-doc mean of
-    ``ln(count/total)`` follows. Corpus total is a broadcast scalar
-    (crossJoin of a 1-row aggregate), never a collect. Returns
+    One token explode, no join: each token row gets its corpus frequency
+    from ``count(*) over (partition by tok)`` — a single exchange on the
+    token (Zipf-skewed stop-word partitions sort-spill, the same shape as
+    the dedup doc-frequency windows) instead of a groupBy + equi-join
+    that evaluates the explode subtree twice. The denominator
+    Σ_tok c_tok is just the corpus token count, a broadcast scalar
+    (crossJoin of a 1-row count — never a collect). Returns
     (doc_id, n_tokens, mean_logprob) floor-scaled to 1e-6.
     """
+    from pyspark.sql import Window
+
     from intelligent_ocr_spark.util import ensure_parallelism
 
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = freq.agg(F.sum("c").alias("total"))
-    scored = toks.join(freq, "tok").crossJoin(F.broadcast(total))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    scored = toks.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    ).crossJoin(F.broadcast(total))
     return (
         scored.groupBy("doc_id")
         .agg(
