@@ -1856,6 +1856,101 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "prep_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), par AS (
+      SELECT doc_id, ts,
+             greatest(CAST(ceil((len(ts) - 4) * 1.0 / 28) AS INT), 1) AS nc
+      FROM toks
+    ), ch AS (
+      SELECT doc_id, ts, unnest(generate_series(0, nc - 1)) AS k FROM par
+    )
+    SELECT doc_id, CAST(k AS INT) AS chunk_id,
+           array_to_string(ts[k*28+1:k*28+32], ' ') AS chunk_text,
+           CAST(len(ts[k*28+1:k*28+32]) AS INT) AS n_tokens
+    FROM ch ORDER BY doc_id, chunk_id
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window splitting: 32-token chunks, 4-token overlap."""
+    from intelligent_ocr_spark.operators.prep import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=4
+    ).orderBy("doc_id", "chunk_id")
+
+
+@_q(
+    "prep_pack_sequences",
+    """
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM sized
+    )
+    SELECT CAST(floor(cb * 1.0 / 256) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM b GROUP BY bin_id ORDER BY bin_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order packing of docs into 256-token training bins."""
+    from intelligent_ocr_spark.operators.prep import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
+
+
+@_q(
+    "prep_pii_signals",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 tel +1 555 000 ' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS INT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                 '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug ORDER BY doc_id
+    """,
+)
+def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub signals over text augmented with deterministic synthetic
+    PII (the corpus itself is digit-free, so the augmentation is what
+    actually exercises the patterns — both engines build the identical
+    augmented text)."""
+    from intelligent_ocr_spark.operators.prep import pii_signals
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1 555 000 "),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    return pii_signals(aug)
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings table)
 # --------------------------------------------------------------------------
@@ -2109,6 +2204,9 @@ _CHANGED_THIS_ROUND = [
     "text_benchmark_contamination",  # NEW: n-gram decontamination signal
     "text_unigram_logprob",   # NEW: CCNet-style perplexity proxy
     "sample_stratified_counts",  # NEW: deterministic sampling
+    "prep_chunk_documents",   # NEW: context-window chunking
+    "prep_pack_sequences",    # NEW: token-budget packing
+    "prep_pii_signals",       # NEW: PII scrub signals
     "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [

@@ -1,0 +1,135 @@
+"""Training-batch preparation operators: chunking, packing, PII redaction.
+
+The last mile between a cleaned corpus and a tokenizer-bound training
+run (public pipeline practice — RefinedWeb/FineWeb/Pile preparation
+stages; no reference analog). All pure DataFrame compositions, each
+with an exact DuckDB oracle twin in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["chunk_documents", "pack_sequences", "pii_signals"]
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    chunk_tokens: int = 32, overlap: int = 4,
+) -> DataFrame:
+    """Split each document into fixed-size token chunks with overlap —
+    the context-window splitter (long doc → training samples). Chunk k
+    starts at token ``k·(chunk_tokens − overlap) + 1``; the last chunk
+    may be short but is never empty, and a doc shorter than one chunk
+    yields itself. Pure projection + explode (no shuffle at all until
+    the caller aggregates): at 100 TB this runs at scan speed.
+
+    Returns (doc_id, chunk_id, chunk_text, n_tokens), chunk_id 0-based.
+    """
+    ts = F.split(F.col(text_col), " ")
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    # number of chunks: ceil(max(size - overlap, 1) / step)
+    n_chunks = F.greatest(
+        F.ceil((F.size(ts) - F.lit(overlap)).cast("double") / F.lit(step)),
+        F.lit(1),
+    ).cast("int")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda k: F.struct(
+                    k.alias("chunk_id"),
+                    F.slice(ts, k * step + 1, chunk_tokens).alias("_toks"),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.concat_ws(" ", F.col("c._toks")).alias("chunk_text"),
+        F.size(F.col("c._toks")).alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    budget: int = 256,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins — streaming
+    first-fit packing in doc-id order: bin b holds the consecutive run
+    of docs whose cumulative token count stays within ``b·budget``
+    (a doc longer than the budget gets a bin of its own; split it first
+    with :func:`chunk_documents` if that matters).
+
+    This is the order-preserving relaxation of bin packing that stays
+    fully relational: one window cumsum over the doc order — optimal
+    packing is NP-hard and needs no more than this in practice, since a
+    shuffled corpus's doc sizes are exchangeable. ONE range exchange for
+    the global order (Spark's rangepartitioning handles the sort
+    distribution; at 100 TB pack per partition instead by adding the
+    partition id to the window key).
+
+    Returns (bin_id, n_docs, n_tokens) per bin, 0-based, ordered.
+    """
+    w = Window.orderBy(id_col)
+    sized = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    # bin of a doc = floor((cumsum_before) / budget): a doc enters the
+    # bin its PREFIX sum points at; bins overflow only via single docs
+    # larger than the budget (first-fit-in-order semantics)
+    binned = sized.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("bin_id", F.floor(F.col("cum_before") / F.lit(budget)))
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+# RE2-safe patterns (no backreferences/lookaround) so the DuckDB oracle
+# evaluates the IDENTICAL regex: emails, dotted-quad IPs, and
+# international-ish phone numbers long enough to avoid matching years
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def pii_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc PII hit counts and the md5 of the redacted text — the
+    decision signal for the scrub-or-drop policy step every public
+    web-corpus pipeline runs before training. Counting and redaction are
+    single-pass ``regexp_*`` column expressions (JVM codegen, no
+    Python); the patterns are RE2-safe so the oracle runs the identical
+    regex. Returns (doc_id, n_emails, n_ips, n_phones, redacted_md5).
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IP), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")

@@ -1,0 +1,72 @@
+"""Known-answer tests for the training-batch preparation operators."""
+
+from pyspark.sql import functions as F
+
+from intelligent_ocr_spark.operators.prep import (
+    chunk_documents,
+    pack_sequences,
+    pii_signals,
+)
+
+
+def test_chunk_documents_boundaries(spark):
+    """Exact chunk boundaries: 10 tokens at chunk=4/overlap=1 -> 3 chunks
+    (ceil((10-1)/3)) starting at 1,4,7; short docs yield themselves;
+    overlap tokens are shared between neighbors; coverage is total."""
+    df = spark.createDataFrame(
+        [(0, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (1, "a b")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    }
+    assert got[(0, 0)] == ("t1 t2 t3 t4", 4)
+    assert got[(0, 1)] == ("t4 t5 t6 t7", 4)  # t4 shared (overlap=1)
+    assert got[(0, 2)] == ("t7 t8 t9 t10", 4)
+    assert (0, 3) not in got  # 3 chunks already cover every token
+    assert got[(1, 0)] == ("a b", 2)
+    # every token of every doc appears in at least one chunk
+    covered = " ".join(t for (_, _), (t, _) in sorted(got.items())).split()
+    assert set(covered) == {f"t{i}" for i in range(1, 11)} | {"a", "b"}
+
+
+def test_pack_sequences_first_fit(spark):
+    """Budget 10, doc sizes 4,4,4,12,3 in id order: cumulative-before
+    sums 0,4,8,12,24 -> bins 0,0,0,1,2. The 12-token doc lands alone;
+    bins are contiguous in doc order."""
+    rows = [
+        (0, " ".join(["w"] * 4)),
+        (1, " ".join(["w"] * 4)),
+        (2, " ".join(["w"] * 4)),
+        (3, " ".join(["w"] * 12)),
+        (4, " ".join(["w"] * 3)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["bin_id"]: (r["n_docs"], r["n_tokens"]) for r in pack_sequences(df, budget=10).collect()}
+    assert got == {0: (3, 12), 1: (1, 12), 2: (1, 3)}
+
+
+def test_pii_signals_known_answers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@mail.example.org and bob@ex.io thanks"),
+            (1, "server 192.168.0.1 and 10.20.30.40 up"),
+            (2, "call +1 (415) 555-2671 now"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_signals(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_phones"]) == (2, 0, 0)
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (0, 2, 0)
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 0, 1)
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 0)
+    import hashlib
+
+    assert got[3]["redacted_md5"] == hashlib.md5(
+        b"clean text with no identifiers at all"
+    ).hexdigest()
+    assert got[0]["redacted_md5"] == hashlib.md5(
+        b"mail me at <EMAIL> and <EMAIL> thanks"
+    ).hexdigest()
