@@ -1951,6 +1951,83 @@ def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_signals(aug)
 
 
+@_q(
+    "pipeline_training_prep",
+    """
+    WITH dedup AS (
+      -- exact dedup: keep the smallest doc_id per content hash
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), gated AS (
+      -- quality gates: token-count band + distinct-token fraction
+      SELECT doc_id, ts FROM (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM dedup
+      ) WHERE len(ts) BETWEEN 10 AND 500
+        AND len(list_distinct(ts)) * 1.0 / len(ts) > 0.3
+    ), par AS (
+      SELECT doc_id, ts,
+             greatest(CAST(ceil((len(ts) - 4) * 1.0 / 28) AS INT), 1) AS nc
+      FROM gated
+    ), chunks AS (
+      SELECT doc_id, CAST(k AS INT) AS chunk_id,
+             CAST(len(ts[k*28+1:k*28+32]) AS INT) AS n_tokens
+      FROM (SELECT doc_id, ts, nc, unnest(generate_series(0, nc - 1)) AS k FROM par)
+    ), packed AS (
+      SELECT CAST(floor(COALESCE(
+               sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               * 1.0 / 256) AS BIGINT) AS bin_id,
+             n_tokens
+      FROM chunks
+    )
+    SELECT bin_id, count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY bin_id ORDER BY bin_id
+    """,
+)
+def q_pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed last-mile pipeline: exact dedup → quality gates
+    (token band + distinct fraction) → 32/4 context chunking → 256-token
+    bin packing — the stages working TOGETHER, oracle-verified
+    end-to-end. Returns per-bin (n_chunks, n_tokens)."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    deduped = (
+        d.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    ts = F.split(F.col("text"), " ")
+    gated = deduped.filter(
+        F.size(ts).between(10, 500)
+        & (F.size(F.array_distinct(ts)) / F.size(ts) > 0.3)
+    )
+    from intelligent_ocr_spark.operators.prep import chunk_documents
+
+    chunks = chunk_documents(gated, chunk_tokens=32, overlap=4)
+    w = W.orderBy("doc_id", "chunk_id")
+    packed = chunks.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("bin_id", F.floor(F.col("cum_before") / F.lit(256)))
+    return (
+        packed.groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("bin_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings table)
 # --------------------------------------------------------------------------
@@ -2207,6 +2284,7 @@ _CHANGED_THIS_ROUND = [
     "prep_chunk_documents",   # NEW: context-window chunking
     "prep_pack_sequences",    # NEW: token-budget packing
     "prep_pii_signals",       # NEW: PII scrub signals
+    "pipeline_training_prep",  # NEW: composed dedup→gate→chunk→pack
     "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [
