@@ -410,3 +410,45 @@ def test_deterministic_sample_properties(spark):
     assert k_other != k1  # independent draw under a different salt
     overlap = len(set(k1) & set(k_other)) / len(k1)
     assert overlap < 0.35  # ~frac expected under independence
+
+
+def test_bmp_ppm_real_decode(spark):
+    """The in-container codec tier is REAL: BMP/PPM payloads round-trip
+    pixel-exact through the pure-numpy decoders, decode_image_stats
+    reports TRUE dimensions for them (not md5-derived fakes), and a
+    uniform image trips the blank gate."""
+    import numpy as np
+
+    from intelligent_ocr_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(37, 51, 3), dtype=np.uint8)
+    dec = decode_bmp(encode_bmp(arr))
+    assert dec is not None
+    got, w, h, c = dec
+    assert (w, h, c) == (51, 37, 3)
+    assert np.array_equal(got, arr)
+
+    ppm = b"P6\n# comment\n51 37\n255\n" + arr.tobytes()
+    got2, w2, h2, c2 = decode_ppm(ppm)
+    assert (w2, h2, c2) == (51, 37, 3)
+    assert np.array_equal(got2, arr)
+
+    blank = np.full((40, 40, 3), 200, dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_bmp(arr))),
+        (2, bytearray(encode_bmp(blank))),
+        (3, bytearray(b"\x89PNG not really decodable")),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "media"])
+    stats = {r["doc_id"]: r for r in decode_image_stats(df).collect()}
+    assert (stats[1]["width"], stats[1]["height"]) == (51, 37)  # TRUE dims
+    assert stats[1]["is_blank"] is False
+    assert (stats[2]["width"], stats[2]["height"]) == (40, 40)
+    assert stats[2]["is_blank"] is True  # uniform -> zero gradient
+    # non-decodable payload still degrades to the deterministic fake
+    assert stats[3]["width"] is not None
