@@ -1952,6 +1952,55 @@ def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_decode_bmp",
+    """
+    SELECT doc_id,
+           CAST(16 + doc_id % 40 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 40 AS INT) AS height,
+           (doc_id % 3 = 0) AS is_blank
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def q_mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked: each doc gets a deterministic
+    24-bit BMP (dims a closed form of doc_id; every third uniform ⇒
+    blank) synthesized executor-side, and ``decode_image_stats`` must
+    RECOVER those dims and blank flags by actually parsing the bytes —
+    the oracle restates the generator's closed form, so any decode
+    defect (stride, BGR flip, bottom-up order) breaks the match."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_bmp,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                w = 16 + int(doc_id) % 40
+                h = 16 + (int(doc_id) * 7) % 40
+                if int(doc_id) % 3 == 0:
+                    arr = np.full((h, w, 3), 127, dtype=np.uint8)  # uniform
+                else:
+                    rng = np.random.default_rng(int(doc_id))
+                    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                out.append({"doc_id": int(doc_id), "media": encode_bmp(arr)})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return (
+        decode_image_stats(media)
+        .select("doc_id", "width", "height", "is_blank")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "pipeline_training_prep",
     """
     WITH dedup AS (
@@ -2285,6 +2334,7 @@ _CHANGED_THIS_ROUND = [
     "prep_pack_sequences",    # NEW: token-budget packing
     "prep_pii_signals",       # NEW: PII scrub signals
     "pipeline_training_prep",  # NEW: composed dedup→gate→chunk→pack
+    "mm_decode_bmp",          # NEW: real BMP decode, closed-form oracle
     "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [
