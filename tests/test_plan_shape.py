@@ -144,5 +144,46 @@ def test_substring_spans_no_join_single_subtree(spark):
     )
     plan = _plan(substring_dup_spans(docs))
     assert "Join" not in plan and "NestedLoop" not in plan, plan
-    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 1, plan
+    assert len(re.findall(r"\bGenerate\b", plan)) == 1, plan
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 3, plan
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    """Chunking is a pure projection+Generate — ZERO exchanges: it must
+    run at scan speed on 100 TB, and any shuffle here is a regression."""
+    from intelligent_ocr_spark.operators.prep import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(chunk_documents(docs))
+    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"\bGenerate\b", plan)) == 1, plan
+
+
+def test_pii_signals_codegen_no_udf(spark):
+    """PII counting/redaction stays JVM-side: no Python evaluation
+    operator in the plan, and the only exchange is the output sort."""
+    from intelligent_ocr_spark.operators.prep import pii_signals
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i} mail@x.io") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(pii_signals(docs))
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 0, plan
+
+
+def test_benchmark_contamination_no_pair_join(spark):
+    """Contamination scoring joins gram hashes left-semi — never a
+    doc-pair join: no NestedLoop/Cartesian, and the semi join is the
+    only join over the gram column."""
+    from intelligent_ocr_spark.operators.dedup import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j k l") for i in range(20)], "doc_id long, text string"
+    )
+    bench = docs.filter("doc_id < 3")
+    plan = _plan(benchmark_contamination(docs, bench))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
