@@ -53,6 +53,7 @@ __all__ = ["fast_applicable", "fast_feed"]
 _BAIL_RE = re.compile(r"<!\[|<script|<style", re.IGNORECASE)
 
 _ALPHA_EQ_SLASH = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 # strict common attribute shape: lowercase-name="value", no '&' (no
 # unescape needed), value may contain anything else incl. <> (same as the
@@ -228,7 +229,8 @@ def fast_feed(handler, raw: str) -> None:
         i = j
         if i == n:
             break
-        if starttagopen.match(raw, i):  # '<' + letter
+        nxt = raw[i + 1 : i + 2]
+        if nxt and nxt in _ASCII_LETTERS:  # starttagopen: '<' + letter
             k = _parse_starttag(handler, raw, i)
         elif raw.startswith("</", i):
             k = _parse_endtag(handler, raw, i)

@@ -160,8 +160,12 @@ class _PageParser(HTMLParser):
             self._dom = None
 
     # -- HTMLParser hooks ----------------------------------------------
+    _EMPTY_ATTRS: dict = {}
+
     def handle_starttag(self, tag: str, attrs_list) -> None:
-        attrs = dict(attrs_list)
+        # shared read-only empty dict: most tags carry no attributes and
+        # this handler only ever .get()s from attrs
+        attrs = dict(attrs_list) if attrs_list else self._EMPTY_ATTRS
         if tag == "html":
             self.layout = attrs.get("data-layout")
             try:
