@@ -452,3 +452,18 @@ def test_bmp_ppm_real_decode(spark):
     assert stats[2]["is_blank"] is True  # uniform -> zero gradient
     # non-decodable payload still degrades to the deterministic fake
     assert stats[3]["width"] is not None
+
+
+def test_substring_spans_hot_gram_skew(spark):
+    """Boilerplate skew: ONE 8-gram shared by 20,000 docs (the classic
+    footer) funnels into a single gram-window partition — the sort-based
+    window must absorb it (spill, not OOM) and every doc must get its
+    span. Unique suffixes keep the docs from being exact dups."""
+    from intelligent_ocr_spark.operators.dedup import substring_dup_spans
+
+    footer = "all rights reserved contact us terms privacy sitemap"
+    rows = [(i, footer + f" u{i} v{i}") for i in range(20_000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    spans = substring_dup_spans(df, run_n=8).collect()
+    assert len(spans) == 20_000
+    assert all(r["span_start"] == 1 and r["span_end"] == 8 for r in spans)
