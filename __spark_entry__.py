@@ -1952,6 +1952,31 @@ def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, text[i:i] AS ch
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text), 0))) AS i
+            FROM documents)
+      WHERE length(text) >= 1
+    ), counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+           floor((ln(sum(c)) - sum(c * ln(c)) / sum(c)) * 1e6) / 1e6 AS entropy
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per doc — the mojibake/binary-soup
+    quality gate."""
+    from intelligent_ocr_spark.functions.textstats import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "mm_decode_bmp",
     """
     SELECT doc_id,
@@ -2335,6 +2360,7 @@ _CHANGED_THIS_ROUND = [
     "prep_pii_signals",       # NEW: PII scrub signals
     "pipeline_training_prep",  # NEW: composed dedup→gate→chunk→pack
     "mm_decode_bmp",          # NEW: real BMP decode, closed-form oracle
+    "text_char_entropy",      # NEW: character-entropy quality gate
     "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [

@@ -26,6 +26,7 @@ __all__ = [
     "repetition_signals",
     "unigram_logprob",
     "deterministic_sample",
+    "char_entropy",
 ]
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "with")
@@ -237,3 +238,53 @@ def deterministic_sample(
         10,
     ).cast("long")
     return df.filter(h < F.lit(int(frac * (1 << 32))))
+
+
+def char_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc Shannon entropy (nats) of the character distribution —
+    the cheap mojibake/binary-soup detector quality stacks run beside
+    the token signals (natural language sits in a narrow entropy band;
+    base64 blobs and single-char runs fall far outside it).
+
+    Characters come from ``transform(sequence, substr)`` so both engines
+    enumerate identical units (locale/empty-split quirks of
+    ``split(text, '')`` never enter); the entropy uses the identity
+    −Σ (c/n)·ln(c/n) = ln n − (Σ c·ln c)/n, so ONE two-level aggregation
+    (per-(doc, char) counts with map-side combine, then per-doc)
+    computes it without materializing probabilities. Empty docs are
+    omitted (entropy undefined). Returns (doc_id, n_chars, entropy)
+    floor-scaled to 1e-6.
+    """
+    from intelligent_ocr_spark.util import ensure_parallelism
+
+    t = F.col(text_col)
+    chars = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.length(t) >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t)),
+                    lambda i: t.substr(i, F.lit(1)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars"),
+            (
+                F.floor(
+                    (
+                        F.log(F.sum("c"))
+                        - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+                    )
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

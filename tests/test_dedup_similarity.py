@@ -467,3 +467,28 @@ def test_substring_spans_hot_gram_skew(spark):
     spans = substring_dup_spans(df, run_n=8).collect()
     assert len(spans) == 20_000
     assert all(r["span_start"] == 1 and r["span_end"] == 8 for r in spans)
+
+
+def test_char_entropy_known_answers(spark):
+    """Hand-checkable entropies: 'aaaa' -> 0; 'abab' -> ln 2; 'abcd' ->
+    ln 4; a base64-ish string must exceed natural text of the same
+    length (the gate's separating property); empty docs are omitted."""
+    import math
+
+    from intelligent_ocr_spark.functions.textstats import char_entropy
+
+    rows = [
+        (0, "aaaa"),
+        (1, "abab"),
+        (2, "abcd"),
+        (3, "the cat sat on the mat near a hat"),
+        (4, "Kq9zXv2LmW8pT0yRbN4cJ6hD1fGs5aUe"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chars"], r["entropy"]) for r in char_entropy(df).collect()}
+    assert got[0] == (4, 0.0)
+    assert got[1] == (4, math.floor(math.log(2) * 1e6) / 1e6)
+    assert got[2] == (4, math.floor(math.log(4) * 1e6) / 1e6)
+    assert got[4][1] > got[3][1]  # random-ish soup above natural text
+    assert 5 not in got  # empty doc omitted
