@@ -1952,6 +1952,60 @@ def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3 THEN {_SHINGLE_SQL} ELSE [] END)) AS shingle
+      FROM toks
+    ), hashed AS (  -- dedup_clusters CTE chain (recursive tail below)
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::UBIGINT AS h1,
+             ('0x' || substr(md5('~' || shingle), 1, 8))::UBIGINT AS h2
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {', '.join(f"min((h1 + {j} * h2) % 2147483647) AS g{j}" for j in range(8))}
+      FROM hashed GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band,
+             CASE WHEN band = 0 THEN md5(g0 || '|' || g1 || '|' || g2 || '|' || g3)
+                  ELSE md5(g4 || '|' || g5 || '|' || g6 || '|' || g7) END AS bucket
+      FROM sig CROSS JOIN (SELECT unnest([0, 1]) AS band)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), cc AS (
+      -- transitive closure by recursion: every (node, reachable-label)
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON c.node = e.src
+    )
+    SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM cc GROUP BY node ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph (transitivity: A~B and B~C dedup together even when A~C was
+    never scored). Iterative min-label propagation on the Spark side;
+    the oracle computes the same components with a recursive CTE."""
+    from intelligent_ocr_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        near_dup_clusters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_clusters(minhash_lsh_candidates(d, bands=2))
+
+
+@_q(
     "text_char_entropy",
     """
     WITH chars AS (
@@ -2361,6 +2415,7 @@ _CHANGED_THIS_ROUND = [
     "pipeline_training_prep",  # NEW: composed dedup→gate→chunk→pack
     "mm_decode_bmp",          # NEW: real BMP decode, closed-form oracle
     "text_char_entropy",      # NEW: character-entropy quality gate
+    "dedup_clusters",         # NEW: connected components over pair graph
     "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [

@@ -38,6 +38,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "substring_dup_spans",
     "benchmark_contamination",
+    "near_dup_clusters",
 ]
 
 
@@ -535,3 +536,68 @@ def benchmark_contamination(
         )
         .orderBy("doc_id")
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame, max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: the step that
+    turns pairwise candidates (MinHash/SimHash/Jaccard output) into
+    dedup GROUPS — transitivity matters because A~B and B~C must dedup
+    together even when A~C was never scored.
+
+    Iterative min-label propagation (the standard Spark CC shape):
+    every node starts with label = its own id; each round joins labels
+    across the (undirected) edges and keeps the minimum; convergence in
+    at most diameter rounds, checked by an aggregate — the driver loop
+    holds only a round counter, never data. Each round is one
+    edge-join + one groupBy, both on the node id, so AQE reuses the
+    partitioning round-over-round; the classic large-star/small-star
+    optimization cuts round count for pathological chains and can drop
+    in behind this signature if corpus diameters ever demand it.
+
+    Input: (doc_a, doc_b) pairs. Returns (doc_id, cluster_id) with
+    cluster_id = the smallest doc id in the component, one row per doc
+    that appears in ANY pair (singletons have no row — they need no
+    dedup decision).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # convergence probe: one tiny aggregate per round (labels are
+        # monotonically non-increasing, so equality of sums == fixpoint)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        # cache-free: each round's plan is a short join chain over the
+        # edge table; Spark re-derives it rather than growing a lineage
+        # that needs checkpointing at these round counts
+        new_labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")

@@ -492,3 +492,23 @@ def test_char_entropy_known_answers(spark):
     assert got[2] == (4, math.floor(math.log(4) * 1e6) / 1e6)
     assert got[4][1] > got[3][1]  # random-ish soup above natural text
     assert 5 not in got  # empty doc omitted
+
+
+def test_near_dup_clusters_transitive(spark):
+    """Transitivity is the point: 1~2, 2~3 cluster together though 1~3
+    was never scored; disjoint pairs stay separate; a 12-node chain
+    (diameter >> 1 round) converges to one cluster."""
+    from intelligent_ocr_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "doc_a long, doc_b long"
+    )
+    got2 = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(chain).collect()}
+    assert set(got2.values()) == {100}
+    assert len(got2) == 13
