@@ -1952,6 +1952,40 @@ def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), wdf AS (
+      SELECT doc_id, term, tf,
+             count(*) OVER (PARTITION BY term) AS doc_freq
+      FROM tf
+    ), nd AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+    ), scored AS (
+      SELECT doc_id, term, tf, doc_freq,
+             floor(tf * ln(n_docs * 1.0 / doc_freq) * 1e6) / 1e6 AS score
+      FROM wdf CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, CAST(doc_freq AS BIGINT) AS doc_freq, score,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 tf-idf keywords."""
+    from intelligent_ocr_spark.functions.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@_q(
     "dedup_clusters",
     f"""
     WITH RECURSIVE toks AS (
@@ -2416,6 +2450,7 @@ _CHANGED_THIS_ROUND = [
     "mm_decode_bmp",          # NEW: real BMP decode, closed-form oracle
     "text_char_entropy",      # NEW: character-entropy quality gate
     "dedup_clusters",         # NEW: connected components over pair graph
+    "text_tfidf_top_terms",   # NEW: per-doc tf-idf keywords
     "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [

@@ -27,6 +27,7 @@ __all__ = [
     "unigram_logprob",
     "deterministic_sample",
     "char_entropy",
+    "tfidf_top_terms",
 ]
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "with")
@@ -287,4 +288,43 @@ def char_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
             ).alias("entropy"),
         )
         .orderBy("doc_id")
+    )
+
+
+def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    """Top-``k`` tf-idf terms per document — the classic corpus keyword
+    extractor (what a corpus-exploration UI shows per doc; also the
+    cheap topic signal stratified sampling can key on).
+
+    Shape: one token explode → (doc, tok) counts (map-side combine);
+    document frequency is ``count(*) over (partition by tok)`` on that
+    already-distinct frame (no second pass, same trick as the dedup
+    doc-frequency windows); N = total docs with ≥1 token is a broadcast
+    scalar. Score = tf · ln(N/df), floor-scaled; ties rank
+    deterministically by (score desc, term asc). Returns
+    (doc_id, term, tf, doc_freq, score, rank).
+    """
+    from pyspark.sql import Window
+
+    from intelligent_ocr_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    with_df = tf.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = with_df.crossJoin(F.broadcast(n_docs)).withColumn(
+        "score",
+        F.floor(F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")) * F.lit(1e6))
+        / F.lit(1e6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "doc_freq", "score", "rank")
+        .orderBy("doc_id", "rank")
     )

@@ -512,3 +512,29 @@ def test_near_dup_clusters_transitive(spark):
     got2 = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(chain).collect()}
     assert set(got2.values()) == {100}
     assert len(got2) == 13
+
+
+def test_tfidf_top_terms_known_answers(spark):
+    """Hand-checkable tf-idf: a term unique to one doc outranks terms
+    shared by all docs (which score ln(1)=0); ties break on term order;
+    tf multiplies the idf."""
+    import math
+
+    from intelligent_ocr_spark.functions.textstats import tfidf_top_terms
+
+    rows = [
+        (0, "shared shared zebra zebra zebra"),
+        (1, "shared apple"),
+        (2, "shared banana banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["doc_freq"], r["score"])
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    ln3 = math.log(3.0)
+    fs = lambda v: math.floor(v * 1e6) / 1e6
+    assert got[(0, 1)] == ("zebra", 3, 1, fs(3 * ln3))
+    assert got[(0, 2)] == ("shared", 2, 3, 0.0)  # in every doc -> idf 0
+    assert got[(1, 1)] == ("apple", 1, 1, fs(ln3))
+    assert got[(2, 1)] == ("banana", 2, 1, fs(2 * ln3))
