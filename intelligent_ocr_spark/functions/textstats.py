@@ -9,6 +9,11 @@ covers them:
 * quality scoring (length / punctuation / stopword ratios)
 * token counting (whitespace + BPE-ish subword estimate)
 * document fingerprinting (k-smallest-distinct-token digest)
+* repetition signals (Gopher/MassiveText distinct/max-word/bigram fracs)
+* unigram log-probability (CCNet-style perplexity proxy)
+* character entropy (mojibake/binary-soup gate)
+* tf-idf top-k keywords
+* deterministic content-addressed sampling (retry-stable train/val draws)
 """
 
 from __future__ import annotations

@@ -1,22 +1,29 @@
 """Deduplication operator family for training-data pipelines.
 
-Four tiers, all pure DataFrame compositions (no Python UDFs — everything
-stays in whole-stage codegen) and all hash-anchored on ``md5`` so the
-DuckDB oracle reproduces values exactly:
+All pure DataFrame compositions (no Python UDFs — everything stays in
+whole-stage codegen) and all hash-anchored on ``md5`` so the DuckDB
+oracle reproduces values exactly:
 
 * **exact**: groupBy content hash — one shuffle on a short key.
 * **MinHash + LSH**: shingle → k md5-min signatures → band buckets →
   candidate pairs via equi-join on (band, bucket). The scale path for
   near-dup detection at 10^12 docs: cost is O(docs × shingles) map-side
   plus one shuffle on band buckets; no all-pairs comparison ever happens.
-* **SimHash**: 32-bit sign-aggregated token hash; near-dups = pairs within
+* **SimHash**: 64-bit sign-aggregated token hash; near-dups = pairs within
   Hamming distance ``d`` found via a four-band join (pigeonhole: four
-  8-bit bands guarantee recall for d ≤ 3 — standard Charikar-style
+  16-bit bands guarantee recall for d ≤ 3 — standard Charikar-style
   banding; see ``simhash_near_dups`` for the bound and scale notes).
 * **n-gram Jaccard**: exact verification on shared-shingle-blocked pairs
   with a document-frequency cap on shingles (stop-shingle removal — the
   skew guard: a boilerplate shingle shared by millions of docs would
   otherwise quadratically explode the self-join).
+* **exact-substring spans** (``substring_dup_spans``): maximal verbatim
+  token runs shared across docs — the Lee et al. 2022 signal without a
+  suffix array.
+* **benchmark contamination** (``benchmark_contamination``): per-doc
+  n-gram overlap with a held-out set (GPT-3/FineWeb decontamination).
+* **clusters** (``near_dup_clusters``): connected components over any
+  pair output — pairs become transitive dedup GROUPS.
 """
 
 from __future__ import annotations
