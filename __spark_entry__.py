@@ -1952,6 +1952,34 @@ def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_winnow_fingerprints",
+    """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(text[i:i+4]), 1, 8))::UBIGINT AS h
+      FROM pos
+    ), wmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fingerprint
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint
+    FROM wmin ORDER BY doc_id, fingerprint
+    """,
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (k=5 char-grams, window 8)."""
+    from intelligent_ocr_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, window=8)
+
+
+@_q(
     "text_tfidf_top_terms",
     f"""
     WITH toks AS (
@@ -2451,6 +2479,7 @@ _CHANGED_THIS_ROUND = [
     "text_char_entropy",      # NEW: character-entropy quality gate
     "dedup_clusters",         # NEW: connected components over pair graph
     "text_tfidf_top_terms",   # NEW: per-doc tf-idf keywords
+    "dedup_winnow_fingerprints",  # NEW: MOSS winnowing sketches
     "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [

@@ -46,6 +46,7 @@ __all__ = [
     "substring_dup_spans",
     "benchmark_contamination",
     "near_dup_clusters",
+    "winnow_fingerprints",
 ]
 
 
@@ -608,3 +609,54 @@ def near_dup_clusters(
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, window: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local-fingerprinting algorithm, public paper): hash
+    every character ``k``-gram, then keep the MINIMUM hash of each
+    sliding window of ``window`` consecutive positions. Guarantee: any
+    shared substring of length ≥ ``window + k − 1`` contributes at
+    least one IDENTICAL selected fingerprint to both documents, while
+    only ~2/(window+1) of positions are kept — the density/recall
+    trade-off the paper proves optimal for local algorithms.
+
+    Shape: the k-gram expansion is a projection (``transform`` over a
+    sequence — rows only at the position explode); the sliding-window
+    minimum is ``min() over (rows between current and window-1
+    following)`` partitioned by doc — ONE exchange on the doc id; the
+    distinct selected set reuses that partitioning. Returns
+    (doc_id, fingerprint) rows, distinct, ordered.
+    """
+    t = F.col(text_col)
+    n_pos = F.length(t) - (k - 1)
+    grams = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                n_pos >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_pos),
+                    lambda i: F.struct(
+                        i.alias("pos"), _md5_32(t.substr(i, F.lit(k))).alias("h")
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("p"),
+    ).select("doc_id", F.col("p.pos").alias("pos"), F.col("p.h").alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        grams.withColumn("wmin", F.min("h").over(w))
+        # windows that extend past the end still emit a min (shorter
+        # window) — the paper's boundary behavior for short tails
+        .select("doc_id", F.col("wmin").alias("fingerprint"))
+        .distinct()
+        .orderBy("doc_id", "fingerprint")
+    )

@@ -538,3 +538,26 @@ def test_tfidf_top_terms_known_answers(spark):
     assert got[(0, 2)] == ("shared", 2, 3, 0.0)  # in every doc -> idf 0
     assert got[(1, 1)] == ("apple", 1, 1, fs(ln3))
     assert got[(2, 1)] == ("banana", 2, 1, fs(2 * ln3))
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two docs sharing
+    a substring of length >= window + k - 1 (= 12 here) share at least
+    one selected fingerprint; fully-disjoint alphabets share none; and
+    the sketch is much denser than 1 but much sparser than positions."""
+    from intelligent_ocr_spark.operators.dedup import winnow_fingerprints
+
+    shared = "abcdefghijkl"  # length 12 = window(8) + k(5) - 1
+    rows = [
+        (0, "xxxx" + shared + "yyyyyyyy"),
+        (1, "qqqqqqqq" + shared + "zz"),
+        (2, "0123456789" * 4),  # digits only — disjoint from letters
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, k=5, window=8).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[0] & fps[1]  # shared substring -> shared fingerprint
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    for d, s in fps.items():
+        assert 1 <= len(s) < 40, (d, len(s))  # sparse sketch
