@@ -1980,6 +1980,43 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_winnow_pairs",
+    """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(text[i:i+4]), 1, 8))::UBIGINT AS h
+      FROM pos
+    ), fps AS (
+      SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fingerprint
+      FROM grams
+    ), rare AS (
+      SELECT doc_id, fingerprint FROM (
+        SELECT doc_id, fingerprint,
+               count(*) OVER (PARTITION BY fingerprint) AS df_count
+        FROM fps
+      ) WHERE df_count <= 50
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM rare a JOIN rare b ON a.fingerprint = b.fingerprint
+    WHERE a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b HAVING count(*) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-similarity candidate pairs from winnowing sketches."""
+    from intelligent_ocr_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "text_tfidf_top_terms",
     f"""
     WITH toks AS (
@@ -2480,6 +2517,7 @@ _CHANGED_THIS_ROUND = [
     "dedup_clusters",         # NEW: connected components over pair graph
     "text_tfidf_top_terms",   # NEW: per-doc tf-idf keywords
     "dedup_winnow_fingerprints",  # NEW: MOSS winnowing sketches
+    "dedup_winnow_pairs",     # NEW: local-similarity candidates
     "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [

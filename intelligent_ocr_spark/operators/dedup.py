@@ -47,6 +47,7 @@ __all__ = [
     "benchmark_contamination",
     "near_dup_clusters",
     "winnow_fingerprints",
+    "winnow_pairs",
 ]
 
 
@@ -659,4 +660,34 @@ def winnow_fingerprints(
         .select("doc_id", F.col("wmin").alias("fingerprint"))
         .distinct()
         .orderBy("doc_id", "fingerprint")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, window: int = 8, min_shared: int = 2, doc_freq_cap: int = 50,
+) -> DataFrame:
+    """Candidate near-dup pairs from winnowing sketches: docs sharing ≥
+    ``min_shared`` selected fingerprints. The LOCAL counterpart of the
+    MinHash candidates — winnowing selects per-substring evidence, so a
+    pair sharing one long verbatim passage surfaces even when global
+    similarity is low (plagiarism/quotation detection, MOSS's use case).
+
+    Skew guard mirrors ngram_jaccard: a fingerprint selected in more
+    than ``doc_freq_cap`` docs (boilerplate) is dropped from the join
+    universe via the same one-exchange window trick, so no fingerprint
+    key can go quadratic. Returns (doc_a, doc_b, n_shared).
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    rare = fps.withColumn(
+        "df_count", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+    ).filter(F.col("df_count") <= doc_freq_cap).select("doc_id", "fingerprint")
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
     )

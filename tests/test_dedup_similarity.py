@@ -561,3 +561,24 @@ def test_winnow_fingerprints_guarantee(spark):
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
     for d, s in fps.items():
         assert 1 <= len(s) < 40, (d, len(s))  # sparse sketch
+
+
+def test_winnow_pairs_local_similarity(spark):
+    """Pairs surface on SHARED PASSAGES, not global similarity: two docs
+    that are globally different but quote the same 40-char passage pair
+    up; unrelated docs do not."""
+    from intelligent_ocr_spark.operators.dedup import winnow_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, "totally unrelated preamble here. " + passage + " and a different end"),
+        (1, "another document entirely, quoting: " + passage + " verbatim inside"),
+        (2, "no quotation anywhere in this one, just plain filler prose text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_pairs(df, min_shared=2).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert not any(2 in p for p in pairs)
