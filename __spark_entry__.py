@@ -1952,6 +1952,64 @@ def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pipeline_perplexity_gate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(c) AS total FROM freq
+    ), lp AS (
+      SELECT doc_id,
+             floor(avg(ln(c * 1.0 / total)) * 1e6) / 1e6 AS mean_logprob
+      FROM toks JOIN freq USING (tok) CROSS JOIN tot
+      GROUP BY doc_id
+    ), thresh AS (
+      SELECT quantile_cont(mean_logprob, 0.1) AS p10 FROM lp
+    )
+    SELECT d.lang, count(*) AS n_docs,
+           -- integer micro-units: exact sums regardless of merge order
+           floor(avg(CAST(round(mean_logprob * 1e6) AS BIGINT))) / 1e6
+             AS avg_logprob
+    FROM lp JOIN documents d USING (doc_id) CROSS JOIN thresh
+    WHERE mean_logprob >= p10
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic quality gate: drop the worst decile by the perplexity
+    proxy (CCNet keeps the head/middle of its perplexity buckets), then
+    per-language corpus stats — the threshold ADAPTS to the corpus
+    instead of a hand-tuned constant. Percentile and filter run over
+    the floor-scaled logprobs, so both engines gate on identical
+    doubles."""
+    from intelligent_ocr_spark.functions.textstats import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    lp = unigram_logprob(d)
+    thresh = lp.agg(F.expr("percentile(mean_logprob, 0.1)").alias("p10"))
+    return (
+        lp.crossJoin(F.broadcast(thresh))
+        .filter(F.col("mean_logprob") >= F.col("p10"))
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # integer micro-units: exact sums regardless of partial-agg
+            # merge order (the pipeline_web_corpus floor-scaled-int rule)
+            (
+                F.floor(
+                    F.avg(F.round(F.col("mean_logprob") * F.lit(1e6)).cast("long"))
+                )
+                / F.lit(1e6)
+            ).alias("avg_logprob"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
     "dedup_winnow_fingerprints",
     """
     WITH pos AS (
@@ -2518,6 +2576,7 @@ _CHANGED_THIS_ROUND = [
     "text_tfidf_top_terms",   # NEW: per-doc tf-idf keywords
     "dedup_winnow_fingerprints",  # NEW: MOSS winnowing sketches
     "dedup_winnow_pairs",     # NEW: local-similarity candidates
+    "pipeline_perplexity_gate",  # NEW: adaptive P10 quality gate
     "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [
