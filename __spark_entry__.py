@@ -1952,6 +1952,36 @@ def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_source_drift",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), counts AS (
+      SELECT source, tok, count(*) AS c_s FROM toks GROUP BY source, tok
+    ), enr AS (
+      SELECT source, tok, c_s,
+             sum(c_s) OVER (PARTITION BY source) AS n_s,
+             sum(c_s) OVER (PARTITION BY tok) AS c
+      FROM counts
+    )
+    SELECT source,
+           CAST(sum(c_s) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           sum(CAST(round((c_s * 1.0 / n_s)
+                 * ln((c_s * 1.0 / n_s) / (c * 1.0 / n)) * 1e9) AS BIGINT))
+             / 1e9 AS kl_divergence
+    FROM enr CROSS JOIN (SELECT sum(c_s) AS n FROM counts)
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution KL drift vs the corpus."""
+    from intelligent_ocr_spark.functions.textstats import source_token_drift
+
+    return source_token_drift(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "pipeline_perplexity_gate",
     f"""
     WITH toks AS (
@@ -2577,6 +2607,7 @@ _CHANGED_THIS_ROUND = [
     "dedup_winnow_fingerprints",  # NEW: MOSS winnowing sketches
     "dedup_winnow_pairs",     # NEW: local-similarity candidates
     "pipeline_perplexity_gate",  # NEW: adaptive P10 quality gate
+    "text_source_drift",      # NEW: per-source KL drift monitor
     "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [

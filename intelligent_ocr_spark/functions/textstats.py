@@ -33,6 +33,7 @@ __all__ = [
     "deterministic_sample",
     "char_entropy",
     "tfidf_top_terms",
+    "source_token_drift",
 ]
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "with")
@@ -332,4 +333,48 @@ def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int =
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "doc_freq", "score", "rank")
         .orderBy("doc_id", "rank")
+    )
+
+
+def source_token_drift(df, source_col: str = "source", text_col: str = "text"):
+    """Per-source KL divergence of the token distribution against the
+    whole corpus — the drift monitor a production corpus pipeline runs
+    per ingest slice (a crawl segment whose language/boilerplate mix
+    shifted jumps out as a KL spike before any model ever trains on it).
+
+    KL(p_s ‖ p_corpus) = Σ_tok p_s(t) · ln(p_s(t)/p(t)), over the
+    source's own tokens (q(t) > 0 whenever p_s(t) > 0, since the corpus
+    contains the source — no smoothing needed). Shape: one token
+    explode → (source, tok) counts; per-source and per-token totals via
+    windows on the already-aggregated frame (one exchange each); the
+    final per-source sum adds integer NANO-units (round(term·1e9)) so
+    partial-aggregate merge order cannot move the result — both engines
+    produce identical doubles for each term, and integer sums are
+    order-exact. Returns (source, n_tokens, n_distinct, kl_divergence).
+    """
+    from pyspark.sql import Window
+
+    from intelligent_ocr_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(source_col).alias("source"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_s"))
+    enriched = (
+        counts.withColumn("n_s", F.sum("c_s").over(Window.partitionBy("source")))
+        .withColumn("c", F.sum("c_s").over(Window.partitionBy("tok")))
+    )
+    n_total = counts.agg(F.sum("c_s").alias("n"))
+    p_s = F.col("c_s") / F.col("n_s")
+    p = F.col("c") / F.col("n")
+    term_nano = F.round(p_s * F.log(p_s / p) * F.lit(1e9)).cast("long")
+    return (
+        enriched.crossJoin(F.broadcast(n_total))
+        .groupBy("source")
+        .agg(
+            F.sum("c_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (F.sum(term_nano) / F.lit(1e9)).alias("kl_divergence"),
+        )
+        .orderBy("source")
     )

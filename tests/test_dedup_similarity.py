@@ -582,3 +582,34 @@ def test_winnow_pairs_local_similarity(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 2
     assert not any(2 in p for p in pairs)
+
+
+def test_source_token_drift_known_answers(spark):
+    """KL properties: a source whose distribution equals the corpus's
+    scores ~0; a skewed source scores strictly higher; hand-check the
+    two-source closed form."""
+    import math
+
+    from intelligent_ocr_spark.functions.textstats import source_token_drift
+
+    # corpus: s1 = 'a a b b', s2 = 'a a a a' -> corpus: a=6, b=2, N=8
+    df = spark.createDataFrame(
+        [("s1", "a a b b"), ("s2", "a a a a")], "source string, text string"
+    )
+    got = {r["source"]: r for r in source_token_drift(df).collect()}
+
+    def term(p_s, p):
+        return round(p_s * math.log(p_s / p) * 1e9) / 1e9
+
+    exp_s1 = term(0.5, 6 / 8) + term(0.5, 2 / 8)
+    exp_s2 = term(1.0, 6 / 8)
+    assert abs(got["s1"]["kl_divergence"] - exp_s1) < 1e-9
+    assert abs(got["s2"]["kl_divergence"] - exp_s2) < 1e-9
+    assert got["s2"]["kl_divergence"] > 0
+
+    # a source matching the corpus distribution exactly drifts ~0
+    df2 = spark.createDataFrame(
+        [("u1", "a a b"), ("u2", "a a b")], "source string, text string"
+    )
+    for r in source_token_drift(df2).collect():
+        assert abs(r["kl_divergence"]) < 1e-9
