@@ -1952,6 +1952,39 @@ def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_source_overlap",
+    f"""
+    WITH toks AS (
+      SELECT source, {_TOKS_SQL} AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT source, unnest(
+        CASE WHEN len(toks) >= 3 THEN {_SHINGLE_SQL} ELSE [] END) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT source, count(*) AS n_sh FROM sh GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.source < b.source GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           floor(n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared) * 1e6) / 1e6
+             AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-Jaccard between corpus slices (dump-overlap
+    forensics: is a new slice worth ingesting?)."""
+    from intelligent_ocr_spark.functions.textstats import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "text_source_drift",
     f"""
     WITH toks AS (
@@ -2608,6 +2641,7 @@ _CHANGED_THIS_ROUND = [
     "dedup_winnow_pairs",     # NEW: local-similarity candidates
     "pipeline_perplexity_gate",  # NEW: adaptive P10 quality gate
     "text_source_drift",      # NEW: per-source KL drift monitor
+    "text_source_overlap",    # NEW: dump-overlap forensics
     "x3_dual_insert_variants",  # variant table grew to 5,364 chars
 ]
 _SKIPPED_LAST_ROUND = [

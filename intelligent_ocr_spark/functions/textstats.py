@@ -34,6 +34,7 @@ __all__ = [
     "char_entropy",
     "tfidf_top_terms",
     "source_token_drift",
+    "source_overlap",
 ]
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "with")
@@ -377,4 +378,58 @@ def source_token_drift(df, source_col: str = "source", text_col: str = "text"):
             (F.sum(term_nano) / F.lit(1e9)).alias("kl_divergence"),
         )
         .orderBy("source")
+    )
+
+
+def source_overlap(df, source_col: str = "source", text_col: str = "text",
+                   shingle_n: int = 3):
+    """Pairwise content overlap between corpus slices: Jaccard over each
+    source's DISTINCT token shingles — the "how much does dump B
+    duplicate dump A" measurement that decides whether a new crawl
+    slice is worth ingesting before any doc-level dedup runs.
+
+    Shape: distinct (source, shingle) — the explode collapses to at most
+    |sources|·|vocab| rows — then a self-equi-join on the shingle hash
+    with source_a < source_b and one count per pair; output cardinality
+    is sources², not docs². Returns (source_a, source_b, n_shared,
+    jaccard) floor-scaled.
+    """
+    from intelligent_ocr_spark.operators.dedup import shingles
+    from intelligent_ocr_spark.util import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.floor(
+                    F.col("n_shared")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
     )

@@ -613,3 +613,21 @@ def test_source_token_drift_known_answers(spark):
     )
     for r in source_token_drift(df2).collect():
         assert abs(r["kl_divergence"]) < 1e-9
+
+
+def test_source_overlap_known_answers(spark):
+    """Closed-form slice overlap: two slices sharing half their distinct
+    shingles score the exact Jaccard; disjoint slices emit no pair row."""
+    from intelligent_ocr_spark.functions.textstats import source_overlap
+
+    rows = [
+        ("s1", "a b c d e"),          # shingles: abc bcd cde
+        ("s2", "a b c x y"),          # shingles: abc bcx cxy -> share {abc}
+        ("s3", "p q r s t"),          # disjoint
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["jaccard"])
+        for r in source_overlap(df).collect()
+    }
+    assert got == {("s1", "s2"): (1, 0.2)}  # 1 / (3 + 3 - 1)
