@@ -2650,8 +2650,13 @@ _SKIPPED_LAST_ROUND = [
     # r4). DO NOT refresh this list mid-round: the driver runs correctness
     # with the END-of-round code, so rewriting it early would demote these
     # below the cap before they are re-verified. At the START of round 5,
-    # replace it with round 4's tail, which was:
-    #   ['u2_except_nations', 'dedup_embedding_cosine', 'export_txt_docs',
+    # replace it with round 4's FINAL tail (29 queries, all driver-green
+    # in r3 or earlier and unchanged in r4):
+    #   ['a3_daily_rollup', 'a4_charcount_by_lang', 'grouping_rollup',
+    #    'grouping_cube', 'stream_windowed_counts', 'skew_salted_agg',
+    #    'w5_sessionize', 'asof_last_click_before_error',
+    #    'asof_salted_last_click', 'agg_exact_percentiles',
+    #    'u2_except_nations', 'dedup_embedding_cosine', 'export_txt_docs',
     #    'k4_md_export', 'text_lang_id', 'text_quality_score',
     #    'text_token_counts', 'text_fingerprint', 'dedup_exact',
     #    'pipeline_quality_dedup', 'pipeline_web_corpus',
