@@ -2619,6 +2619,10 @@ def q_x3_dual_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHANGED_THIS_ROUND = [
     # round 5: new queries / changed plans or oracles — filled as the round
     # progresses; anything touched lands here
+    "text_unigram_logprob",   # heavy-hitter-safe freq hybrid (functions/freq)
+    "text_tfidf_top_terms",   # heavy-hitter-safe doc_freq hybrid
+    "dedup_substring_spans",  # heavy-hitter-safe min/max gram mark
+    "pipeline_perplexity_gate",  # composes unigram_logprob (plan changed)
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by

@@ -192,25 +192,25 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     CCNet proper uses a 5-gram KenLM; the unigram form keeps the entire
     computation relational and exactly oracle-reproducible.
 
-    One token explode, no join: each token row gets its corpus frequency
-    from ``count(*) over (partition by tok)`` — a single exchange on the
-    token (Zipf-skewed stop-word partitions sort-spill, the same shape as
-    the dedup doc-frequency windows) instead of a groupBy + equi-join
-    that evaluates the explode subtree twice. The denominator
-    Σ_tok c_tok is just the corpus token count, a broadcast scalar
-    (crossJoin of a 1-row count — never a collect). Returns
-    (doc_id, n_tokens, mean_logprob) floor-scaled to 1e-6.
+    One token explode: each token row gets its corpus frequency via the
+    heavy-hitter-safe hybrid (:func:`~intelligent_ocr_spark.functions.
+    freq.with_key_aggs`) — top-K head tokens are counted by a map-side-
+    combined groupBy and BROADCAST-joined back (the Zipf head never
+    enters a window partition), tail tokens keep the one-exchange
+    ``count(*) over (partition by tok)`` window; values are exact either
+    way. The denominator Σ_tok c_tok is just the corpus token count, a
+    broadcast scalar (crossJoin of a 1-row count — never a collect).
+    Returns (doc_id, n_tokens, mean_logprob) floor-scaled to 1e-6.
     """
-    from pyspark.sql import Window
-
+    from intelligent_ocr_spark.functions.freq import with_key_aggs
     from intelligent_ocr_spark.util import ensure_parallelism
 
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     total = toks.agg(F.count(F.lit(1)).alias("total"))
-    scored = toks.withColumn(
-        "c", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    scored = with_key_aggs(
+        toks, "tok", {"c": (F.count, None)}, salt_col="doc_id"
     ).crossJoin(F.broadcast(total))
     return (
         scored.groupBy("doc_id")
@@ -304,24 +304,25 @@ def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int =
     cheap topic signal stratified sampling can key on).
 
     Shape: one token explode → (doc, tok) counts (map-side combine);
-    document frequency is ``count(*) over (partition by tok)`` on that
-    already-distinct frame (no second pass, same trick as the dedup
-    doc-frequency windows); N = total docs with ≥1 token is a broadcast
-    scalar. Score = tf · ln(N/df), floor-scaled; ties rank
-    deterministically by (score desc, term asc). Returns
+    document frequency over that already-distinct frame via the
+    heavy-hitter-safe hybrid (broadcast top-K head terms + window tail,
+    :func:`~intelligent_ocr_spark.functions.freq.with_key_aggs` — "the"
+    appears in ~every doc, so the df key is Zipf-skewed exactly like the
+    token key); N = total docs with ≥1 token is a broadcast scalar.
+    Score = tf · ln(N/df), floor-scaled; ties rank deterministically by
+    (score desc, term asc). Returns
     (doc_id, term, tf, doc_freq, score, rank).
     """
     from pyspark.sql import Window
 
+    from intelligent_ocr_spark.functions.freq import with_key_aggs
     from intelligent_ocr_spark.util import ensure_parallelism
 
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    with_df = tf.withColumn(
-        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
+    with_df = with_key_aggs(tf, "term", {"doc_freq": (F.count, None)}, salt_col="doc_id")
     n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = with_df.crossJoin(F.broadcast(n_docs)).withColumn(
         "score",

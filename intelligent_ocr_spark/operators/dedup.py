@@ -450,10 +450,18 @@ def substring_dup_spans(
         ).alias("p"),
     ).select("doc_id", F.col("p.s").alias("s"), F.col("p.g").alias("g"))
     if min_docs <= 2:
-        wg = Window.partitionBy("g")
+        # heavy-hitter-safe form of `min(doc_id) != max(doc_id) over
+        # (partition by g)`: boilerplate grams ("click here to ..." in
+        # every page footer) are the skew axis; the hybrid broadcasts the
+        # top-K grams' min/max and windows only the tail (functions/freq)
+        from intelligent_ocr_spark.functions.freq import with_key_aggs
+
         dpos = (
-            grams.withColumn("_lo", F.min("doc_id").over(wg))
-            .withColumn("_hi", F.max("doc_id").over(wg))
+            with_key_aggs(
+                grams, "g",
+                {"_lo": (F.min, "doc_id"), "_hi": (F.max, "doc_id")},
+                salt_col="doc_id",
+            )
             .filter(F.col("_lo") != F.col("_hi"))
             .select("doc_id", "s")
         )
