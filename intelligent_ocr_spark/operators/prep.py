@@ -57,32 +57,59 @@ def chunk_documents(
 
 def pack_sequences(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    budget: int = 256,
+    budget: int = 256, n_parts: int | None = 32,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training bins — streaming
-    first-fit packing in doc-id order: bin b holds the consecutive run
-    of docs whose cumulative token count stays within ``b·budget``
-    (a doc longer than the budget gets a bin of its own; split it first
-    with :func:`chunk_documents` if that matters).
+    first-fit packing in doc-id order: consecutive docs accumulate into
+    a bin until the cumulative prefix sum crosses the next ``budget``
+    boundary. Bin fill is approximate by construction: a doc whose
+    prefix sum lands near the end of a bin STRADDLES the boundary, so a
+    bin can exceed ``budget`` by up to one doc's tokens minus one (and a
+    single doc larger than the budget spans several boundaries on its
+    own). Split long docs first with :func:`chunk_documents` if hard
+    budget caps matter.
 
     This is the order-preserving relaxation of bin packing that stays
-    fully relational: one window cumsum over the doc order — optimal
+    fully relational: a window cumsum over the doc order — optimal
     packing is NP-hard and needs no more than this in practice, since a
-    shuffled corpus's doc sizes are exchangeable. ONE range exchange for
-    the global order (Spark's rangepartitioning handles the sort
-    distribution; at 100 TB pack per partition instead by adding the
-    partition id to the window key).
+    shuffled corpus's doc sizes are exchangeable.
 
-    Returns (bin_id, n_docs, n_tokens) per bin, 0-based, ordered.
+    **Partitioning (the 100-TB shape, default):** with ``n_parts > 1``
+    each doc is assigned a deterministic content-addressed part
+    ``md5(doc_id) mod n_parts`` and packing runs independently per part
+    — the window is partitioned by ``part_id``, so the exchange hashes
+    on it and no single task ever sorts the whole corpus. Bins never
+    cross parts; part assignment is engine-reproducible (the DuckDB
+    oracle computes the identical md5 bucket), partitioning-stable, and
+    retry-stable. Returns (part_id, bin_id, n_docs, n_tokens), bin_id
+    0-based within its part.
+
+    **Global form (``n_parts=None`` or 1):** one totally-ordered cumsum
+    — a SINGLE-task window, the textbook unsplittable shape. Kept only
+    for small inputs where one global in-order sequence is required.
+    Returns (bin_id, n_docs, n_tokens).
     """
-    w = Window.orderBy(id_col)
     sized = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
     )
-    # bin of a doc = floor((cumsum_before) / budget): a doc enters the
-    # bin its PREFIX sum points at; bins overflow only via single docs
-    # larger than the budget (first-fit-in-order semantics)
+    if n_parts and n_parts > 1:
+        part = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+                16, 10,
+            ).cast("long"),
+            F.lit(n_parts),
+        ).cast("int")
+        sized = sized.withColumn("part_id", part)
+        w = Window.partitionBy("part_id").orderBy("doc_id")
+        group_cols = ["part_id", "bin_id"]
+    else:
+        w = Window.orderBy("doc_id")
+        group_cols = ["bin_id"]
+    # bin of a doc = floor(cumsum_before / budget): a doc enters the bin
+    # its PREFIX sum points at (first-fit-in-order semantics; straddling
+    # docs make the bin run over — see the docstring)
     binned = sized.withColumn(
         "cum_before",
         F.coalesce(
@@ -91,12 +118,12 @@ def pack_sequences(
         ),
     ).withColumn("bin_id", F.floor(F.col("cum_before") / F.lit(budget)))
     return (
-        binned.groupBy("bin_id")
+        binned.groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
         )
-        .orderBy("bin_id")
+        .orderBy(*group_cols)
     )
 
 
