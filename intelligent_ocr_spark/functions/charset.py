@@ -25,9 +25,21 @@ Resolution order for ``decode_html_bytes`` (each step deterministic):
    windows-31j/cp932, EUC-KR → windows-949/cp949, Latin-1/ASCII →
    windows-1252, ...), then STRICT decode.  A mislabeled page whose
    bytes do not conform quarantines rather than silently mojibake-ing.
-4. Otherwise: no charset evidence → quarantine (``no_charset``).  The
-   WARC source covers the remaining real-world case — charset declared
-   only in the HTTP ``Content-Type`` header — by transcoding at ingest
+4. **Statistical byte-distribution fallback** — real crawls carry a
+   long tail of label-less legacy pages (old servers omit the header;
+   pages omit the ``<meta>``).  WHATWG leaves this step open;
+   chardet-style frequency analysis is the public practice.  Each
+   candidate codec (GB18030 / Big5 / Shift-JIS / EUC-KR / cp1252) must
+   decode the prelude strictly AND score high on a per-language
+   frequent-character table over the NON-ASCII chars it produced; the
+   winner is accepted only on an unambiguous margin (best ≥ 0.35 hit
+   rate and ≥ 2× the runner-up) with ≥ 20 chars of evidence.  A wrong
+   codec that happens to decode cleanly lands on rare codepoints and
+   scores near zero, so the margin rule keeps mislabeled/garbage bytes
+   quarantined.
+5. Otherwise: quarantine (``no_charset``).  The WARC source covers the
+   remaining real-world case — charset declared only in the HTTP
+   ``Content-Type`` header — by transcoding at ingest
    (``sources/warc.py``), where the header is in hand.
 
 Pure Python stdlib codecs, batch-invoked from the extraction Pandas UDF:
@@ -40,7 +52,12 @@ from __future__ import annotations
 import codecs
 import re
 
-__all__ = ["decode_html_bytes", "normalize_charset_label", "sniff_meta_charset"]
+__all__ = [
+    "decode_html_bytes",
+    "detect_charset_statistical",
+    "normalize_charset_label",
+    "sniff_meta_charset",
+]
 
 _PRELUDE = 4096  # bytes scanned for a <meta> declaration (WHATWG uses 1024;
 # 4096 tolerates real pages that front-load comments/scripts before <head>)
@@ -119,6 +136,110 @@ def sniff_meta_charset(data: bytes) -> str | None:
     return normalize_charset_label(m.group(1).decode("ascii", "replace"))
 
 
+# ---------------------------------------------------------------------------
+# statistical fallback for label-less legacy pages
+# ---------------------------------------------------------------------------
+# Per-language frequent-character tables (top of the public frequency
+# lists).  A CORRECT decode of natural text hits these heavily (40–70% of
+# non-ASCII chars); a WRONG codec that happens to decode cleanly scatters
+# onto rare codepoints and scores ~0–5%, which is what makes the margin
+# rule discriminating.
+_FREQ_ZH_SIMP = (
+    "的一是不了在人有我他这个们中来上大为和国地到以说时要就出会可也你对"
+    "生能而子那得于着下自之年过发后作里用道行所然家种事成方多经么去法学"
+    "如都同现当没动面起看定天分还进好小部其些主样理心她本前开但因只从想"
+    "实日军者意无力它与长把机十民第公此已工使情明性知全三又关点正业外将"
+    "两高间由问很最重并物手应战向头文体政美相见被利什二等产或新己制身果"
+)
+_FREQ_ZH_TRAD = (
+    "的一是不了在人有我他這個們中來上大為和國地到以說時要就出會可也你對"
+    "生能而子那得於著下自之年過發後作裡用道行所然家種事成方多經麼去法學"
+    "如都同現當沒動面起看定天分還進好小部其些主樣理心她本前開但因只從想"
+    "實日軍者意無力它與長把機十民第公此已工使情明性知全三又關點正業外將"
+    "兩高間由問很最重並物手應戰向頭文體政美相見被利什二等產或新己制身果"
+)
+_FREQ_JA = (
+    "のにはをたがでてとしれさるいうんなかっもくこますだよりお日本人年中"
+    "大事時国語学生会社行見思間分々あみけせめやすつわどアイウエオカキク"
+    "サシスタチツテトナニノハフマミムメラリルレロンー、。"
+)
+_FREQ_KO = (
+    "이다의는에하고지를한로서으며과도것은가기들시아사수있었습니주요우리"
+    "나그런데년월일어상제대국전자정부소인만치경천사용보무부동안까지면서"
+    "같버회생각문안된될을때"
+)
+# cp1252 scores by CLASS, not table: real Latin-1-ish text's high bytes are
+# overwhelmingly accented letters / typographic punctuation
+_CP1252_OK = set(
+    "ÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏÐÑÒÓÔÕÖØÙÚÛÜÝÞßàáâãäåæçèéêëìíîïðñòóôõöøùúûüýþÿ"
+    "’‘“”–—…«»€£©®°·†‡‰"
+)
+
+_DETECT_CANDIDATES: tuple[tuple[str, set | frozenset], ...] = (
+    ("gb18030", frozenset(_FREQ_ZH_SIMP + _FREQ_ZH_TRAD)),  # GBK carries both
+    ("big5hkscs", frozenset(_FREQ_ZH_TRAD)),
+    ("cp932", frozenset(_FREQ_JA + _FREQ_ZH_TRAD[:40])),  # kanji text mixes in
+    ("cp949", frozenset(_FREQ_KO)),
+    ("cp1252", frozenset(_CP1252_OK)),
+)
+_DETECT_SAMPLE = 65536   # prelude scored; incremental decode tolerates a cut
+_DETECT_MIN_EVIDENCE = 20   # non-ASCII chars needed before a verdict
+_DETECT_MIN_SCORE = 0.35
+_DETECT_MARGIN = 2.0
+
+
+def detect_charset_statistical(data: bytes) -> str | None:
+    """Best-guess codec for a byte stream with NO declared charset, or
+    ``None`` when the evidence is thin or ambiguous (→ quarantine).
+
+    For each candidate the prelude must decode strictly (incremental
+    decoder, so a sample cut mid-character is not a false reject); the
+    score is the fraction of non-ASCII decoded chars that land in the
+    candidate language's frequent-character set.  Accept only an
+    unambiguous winner: ``score ≥ 0.35`` and ``≥ 2×`` the runner-up.
+    """
+    sample = data[:_DETECT_SAMPLE]
+    scores: list[tuple[float, str]] = []
+    for codec, freq in _DETECT_CANDIDATES:
+        dec = codecs.getincrementaldecoder(codec)("strict")
+        try:
+            text = dec.decode(sample, False)
+        except (UnicodeDecodeError, ValueError):
+            continue
+        high = [ch for ch in text if ord(ch) > 127]
+        if len(high) < _DETECT_MIN_EVIDENCE:
+            continue
+        score = sum(ch in freq for ch in high) / len(high)
+        if codec == "cp1252":
+            # cp1252 decodes ANY byte stream and legacy-CJK bytes land on
+            # accented letters, so the class hit rate alone is blind.  The
+            # discriminator is ISOLATION: real Latin text carries accents
+            # sparsely inside ASCII words (café), while a CJK stream
+            # decodes to solid runs of high chars.  Scale by the fraction
+            # of high chars with an ASCII-letter neighbor.
+            isolated = sum(
+                (i > 0 and text[i - 1].isascii() and text[i - 1].isalpha())
+                or (
+                    i + 1 < len(text)
+                    and text[i + 1].isascii()
+                    and text[i + 1].isalpha()
+                )
+                for i, ch in enumerate(text)
+                if ord(ch) > 127
+            )
+            score *= isolated / len(high)
+        scores.append((score, codec))
+    if not scores:
+        return None
+    scores.sort(reverse=True)
+    best_score, best_codec = scores[0]
+    if best_score < _DETECT_MIN_SCORE:
+        return None
+    if len(scores) > 1 and scores[1][0] * _DETECT_MARGIN > best_score:
+        return None
+    return best_codec
+
+
 def decode_html_bytes(data: bytes, header_charset: str | None = None) -> tuple[str | None, str | None]:
     """Resolve the charset of an HTML byte payload and decode it.
 
@@ -156,4 +277,15 @@ def decode_html_bytes(data: bytes, header_charset: str | None = None) -> tuple[s
             return data.decode(codec), None
         except (UnicodeDecodeError, ValueError):
             return None, f"{source}_{codec}_bad"
+    # 4. statistical fallback — only when there was NO declaration at all
+    # (a declared-but-wrong codec quarantines above: mislabeled bytes are
+    # evidence of corruption, not of a guessable encoding)
+    guess = detect_charset_statistical(data)
+    if guess is not None:
+        try:
+            return data.decode(guess), None
+        except (UnicodeDecodeError, ValueError):
+            # prelude scored well but the tail is broken — quarantine with
+            # the guess recorded so the lineage shows what was tried
+            return None, f"sniff_{guess}_bad"
     return None, "no_charset"
