@@ -1938,6 +1938,160 @@ def q_pack_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), budget=256, n_parts=8)
 
 
+def _bpe_cte(n_merges: int) -> str:
+    """Shared WITH RECURSIVE prefix reproducing operators/bpe.bpe_train
+    bit-for-bit in DuckDB: word-frequency state, double-space symbol
+    encoding, literal-replace merges, (count desc, pair asc) tie-break.
+    Emits CTEs: `bpe` (kind='m' merge rows / kind='w' word states) and
+    `final_w` (the fully-merged vocab with per-word subword counts)."""
+    return f"""
+    WITH RECURSIVE
+    tok AS (
+      SELECT t.tok AS w FROM documents,
+           unnest({_TOKS_SQL}) AS t(tok)
+    ),
+    wf AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+    init AS (
+      SELECT w, freq,
+        ' ' || array_to_string(
+                 list_transform(range(1, CAST(len(w)+1 AS BIGINT)),
+                                i -> substr(w, CAST(i AS INT), 1)), '  ')
+            || '  </w> ' AS s
+      FROM wf
+    ),
+    bpe(iter, kind, w, freq, s, lft, rgt, merged, pair_freq) AS (
+      SELECT 0, 'w', w, freq, s,
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+      FROM init
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT iter, w, freq, s FROM bpe WHERE kind = 'w'),
+        best AS (
+          SELECT a, b, c FROM (
+            SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT)+1] AS b,
+                   sum(freq) AS c
+            FROM (SELECT freq, string_split(trim(s), '  ') AS syms FROM prev) x,
+                 unnest(range(1, CAST(len(syms) AS BIGINT))) AS u(i)
+            GROUP BY 1, 2
+          ) ORDER BY c DESC, a, b LIMIT 1
+        )
+        SELECT prev.iter + 1, 'w', prev.w, prev.freq,
+               replace(prev.s, ' ' || best.a || '  ' || best.b || ' ',
+                               ' ' || best.a || best.b || ' '),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        FROM prev, best WHERE prev.iter < {n_merges}
+        UNION ALL
+        SELECT (SELECT max(iter) FROM prev) + 1, 'm', CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               best.a, best.b, best.a || best.b, best.c
+        FROM best WHERE (SELECT max(iter) FROM prev) < {n_merges}
+      ) z
+    ),
+    final_w AS (
+      SELECT w, CAST(len(string_split(trim(s), '  ')) AS INT) AS n_syms
+      FROM bpe
+      WHERE kind = 'w'
+        AND iter = (SELECT max(iter) FROM bpe WHERE kind = 'w')
+    )
+    """
+
+
+_BPE_N_MERGES = 16
+
+
+@_q(
+    "prep_bpe_vocab",
+    _bpe_cte(_BPE_N_MERGES)
+    + """
+    SELECT CAST(iter AS INT) AS merge_rank, lft, rgt, merged, pair_freq
+    FROM bpe WHERE kind = 'm' ORDER BY merge_rank
+    """,
+)
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational BPE vocabulary training (Sennrich 2016) — the merge
+    table for a fixed merge count on the documents corpus, trained by
+    the iterative vocab-state loop in operators/bpe.py and reproduced
+    bit-for-bit by a DuckDB recursive CTE."""
+    from intelligent_ocr_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(_t(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lft string, rgt string, merged string, pair_freq long"
+    ).orderBy("merge_rank")
+
+
+@_q(
+    "prep_bpe_token_counts",
+    _bpe_cte(_BPE_N_MERGES)
+    + """
+    , per_word AS (
+      SELECT doc_id, t.tok AS w, count(*) AS cnt
+      FROM documents, unnest(list_filter(string_split_regex(lower(text),
+           '[^a-z0-9]+'), x -> x <> '')) AS t(tok)
+      GROUP BY doc_id, t.tok
+    )
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * n_syms) AS BIGINT) AS n_bpe_tokens
+    FROM per_word JOIN final_w USING (w)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc REAL tokenizer token counts under the trained BPE vocab —
+    what turns chunk/pack budgets from chars/4 heuristics into actual
+    subword budgets."""
+    from intelligent_ocr_spark.operators.bpe import bpe_token_counts, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    _, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return bpe_token_counts(docs, vocab)
+
+
+@_q(
+    "prep_pack_bpe",
+    _bpe_cte(_BPE_N_MERGES)
+    + """
+    , per_word AS (
+      SELECT doc_id, t.tok AS w, count(*) AS cnt
+      FROM documents, unnest(list_filter(string_split_regex(lower(text),
+           '[^a-z0-9]+'), x -> x <> '')) AS t(tok)
+      GROUP BY doc_id, t.tok
+    ), counts AS (
+      SELECT doc_id, sum(cnt * n_syms) AS n_bpe
+      FROM per_word JOIN final_w USING (w) GROUP BY doc_id
+    ), sized AS (
+      SELECT doc_id, n_bpe,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 8 AS INT) AS part_id
+      FROM counts
+    ), b AS (
+      SELECT part_id, doc_id, n_bpe,
+             COALESCE(sum(n_bpe) OVER (PARTITION BY part_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM sized
+    )
+    SELECT part_id, CAST(floor(cb * 1.0 / 512) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+    FROM b GROUP BY part_id, bin_id ORDER BY part_id, bin_id
+    """,
+)
+def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned packing under REAL BPE token budgets: train the
+    vocab, count per-doc subword tokens, pack to a 512-subword budget —
+    the composed form a training-prep pipeline actually runs."""
+    from intelligent_ocr_spark.operators.bpe import bpe_token_counts, bpe_train
+    from intelligent_ocr_spark.operators.prep import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    _, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    counts = bpe_token_counts(docs, vocab)
+    return pack_sequences(
+        counts, budget=512, n_parts=8, n_tokens_col="n_bpe_tokens"
+    )
+
+
 @_q(
     "prep_pii_signals",
     r"""
@@ -2657,6 +2811,9 @@ _CHANGED_THIS_ROUND = [
     "pipeline_perplexity_gate",  # composes unigram_logprob (plan changed)
     "prep_pack_sequences",    # explicit n_parts=None (global small-input form)
     "prep_pack_partitioned",  # NEW: partitioned packing, the 100-TB default
+    "prep_bpe_vocab",         # NEW: relational BPE training, recursive-CTE oracle
+    "prep_bpe_token_counts",  # NEW: real subword counts under the trained vocab
+    "prep_pack_bpe",          # NEW: packing under real BPE budgets
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by

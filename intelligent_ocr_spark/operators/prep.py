@@ -58,6 +58,7 @@ def chunk_documents(
 def pack_sequences(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     budget: int = 256, n_parts: int | None = 32,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training bins — streaming
     first-fit packing in doc-id order: consecutive docs accumulate into
@@ -88,11 +89,23 @@ def pack_sequences(
     — a SINGLE-task window, the textbook unsplittable shape. Kept only
     for small inputs where one global in-order sequence is required.
     Returns (bin_id, n_docs, n_tokens).
+
+    ``n_tokens_col`` switches the doc-size measure from the default
+    whitespace split of ``text_col`` to a precomputed per-doc count
+    column (e.g. real BPE token counts from
+    :func:`~intelligent_ocr_spark.operators.bpe.bpe_token_counts`), so
+    packing budgets can be actual tokenizer budgets.
     """
-    sized = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
-    )
+    if n_tokens_col is not None:
+        sized = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        )
+    else:
+        sized = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        )
     if n_parts and n_parts > 1:
         part = F.pmod(
             F.conv(
