@@ -222,6 +222,36 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     encs = [None, "chunked", "gzip", "deflate", "chunked+gzip"]
     for i, r in enumerate(rows[60:]):
         r["encoding"] = "truncated-chunk" if i == 7 else encs[i % len(encs)]
+    # one SEGMENTED record (ISO 28500 §5.10): reassembled by the split
+    # owning its first segment, then extracted like any page
+    from datetime import datetime, timezone as _tz
+
+    rows.append(
+        {
+            "record_type": "segmented",
+            "url": "https://warc.example/segmented-big",
+            "warc_ts": datetime(2024, 4, 1, tzinfo=_tz.utc),
+            "html": ("<html><body><article><h1>seg</h1><p>"
+                     + "payload " * 160 + "</p></article></body></html>").encode(),
+            "lang": "en",
+            "n_segments": 3,
+        }
+    )
+    # one LABEL-LESS legacy GBK page: no BOM, invalid UTF-8, no header or
+    # <meta> charset — only the statistical byte-distribution fallback
+    # (functions/charset.py) recovers it
+    rows.append(
+        {
+            "url": "https://warc.example/gbk-nolabel",
+            "warc_ts": datetime(2024, 4, 1, tzinfo=_tz.utc),
+            "html": ("<html><body><p>汉字测试页面，内容包括简化字与标点。"
+                     "我们在这里写一段足够长的中文，用来测试统计检测器能不能"
+                     "在没有任何声明的情况下认出国标编码的网页。"
+                     "</p></body></html>").encode("gbk"),
+            "lang": "zh",
+            "charset": None,
+        }
+    )
     # one gzip member per record — Common Crawl's published layout
     write_synthetic_warc(os.path.join(d, "seg-0.warc.gz"), rows[:60])
     write_synthetic_warc(os.path.join(d, "seg-1.warc.gz"), rows[60:])
@@ -2814,6 +2844,8 @@ _CHANGED_THIS_ROUND = [
     "prep_bpe_vocab",         # NEW: relational BPE training, recursive-CTE oracle
     "prep_bpe_token_counts",  # NEW: real subword counts under the trained vocab
     "prep_pack_bpe",          # NEW: packing under real BPE budgets
+    "source_warc_extract",    # segmented reassembly + label-less GBK fixture rows
+    "warc_revisit_dedup",     # reader path changed (reassembly wrapper)
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by
