@@ -2846,6 +2846,7 @@ _CHANGED_THIS_ROUND = [
     "prep_pack_bpe",          # NEW: packing under real BPE budgets
     "source_warc_extract",    # segmented reassembly + label-less GBK fixture rows
     "warc_revisit_dedup",     # reader path changed (reassembly wrapper)
+    "dedup_clusters",         # large-star/small-star CC (log-round bound)
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by
