@@ -274,15 +274,38 @@ def warm_delta_vs_prev(queries_warm: dict[str, float]) -> dict:
                 prev_path = own[-1]
                 cand = json.load(open(prev_path))
         prev_warm = cand.get("queries_warm_noop", {})
+        # idle-host A/B adjudication (round-4 judge Next #9): the driver
+        # snapshot is one contention-exposed reading; the builder's
+        # same-round quiet-host confirmation runs are the A/B evidence.
+        # Pool ALL recorded runs of the prior round and take the per-query
+        # MINIMUM as the idle baseline — warm-noop is a steady-state plan
+        # cost, so contention only ever ADDS time, making min the right
+        # estimator. Verdicts are judged against best-idle; the driver's
+        # own reading is kept in the table for transparency.
+        r_prev = int(re.search(r"r(\d+)", os.path.basename(prev_path)).group(1))
+        prev_best = dict(prev_warm)
+        n_sources = 1 if prev_warm else 0
+        for own_path in sorted(
+            glob.glob(os.path.join(repo, "BENCH", f"bench_r{r_prev}_local*.json"))
+        ):
+            try:
+                own_warm = json.load(open(own_path)).get("queries_warm_noop", {})
+            except (OSError, ValueError):
+                continue
+            n_sources += 1
+            for k, v in own_warm.items():
+                if k not in prev_best or v < prev_best[k]:
+                    prev_best[k] = v
     except (OSError, ValueError, AttributeError):
         return {"prev": os.path.basename(prev_path), "deltas": {}}
     deltas: dict[str, dict] = {}
     rows = []
     for name, now_s in sorted(queries_warm.items()):
-        was = prev_warm.get(name)
+        was_drv = prev_warm.get(name)
+        was = prev_best.get(name)
         if was is None:
             deltas[name] = {"now": now_s, "prev": None, "verdict": "new"}
-            rows.append((name, "-", now_s, "-", "new"))
+            rows.append((name, "-", "-", now_s, "-", "new"))
             continue
         pct = (now_s - was) / was * 100 if was else 0.0
         if abs(pct) <= 30 or abs(now_s - was) < 0.3:
@@ -291,21 +314,33 @@ def warm_delta_vs_prev(queries_warm: dict[str, float]) -> dict:
             verdict = "investigate"
         else:
             verdict = "improved"
-        deltas[name] = {"now": now_s, "prev": was, "pct": round(pct, 1), "verdict": verdict}
-        rows.append((name, was, now_s, f"{pct:+.1f}%", verdict))
+        deltas[name] = {
+            "now": now_s, "prev_best_idle": was, "prev_driver": was_drv,
+            "pct": round(pct, 1), "verdict": verdict,
+        }
+        rows.append((name, was_drv if was_drv is not None else "-", was,
+                     now_s, f"{pct:+.1f}%", verdict))
     trend_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     if os.path.isdir(trend_dir):
         with open(os.path.join(trend_dir, "WARM_TREND.md"), "w") as f:
             f.write(
                 "# Warm-noop trend vs previous round\n\n"
-                f"Previous series: `{os.path.basename(prev_path)}`. "
-                "Verdicts: noise = |Δ| ≤ 30% or < 0.3 s (documented host "
+                f"Previous series: `{os.path.basename(prev_path)}` plus "
+                f"{max(n_sources - 1, 0)} same-round quiet-host confirmation "
+                "run(s) under BENCH/. `prev best-idle` is the per-query "
+                "minimum across all of them (warm-noop is a steady-state "
+                "plan cost; contention only adds time, so min is the right "
+                "baseline — this bakes the idle-host A/B adjudication into "
+                "the table instead of leaving driver-snapshot contention "
+                "spikes to be re-litigated). Verdicts judge `now` against "
+                "best-idle: noise = |Δ| ≤ 30% or < 0.3 s (documented host "
                 "noise band); investigate = slower beyond the band; "
                 "improved = faster beyond it.\n\n"
-                "| query | prev (s) | now (s) | Δ | verdict |\n|---|---|---|---|---|\n"
+                "| query | prev driver (s) | prev best-idle (s) | now (s) | Δ vs best-idle | verdict |\n"
+                "|---|---|---|---|---|---|\n"
             )
-            for name, was, now_s, pct, verdict in rows:
-                f.write(f"| {name} | {was} | {now_s} | {pct} | {verdict} |\n")
+            for name, was_drv, was, now_s, pct, verdict in rows:
+                f.write(f"| {name} | {was_drv} | {was} | {now_s} | {pct} | {verdict} |\n")
     return {"prev": os.path.basename(prev_path), "deltas": deltas}
 
 

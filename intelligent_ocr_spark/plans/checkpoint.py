@@ -66,6 +66,14 @@ CHECKPOINT_PA_SCHEMA = pa.schema(
     ]
 )
 
+# SCHEMA EVOLUTION NOTE (round-4 advisor): `n_errors` was ADDED to this
+# schema mid-project, so an output directory resumed across versions can
+# hold mixed-schema lineage parquet. The in-run path is unaffected
+# (run_extraction_job aggregates only the current run's rows); EXTERNAL
+# readers of lineage/ must read with schema merging — e.g. DuckDB
+# `read_parquet(..., union_by_name=true)` or Spark
+# `.option("mergeSchema", "true")` — so pre-change files surface
+# `n_errors` as NULL instead of erroring.
 LINEAGE_PA_SCHEMA = pa.schema(
     [
         ("commit_digest", pa.string()),
