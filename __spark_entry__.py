@@ -2122,6 +2122,127 @@ def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic paragraph synthesis shared by the Spark query and the
+# oracle: the documents corpus is single-line, so both engines fold it
+# into 20-token paragraphs and append a boilerplate paragraph to every
+# 3rd doc — which is what the cap then catches
+_PARA_BOILER = "subscribe to our newsletter now"
+
+
+@_q(
+    "dedup_paragraphs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), ptext AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT)),
+                 g -> array_to_string(toks[(CAST(g AS INT)*20+1):(CAST(g AS INT)*20+20)], ' ')),
+               chr(10))
+             || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_PARA_BOILER}' ELSE '' END
+               AS ptxt
+      FROM toks
+    ), split_p AS (
+      SELECT doc_id, string_split(ptxt, chr(10)) AS parts FROM ptext
+    ), paras AS (
+      -- no WITH ORDINALITY in this DuckDB: index via an unnested range
+      SELECT doc_id, u.i AS idx, parts[CAST(u.i AS INT)] AS para,
+             md5(parts[CAST(u.i AS INT)]) AS h
+      FROM split_p, unnest(range(1, CAST(len(parts)+1 AS BIGINT))) AS u(i)
+      WHERE parts[CAST(u.i AS INT)] <> ''
+    ), overcap AS (
+      SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM paras GROUP BY h)
+      WHERE c > 2
+    ), flagged AS (
+      SELECT p.doc_id, p.idx, p.para, (o.h IS NOT NULL) AS dropped
+      FROM paras p LEFT JOIN overcap o USING (h)
+    ), kept AS (
+      SELECT doc_id, md5(string_agg(para, chr(10) ORDER BY idx)) AS clean_md5,
+             count(*) AS n_kept
+      FROM flagged WHERE NOT dropped GROUP BY doc_id
+    ), drops AS (
+      SELECT doc_id, count(*) FILTER (WHERE dropped) AS n_dropped
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           COALESCE(clean_md5, md5('')) AS clean_md5
+    FROM drops LEFT JOIN kept USING (doc_id) ORDER BY doc_id
+    """,
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-paragraph (boilerplate) removal: a paragraph shared
+    verbatim by >2 distinct docs is dropped corpus-wide; the over-cap
+    hash set broadcasts so the corpus-sized side never shuffles on the
+    paragraph hash (operators/dedup.py::remove_repeated_paragraphs)."""
+    from intelligent_ocr_spark.functions.textstats import tokens
+    from intelligent_ocr_spark.operators.dedup import remove_repeated_paragraphs
+
+    ts = tokens(F.col("text"))
+    n_groups = F.ceil(F.size(ts) / F.lit(20.0)).cast("long")
+    groups = F.when(
+        n_groups >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_groups - 1),
+            lambda g: F.concat_ws(" ", F.slice(ts, (g * 20 + 1).cast("int"), 20)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))  # sequence(0,-1) steps BACKWARD
+    ptxt = F.concat(
+        F.concat_ws("\n", groups),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("\n" + _PARA_BOILER)).otherwise(
+            F.lit("")
+        ),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", ptxt.alias("text"))
+    return remove_repeated_paragraphs(d, doc_freq_cap=2)
+
+
+@_q(
+    "web_domain_caps",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'https://big.example.org/p/' || doc_id
+                  ELSE 'https://h' || (doc_id % 17) || '.example.org/p/' || doc_id
+             END AS url
+      FROM documents
+    ), hosted AS (
+      SELECT doc_id, regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+      FROM urls
+    ), ranked AS (
+      SELECT host, doc_id,
+             row_number() OVER (PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM hosted
+    )
+    SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE rk <= 15) AS BIGINT) AS n_kept
+    FROM ranked GROUP BY host ORDER BY host
+    """,
+)
+def q_web_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota (crawl diversification): at most 15 docs per
+    host, chosen by content-addressed hash order; the skewed synthetic
+    host (every 3rd doc) exercises the WindowGroupLimit pushdown path
+    (operators/prep.py::domain_caps)."""
+    from intelligent_ocr_spark.operators.prep import domain_caps
+
+    url = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("https://big.example.org/p/"), F.col("doc_id")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id"),
+        )
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return domain_caps(d, cap=15)
+
+
 @_q(
     "prep_pii_signals",
     r"""
@@ -2847,6 +2968,8 @@ _CHANGED_THIS_ROUND = [
     "source_warc_extract",    # segmented reassembly + label-less GBK fixture rows
     "warc_revisit_dedup",     # reader path changed (reassembly wrapper)
     "dedup_clusters",         # large-star/small-star CC (log-round bound)
+    "dedup_paragraphs",       # NEW: repeated-paragraph boilerplate removal
+    "web_domain_caps",        # NEW: per-domain quota (WindowGroupLimit path)
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_documents", "pack_sequences", "pii_signals"]
+__all__ = ["chunk_documents", "domain_caps", "pack_sequences", "pii_signals"]
 
 
 def chunk_documents(
@@ -138,6 +138,53 @@ def pack_sequences(
         )
         .orderBy(*group_cols)
     )
+
+
+def domain_caps(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
+    cap: int = 100,
+) -> DataFrame:
+    """Per-domain document quota — the crawl-diversification step public
+    corpus pipelines run so one mega-host cannot dominate the training
+    mix: keep at most ``cap`` documents per registrable host, chosen by
+    a content-addressed hash order (md5 of the doc id — deterministic,
+    partitioning- and retry-stable, unbiased by crawl order, the same
+    property contract as ``deterministic_sample``).
+
+    Scale shape: host extraction is a projection (``regexp_extract``,
+    JVM codegen); the quota is ``row_number() <= cap`` over (host,
+    hash-order) FILTERED immediately, which Spark's rank-limit pushdown
+    (WindowGroupLimit) turns into a per-map-partition top-``cap``
+    BEFORE the exchange — a mega-host's millions of rows reduce to
+    ``cap × n_partitions`` candidates in flight, so the hot host never
+    lands whole on one task (plan-pinned). The per-host totals come
+    from a separate map-side-combined groupBy (host-count rows are
+    vocab-sized), deliberately NOT from the window frame: keeping
+    unfiltered ranks alive would disable the pushdown. Returns
+    (host, n_docs, n_kept) ordered.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    base = df.select(F.col(id_col).alias("doc_id"), host.alias("host"))
+    totals = base.groupBy("host").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        base.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy(
+                    F.md5(F.col("doc_id").cast("string").cast("binary")),
+                    F.col("doc_id"),
+                )
+            ),
+        )
+        .filter(F.col("rk") <= cap)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return totals.join(kept, "host", "left").select(
+        "host",
+        "n_docs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    ).orderBy("host")
 
 
 # RE2-safe patterns (no backreferences/lookaround) so the DuckDB oracle

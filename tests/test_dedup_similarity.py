@@ -666,3 +666,49 @@ def test_source_overlap_known_answers(spark):
         for r in source_overlap(df).collect()
     }
     assert got == {("s1", "s2"): (1, 0.2)}  # 1 / (3 + 3 - 1)
+
+
+def test_remove_repeated_paragraphs_known_answer(spark):
+    """Boilerplate para in 3 docs (cap 2) drops everywhere, including
+    its in-doc repeat; rare paras stay; doc order inside clean_md5 is
+    the original paragraph order."""
+    import hashlib
+
+    from intelligent_ocr_spark.operators.dedup import remove_repeated_paragraphs
+
+    boiler = "subscribe now"
+    rows = [
+        (0, f"alpha one\n{boiler}\nbeta two"),
+        (1, f"{boiler}\ngamma three\n{boiler}"),
+        (2, f"delta four\n{boiler}"),
+        (3, "epsilon five\nzeta six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_kept"], r["n_dropped"], r["clean_md5"])
+        for r in remove_repeated_paragraphs(df, doc_freq_cap=2).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[0] == (2, 1, md5("alpha one\nbeta two"))
+    assert got[1] == (1, 2, md5("gamma three"))
+    assert got[2] == (1, 1, md5("delta four"))
+    assert got[3] == (2, 0, md5("epsilon five\nzeta six"))
+
+
+def test_remove_repeated_paragraphs_broadcasts_overcap_set(spark):
+    """Plan pin: the over-cap hash set arrives by BroadcastExchange; the
+    corpus-sized position rows never shuffle on the paragraph hash (the
+    only hash exchanges are the distinct/groupBy on the SMALL distinct
+    frame and the final doc_id reassembly)."""
+    import re
+
+    from intelligent_ocr_spark.operators.dedup import remove_repeated_paragraphs
+
+    df = spark.createDataFrame(
+        [(i, f"p{i} a\ncommon para\nq{i} b") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = remove_repeated_paragraphs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 3, plan

@@ -116,21 +116,26 @@ def test_zipf_head_salting_bounds_partition_size(spark):
     assert max_group <= 4 * n_hot // DEFAULT_SALT_BUCKETS, max_group
 
 
-def test_substring_spans_hybrid_no_pair_join(spark):
-    """The hybrid substring-span marker must broadcast the head grams and
-    never introduce a shuffle/pair join: the only join is the broadcast
-    left-outer against the tiny head table, the gram subtree is evaluated
-    at most twice (main path + head agg), and the exchange budget is 4
-    (head agg, tail window, doc window, span group)."""
+def test_substring_spans_semi_join_no_gram_window(spark):
+    """Heavy-hitter safety for the span marker is the SEMI-JOIN form: the
+    duplicated-gram set comes from a map-side-combined groupBy (the Zipf
+    head collapses before the exchange) and positions take a left-semi
+    join against it — there must be NO window partitioned on the gram
+    (the one unsplittable shape), at most one Window total (the doc-id
+    island window), ≤2 gram-subtree evaluations, no pair join, and ≤3
+    hash exchanges. Executed first so AQE finalizes the join strategy."""
     from intelligent_ocr_spark.operators.dedup import substring_dup_spans
 
     docs = spark.createDataFrame(
         [(i, "a b c d e f g h i j k l " + f"x{i}") for i in range(40)],
         "doc_id long, text string",
     )
-    plan = _plan(substring_dup_spans(docs))
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    df = substring_dup_spans(docs)
+    df.collect()  # AQE finalizes join strategy on execution
+    # AQE prints "Final Plan" followed by "Initial Plan" — count only the
+    # final section or every node double-counts
+    plan = _plan(df).split("== Initial Plan ==")[0]
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
-    assert "BroadcastExchange" in plan, plan
+    assert len(re.findall(r"\bWindow \[", plan)) == 1, plan  # island window only
     assert len(re.findall(r"\bGenerate\b", plan)) <= 2, plan
-    assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 4, plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 3, plan

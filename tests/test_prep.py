@@ -126,3 +126,36 @@ def test_pii_signals_known_answers(spark):
     assert got[0]["redacted_md5"] == hashlib.md5(
         b"mail me at <EMAIL> and <EMAIL> thanks"
     ).hexdigest()
+
+
+def test_domain_caps_known_answer(spark):
+    """30 docs on host A, 5 on host B, cap 10: A keeps exactly 10, B all
+    5; kept choice is content-addressed (same answer under any input
+    partitioning)."""
+    from intelligent_ocr_spark.operators.prep import domain_caps
+
+    rows = [(i, f"https://a.example.org/{i}") for i in range(30)] + [
+        (100 + i, f"https://b.example.org/{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["host"]: (r["n_docs"], r["n_kept"]) for r in domain_caps(df, cap=10).collect()}
+    assert got == {"a.example.org": (30, 10), "b.example.org": (5, 5)}
+    got2 = {
+        r["host"]: (r["n_docs"], r["n_kept"])
+        for r in domain_caps(df.repartition(7), cap=10).collect()
+    }
+    assert got2 == got
+
+
+def test_domain_caps_plan_has_rank_limit_pushdown(spark):
+    """The hot-host guard: row_number<=cap must compile to a
+    WindowGroupLimit (per-map-partition top-cap BEFORE the exchange), so
+    a mega-host's rows never ride whole into one task's sort."""
+    from intelligent_ocr_spark.operators.prep import domain_caps
+
+    df = spark.createDataFrame(
+        [(i, "https://big.example.org/x") for i in range(50)],
+        "doc_id long, url string",
+    )
+    plan = domain_caps(df, cap=5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
