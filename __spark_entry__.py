@@ -2244,6 +2244,51 @@ def q_web_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s4_input_filter",
+    """
+    WITH urls AS (
+      SELECT doc_id, lang,
+             'https://h' || (doc_id % 17) || '.example.org/'
+               || CASE WHEN doc_id % 5 = 0 THEN 'admin/login' ELSE 'article' END
+               || '/' || doc_id AS url
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE NOT regexp_matches(url, '/(admin|login|cart)/'))
+                AS BIGINT) AS n_kept
+    FROM urls GROUP BY lang ORDER BY lang
+    """,
+)
+def q_s4_input_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 input filtering: plain Catalyst `rlike` exclusion of
+    non-content URL patterns (admin/login/cart paths) — the reference's
+    include/exclude file filter re-expressed as a pushdown-friendly
+    predicate; grouped per lang so the oracle checks both kept and
+    total counts."""
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 17).cast("string"),
+        F.lit(".example.org/"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("admin/login")).otherwise(
+            F.lit("article")
+        ),
+        F.lit("/"),
+        F.col("doc_id"),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", url.alias("url"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(~F.col("url").rlike("/(admin|login|cart)/"), 1)
+            ).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
     "prep_pii_signals",
     r"""
     WITH aug AS (
@@ -2970,6 +3015,7 @@ _CHANGED_THIS_ROUND = [
     "dedup_clusters",         # large-star/small-star CC (log-round bound)
     "dedup_paragraphs",       # NEW: repeated-paragraph boilerplate removal
     "web_domain_caps",        # NEW: per-domain quota (WindowGroupLimit path)
+    "s4_input_filter",        # NEW: rlike URL-pattern exclusion (S4 now tested)
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by

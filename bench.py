@@ -54,6 +54,11 @@ HEADLINE_QUERIES = [
     "text_repetition_signals",
     "dedup_substring_spans",
     "text_benchmark_contamination",
+    # round-5 operators worth trending
+    "dedup_paragraphs",
+    "web_domain_caps",
+    "prep_pack_partitioned",
+    "text_unigram_logprob",
 ]
 
 
