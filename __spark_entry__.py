@@ -2705,23 +2705,35 @@ def q_mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(k AS INT) AS chunk_id,
              CAST(len(ts[k*28+1:k*28+32]) AS INT) AS n_tokens
       FROM (SELECT doc_id, ts, nc, unnest(generate_series(0, nc - 1)) AS k FROM par)
+    ), parted AS (
+      -- partitioned packing (the pack_sequences default): bins never
+      -- cross the content-addressed md5 part, no global sort anywhere
+      SELECT doc_id, chunk_id, n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 8 AS INT) AS part_id
+      FROM chunks
     ), packed AS (
-      SELECT CAST(floor(COALESCE(
-               sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+      SELECT part_id,
+             CAST(floor(COALESCE(
+               sum(n_tokens) OVER (PARTITION BY part_id
+                 ORDER BY doc_id, chunk_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                * 1.0 / 256) AS BIGINT) AS bin_id,
              n_tokens
-      FROM chunks
+      FROM parted
     )
-    SELECT bin_id, count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-    FROM packed GROUP BY bin_id ORDER BY bin_id
+    SELECT part_id, bin_id, count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY part_id, bin_id ORDER BY part_id, bin_id
     """,
 )
 def q_pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed last-mile pipeline: exact dedup → quality gates
-    (token band + distinct fraction) → 32/4 context chunking → 256-token
-    bin packing — the stages working TOGETHER, oracle-verified
-    end-to-end. Returns per-bin (n_chunks, n_tokens)."""
+    (token band + distinct fraction) → 32/4 context chunking →
+    PARTITIONED 256-token bin packing (content-addressed md5 part id,
+    the pack_sequences default — the round-4 version packed through one
+    global-sort window task). Returns per-(part, bin) chunk/token
+    counts, oracle-verified end-to-end."""
     from pyspark.sql import Window as W
 
     d = _t(spark, sf_dir, "documents")
@@ -2743,18 +2755,29 @@ def q_pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from intelligent_ocr_spark.operators.prep import chunk_documents
 
     chunks = chunk_documents(gated, chunk_tokens=32, overlap=4)
-    w = W.orderBy("doc_id", "chunk_id")
-    packed = chunks.withColumn(
-        "cum_before",
-        F.coalesce(
-            F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    ).withColumn("bin_id", F.floor(F.col("cum_before") / F.lit(256)))
+    part = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16, 10,
+        ).cast("long"),
+        F.lit(8),
+    ).cast("int")
+    w = W.partitionBy("part_id").orderBy("doc_id", "chunk_id")
+    packed = (
+        chunks.withColumn("part_id", part)
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("bin_id", F.floor(F.col("cum_before") / F.lit(256)))
+    )
     return (
-        packed.groupBy("bin_id")
+        packed.groupBy("part_id", "bin_id")
         .agg(F.count(F.lit(1)).alias("n_chunks"), F.sum("n_tokens").alias("n_tokens"))
-        .orderBy("bin_id")
+        .orderBy("part_id", "bin_id")
     )
 
 
@@ -3016,6 +3039,7 @@ _CHANGED_THIS_ROUND = [
     "dedup_paragraphs",       # NEW: repeated-paragraph boilerplate removal
     "web_domain_caps",        # NEW: per-domain quota (WindowGroupLimit path)
     "s4_input_filter",        # NEW: rlike URL-pattern exclusion (S4 now tested)
+    "pipeline_training_prep",  # partitioned packing stage (was global window)
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by
