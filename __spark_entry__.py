@@ -2288,6 +2288,123 @@ def q_s4_input_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# robots.txt fixture shared verbatim by the Spark query and the oracle
+# (host index mod 4; index 3 hosts have no robots.txt at all)
+_ROBOTS_FIXTURE = {
+    0: ("User-agent: evilbot\nDisallow: /\n\nUser-agent: *\n"
+        "Disallow: /admin/\nAllow: /admin/public/\n# audit note\n"
+        "Disallow: /article/1"),
+    1: "User-agent: *\nDisallow:\nCrawl-delay: 2",
+    2: "User-agent: *\nDisallow: /admin\nAllow: /admin/login/4",
+    3: None,
+}
+_ROBOTS_SQL_VALUES = ", ".join(
+    f"('h{i}.example.org', '{_ROBOTS_FIXTURE[i % 4]}')"
+    for i in range(17)
+    if _ROBOTS_FIXTURE[i % 4] is not None
+)
+_S4_URL_SQL = (
+    "'https://h' || (doc_id % 17) || '.example.org/' || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'admin/login' ELSE 'article' END "
+    "|| '/' || doc_id"
+)
+
+
+@_q(
+    "web_robots_filter",
+    rf"""
+    WITH robots(host, robots_txt) AS (VALUES {_ROBOTS_SQL_VALUES}),
+    rlines AS (
+      SELECT host, u.i AS idx, parts[CAST(u.i AS INT)] AS line
+      FROM (SELECT host, string_split(robots_txt, chr(10)) AS parts FROM robots),
+           unnest(range(1, CAST(len(parts)+1 AS BIGINT))) AS u(i)
+    ), parsed AS (
+      SELECT host, idx,
+             lower(trim(regexp_extract(line, '^\s*([A-Za-z-]+)\s*:', 1))) AS k,
+             trim(regexp_extract(line, '^[^:#]*:\s*([^#]*)', 1)) AS v
+      FROM rlines
+      WHERE lower(trim(regexp_extract(line, '^\s*([A-Za-z-]+)\s*:', 1))) <> ''
+    ), runs AS (
+      SELECT *, CASE WHEN (k = 'user-agent') AND NOT COALESCE(
+                 lag(k = 'user-agent') OVER (PARTITION BY host ORDER BY idx),
+                 false) THEN 1 ELSE 0 END AS new_grp
+      FROM parsed
+    ), grouped AS (
+      SELECT *, sum(new_grp) OVER (PARTITION BY host ORDER BY idx) AS grp
+      FROM runs
+    ), star AS (
+      SELECT DISTINCT host, grp FROM grouped WHERE k = 'user-agent' AND v = '*'
+    ), rules AS (
+      SELECT DISTINCT g.host, (g.k = 'allow') AS is_allow, g.v AS rpath
+      FROM grouped g JOIN star s ON g.host = s.host AND g.grp = s.grp
+      WHERE g.k IN ('allow', 'disallow') AND g.v <> ''
+        AND g.v NOT LIKE '%*%' AND g.v NOT LIKE '%$%'
+    ), urls AS (
+      SELECT {_S4_URL_SQL} AS url FROM documents
+    ), u AS (
+      SELECT url,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+             COALESCE(NULLIF(regexp_extract(url,
+               '^[a-z][a-z0-9+.-]*://[^/]+(/[^#?]*)', 1), ''), '/') AS path
+      FROM urls
+    ), scored AS (
+      SELECT u.url, u.host,
+             CASE WHEN r.rpath IS NOT NULL AND starts_with(u.path, r.rpath)
+                  THEN 1 ELSE 0 END AS m,
+             CASE WHEN r.rpath IS NOT NULL AND starts_with(u.path, r.rpath)
+                  THEN length(r.rpath) ELSE 0 END AS ln,
+             CASE WHEN r.rpath IS NOT NULL AND starts_with(u.path, r.rpath)
+                  THEN CAST(r.is_allow AS INT) ELSE 0 END AS al
+      FROM u LEFT JOIN rules r ON u.host = r.host
+    ), best AS (
+      SELECT url, host, m, al,
+             row_number() OVER (PARTITION BY url
+               ORDER BY m DESC, ln DESC, al DESC) AS rn
+      FROM scored
+    )
+    SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(*) FILTER (WHERE m = 0 OR al = 1) AS BIGINT) AS n_allowed
+    FROM best WHERE rn = 1 GROUP BY host ORDER BY host
+    """,
+)
+def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt compliance audit: parse each host's robots
+    into its *-group rules (relational line-state machine), decide every
+    URL by longest-match-allow-wins, summarize per host. Hosts without
+    robots.txt allow everything; the evilbot-only group must not leak
+    into the * verdicts (operators/web.py)."""
+    from intelligent_ocr_spark.operators.web import robots_allowed
+
+    robots = spark.createDataFrame(
+        [
+            (f"h{i}.example.org", _ROBOTS_FIXTURE[i % 4])
+            for i in range(17)
+            if _ROBOTS_FIXTURE[i % 4] is not None
+        ],
+        "host string, robots_txt string",
+    )
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 17).cast("string"),
+        F.lit(".example.org/"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("admin/login")).otherwise(
+            F.lit("article")
+        ),
+        F.lit("/"),
+        F.col("doc_id"),
+    )
+    pages = _t(spark, sf_dir, "documents").select(url.alias("url"))
+    return (
+        robots_allowed(pages, robots)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count(F.when(F.col("allowed"), 1)).alias("n_allowed"),
+        )
+        .orderBy("host")
+    )
+
+
 @_q(
     "prep_pii_signals",
     r"""
@@ -3040,6 +3157,7 @@ _CHANGED_THIS_ROUND = [
     "web_domain_caps",        # NEW: per-domain quota (WindowGroupLimit path)
     "s4_input_filter",        # NEW: rlike URL-pattern exclusion (S4 now tested)
     "pipeline_training_prep",  # partitioned packing stage (was global window)
+    "web_robots_filter",      # NEW: RFC 9309 robots compliance audit
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by

@@ -1,0 +1,112 @@
+"""Crawl-compliance operators: robots.txt evaluation at corpus scale.
+
+RFC 9309 (Robots Exclusion Protocol — public spec) evaluation as a
+relational plan: parse every host's robots.txt into its ``*``-group
+rules, then decide each URL by the longest-matching path rule with
+allow winning ties (§2.2.2). Real web pipelines run exactly this pass
+when re-deriving a corpus from raw crawl data whose politeness filter
+must be reapplied or audited.
+
+Scope (documented): rules from the ``User-agent: *`` group(s) only
+(pipeline audits evaluate the generic group), literal path prefixes —
+rules whose path uses the ``*``/``$`` wildcards are skipped. Matching
+is against the URL path (query strings excluded).
+
+Scale shape: robots parsing windows per HOST (robots files are ≤ a few
+KB — thousands of tiny window partitions, the benign kind); the
+URL-side join is an equi-join on host followed by a prefix test, so
+the fan-out per URL is that host's rule count (bounded by robots file
+size, never corpus-sized), and the verdict is one max-of-struct
+aggregate per URL — lexicographic (matched, prefix-length, is-allow)
+implements longest-match-allow-wins without any window over URLs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["robots_star_rules", "robots_allowed"]
+
+
+def robots_star_rules(robots: DataFrame, host_col: str = "host",
+                      txt_col: str = "robots_txt") -> DataFrame:
+    """Parse robots.txt bodies into the ``*``-group rule table
+    (host, is_allow, path). Group tracking is the RFC's line-state
+    machine made relational: a ``User-agent`` line RUN starts a group
+    (lag window per host), rules attach to the nearest preceding group,
+    and only groups naming ``*`` survive."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("idx", "line"),
+    )
+    key = F.lower(F.trim(F.regexp_extract("line", r"^\s*([A-Za-z-]+)\s*:", 1)))
+    val = F.trim(F.regexp_extract("line", r"^[^:#]*:\s*([^#]*)", 1))
+    parsed = (
+        lines.select("host", "idx", key.alias("k"), val.alias("v"))
+        .filter(F.col("k") != "")
+        .withColumn("is_ua", F.col("k") == "user-agent")
+    )
+    w = Window.partitionBy("host").orderBy("idx")
+    grouped = parsed.withColumn(
+        "new_grp",
+        (F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))).cast("int"),
+    ).withColumn("grp", F.sum("new_grp").over(w))
+    star = (
+        grouped.filter(F.col("is_ua") & (F.col("v") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    return (
+        grouped.filter(
+            F.col("k").isin("allow", "disallow")
+            & (F.col("v") != "")
+            & ~F.col("v").contains("*")
+            & ~F.col("v").contains("$")
+        )
+        .join(star, ["host", "grp"])
+        .select(
+            "host",
+            (F.col("k") == "allow").alias("is_allow"),
+            F.col("v").alias("path"),
+        )
+        .distinct()
+    )
+
+
+def robots_allowed(pages: DataFrame, robots: DataFrame,
+                   url_col: str = "url") -> DataFrame:
+    """Per-URL robots verdict: (url, host, allowed). Longest matching
+    rule wins; exact-length tie → Allow (RFC 9309 §2.2.2); no matching
+    rule (or no robots.txt for the host) → allowed."""
+    rules = robots_star_rules(robots).withColumnRenamed("path", "rpath")
+    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    path = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]+(/[^#?]*)", 1),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+    u = pages.select(F.col(url_col).alias("url"), host.alias("host"), path.alias("path"))
+    j = u.join(rules, "host", "left")
+    # lexicographic max over (matched, prefix_len, is_allow): picks the
+    # longest match, allow on ties; an all-zero best means "no rule hit"
+    hit = F.col("rpath").isNotNull() & F.col("path").startswith(F.col("rpath"))
+    verdict = F.max(
+        F.struct(
+            F.when(hit, 1).otherwise(0).alias("m"),
+            F.when(hit, F.length("rpath")).otherwise(F.lit(0)).alias("ln"),
+            F.when(hit, F.col("is_allow").cast("int")).otherwise(F.lit(0)).alias("al"),
+        )
+    )
+    return (
+        j.groupBy("url", "host")
+        .agg(verdict.alias("best"))
+        .select(
+            "url",
+            "host",
+            ((F.col("best.m") == 0) | (F.col("best.al") == 1)).alias("allowed"),
+        )
+        .orderBy("url")
+    )
