@@ -2122,6 +2122,45 @@ def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "prep_bpe_tokenize",
+    _bpe_cte(_BPE_N_MERGES)
+    + """
+    , final_syms AS (
+      SELECT w, string_split(trim(s), '  ') AS syms
+      FROM bpe
+      WHERE kind = 'w'
+        AND iter = (SELECT max(iter) FROM bpe WHERE kind = 'w')
+    ), words AS (
+      SELECT doc_id, CAST(u.i - 1 AS INT) AS word_idx,
+             toks[CAST(u.i AS INT)] AS w
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents WHERE doc_id % 25 = 0
+      ), unnest(range(1, CAST(len(toks)+1 AS BIGINT))) AS u(i)
+    )
+    SELECT doc_id, word_idx, CAST(v.j - 1 AS INT) AS sym_idx,
+           syms[CAST(v.j AS INT)] AS token
+    FROM words JOIN final_syms USING (w),
+         unnest(range(1, CAST(len(syms)+1 AS BIGINT))) AS v(j)
+    ORDER BY doc_id, word_idx, sym_idx
+    """,
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE APPLY step: emit every subword of a deterministic doc
+    subset in exact document order under the trained vocab — train →
+    count → tokenize now closes end-to-end, and the oracle replays
+    training AND application bit-for-bit."""
+    from intelligent_ocr_spark.operators.bpe import bpe_tokenize, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    _, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    subset = docs.filter(F.col("doc_id") % 25 == 0)
+    return bpe_tokenize(subset, vocab)
+
+
 # deterministic paragraph synthesis shared by the Spark query and the
 # oracle: the documents corpus is single-line, so both engines fold it
 # into 20-token paragraphs and append a boilerplate paragraph to every
@@ -3158,6 +3197,7 @@ _CHANGED_THIS_ROUND = [
     "s4_input_filter",        # NEW: rlike URL-pattern exclusion (S4 now tested)
     "pipeline_training_prep",  # partitioned packing stage (was global window)
     "web_robots_filter",      # NEW: RFC 9309 robots compliance audit
+    "prep_bpe_tokenize",      # NEW: BPE apply step (exact subword stream)
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by
@@ -3167,14 +3207,14 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 37 names (all
-    # driver-green in r5's own sweep — `tools_parity.py` full run: 82
-    # oracle-exact, 0 failed, 4 rows-only):
-    #   ['q4_priority_exists', 'q13_customer_distribution',
-    #    'q16_distinct_suppliers', 'q19_disjunctive_predicates',
-    #    'q17_small_quantity_revenue', 'q21_sole_returning_supplier',
-    #    'q22_above_avg_balance', 'q3_shipping_priority',
-    #    'q5_local_supplier_volume', 'url_canonicalize', 'dedup_simhash',
+    # which as of the round-5 final commit is these 38 names (all
+    # driver-green in r5's own full `tools_parity.py` sweeps):
+    #   ['q18_large_volume', 'q4_priority_exists',
+    #    'q13_customer_distribution', 'q16_distinct_suppliers',
+    #    'q19_disjunctive_predicates', 'q17_small_quantity_revenue',
+    #    'q21_sole_returning_supplier', 'q22_above_avg_balance',
+    #    'q3_shipping_priority', 'q5_local_supplier_volume',
+    #    'url_canonicalize', 'dedup_simhash',
     #    'text_benchmark_contamination', 'sample_stratified_counts',
     #    'prep_chunk_documents', 'prep_pii_signals', 'text_source_overlap',
     #    'text_source_drift', 'dedup_winnow_fingerprints',

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from intelligent_ocr_spark.functions.textstats import tokens
 from intelligent_ocr_spark.util import ensure_parallelism
 
-__all__ = ["bpe_train", "bpe_token_counts"]
+__all__ = ["bpe_train", "bpe_token_counts", "bpe_tokenize"]
 
 _EOW = "</w>"
 
@@ -115,6 +115,39 @@ def bpe_train(
             F.replace(F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")),
         ).localCheckpoint(eager=True)
     return merges, words
+
+
+def bpe_tokenize(
+    df: DataFrame, vocab: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Tokenize documents under a trained vocab: one row per emitted
+    subword, in document order.
+
+    The apply step never re-runs the merges: a word's final symbol
+    sequence already lives in the vocab's state string, so tokenizing is
+    (word occurrences in order) ⋈ (vocab symbol arrays) → a symbol
+    posexplode — a vocab-keyed equi-join plus projections, no iteration.
+    Returns (doc_id, word_idx, sym_idx, token), 0-based indexes; sorting
+    by (word_idx, sym_idx) inside a doc reproduces the exact subword
+    stream a sequential tokenizer would emit.
+    """
+    words = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("word_idx", "w"),
+    )
+    vocab_syms = vocab.select(
+        "w", F.split(F.trim(F.col("s")), "  ").alias("syms")
+    )
+    return (
+        words.join(vocab_syms, "w")
+        .select(
+            "doc_id",
+            "word_idx",
+            F.posexplode(F.col("syms")).alias("sym_idx", "token"),
+        )
+        .orderBy("doc_id", "word_idx", "sym_idx")
+    )
 
 
 def bpe_token_counts(

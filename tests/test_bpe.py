@@ -103,3 +103,27 @@ def test_bpe_token_counts_known_answer(spark):
         toks = _tok(text)
         exp_bpe = sum(len(exp_state[t]) for t in toks)
         assert got[doc_id] == (len(toks), exp_bpe), doc_id
+
+
+def test_bpe_tokenize_exact_stream(spark):
+    """Tokenize must reproduce the sequential tokenizer's exact subword
+    stream: python-replay the merges, split each word, compare
+    position-for-position."""
+    from intelligent_ocr_spark.operators.bpe import bpe_tokenize
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    wf = Counter(t for _, s in CORPUS for t in _tok(s))
+    _, exp_state = py_bpe(wf, 10)
+    _, vocab = bpe_train(df, n_merges=10)
+    got = {}
+    for r in bpe_tokenize(df, vocab).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["word_idx"], r["sym_idx"], r["token"])
+        )
+    for doc_id, text in CORPUS:
+        expected = [
+            (wi, si, sym)
+            for wi, w in enumerate(_tok(text))
+            for si, sym in enumerate(exp_state[w])
+        ]
+        assert sorted(got[doc_id]) == expected, doc_id
