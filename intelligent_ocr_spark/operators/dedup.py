@@ -698,6 +698,13 @@ def remove_repeated_paragraphs(
     hashes the kept paragraphs joined by ``sep`` in original order —
     compact enough for an exact oracle, strong enough to pin the full
     reassembled text.
+
+    The broadcast is a HINT on a set that is small by the nature of
+    boilerplate (a corpus where most distinct paragraphs repeat across
+    docs is one you exact-dedup first); on a pathological input where
+    the over-cap set outgrows the driver, drop the hint and AQE falls
+    back to a shuffled join with skew splitting — the semantics do not
+    change, only the strategy.
     """
     paras = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
