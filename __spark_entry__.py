@@ -1288,14 +1288,42 @@ def q_export_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CASE WHEN length(text) = 0 THEN 'und'
                 WHEN length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) > 0 THEN 'ja'
+                WHEN length(regexp_replace(text, '[^가-힣]', '', 'g')) * 1.0 / length(text) >= 0.20 THEN 'ko'
                 WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 1.0 / length(text) > 0.30 THEN 'zh'
+                WHEN length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 1.0 / length(text) >= 0.30 THEN 'ru'
+                WHEN length(regexp_replace(text, '[^؀-ۿ]', '', 'g')) * 1.0 / length(text) >= 0.30 THEN 'ar'
                 ELSE 'en' END AS lang_guess
-    FROM documents
+    FROM (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+        (1000001, '한국어 문서입니다 korean text sample'),
+        (1000002, 'это русский текст для проверки'),
+        (1000003, 'هذا نص عربي للاختبار فقط'),
+        (1000004, '这是一段足够长的中文文本用于检测'),
+        (1000005, '日本語のテキストです')
+      ) t(doc_id, text)
+    )
     """,
 )
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+    """Script-based language-ID over the corpus plus fixed multilingual
+    fixture rows (the corpus is English-only, so the ko/ru/ar/zh/ja
+    branches are exercised by deterministic literals both engines add)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (1000001, "한국어 문서입니다 korean text sample"),
+            (1000002, "это русский текст для проверки"),
+            (1000003, "هذا نص عربي للاختبار فقط"),
+            (1000004, "这是一段足够长的中文文本用于检测"),
+            (1000005, "日本語のテキストです"),
+        ],
+        "doc_id long, text string",
+    )
+    return d.unionByName(extra).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_guess")
+    )
 
 
 @_q(
@@ -3198,6 +3226,7 @@ _CHANGED_THIS_ROUND = [
     "pipeline_training_prep",  # partitioned packing stage (was global window)
     "web_robots_filter",      # NEW: RFC 9309 robots compliance audit
     "prep_bpe_tokenize",      # NEW: BPE apply step (exact subword stream)
+    "text_lang_id",           # ko/ru/ar script branches + multilingual fixture
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by

@@ -48,18 +48,27 @@ def tokens(col: Column) -> Column:
 
 
 def lang_id(col: Column) -> Column:
-    """Heuristic language-ID: fraction of CJK-ideograph chars.
+    """Heuristic script-based language-ID (cheap-scan class — score a
+    signal, branch on a threshold, like the reference's blank gate):
 
-    > 0.30 → ``zh``; any kana → ``ja``; else ``en``. The same class of
-    cheap-scan heuristic the reference uses for blank detection (score a
-    cheap signal, branch on a threshold)."""
+    * any kana → ``ja`` (kana are unambiguous; Han alone is not)
+    * ≥ 20% Hangul syllables → ``ko``
+    * > 30% CJK ideographs → ``zh``
+    * ≥ 30% Cyrillic → ``ru``; ≥ 30% Arabic block → ``ar``
+    * else ``en`` (Latin-script default); empty → ``und``
+    """
     n = F.length(col)
-    cjk = F.length(F.regexp_replace(col, "[^一-鿿]", ""))
-    kana = F.length(F.regexp_replace(col, "[^぀-ヿ]", ""))
+
+    def frac(rng: str) -> Column:
+        return F.length(F.regexp_replace(col, f"[^{rng}]", "")) / n
+
     return (
         F.when(n == 0, F.lit("und"))
-        .when(kana > 0, F.lit("ja"))
-        .when(cjk / n > 0.30, F.lit("zh"))
+        .when(F.length(F.regexp_replace(col, "[^぀-ヿ]", "")) > 0, F.lit("ja"))
+        .when(frac("가-힣") >= 0.20, F.lit("ko"))
+        .when(frac("一-鿿") > 0.30, F.lit("zh"))
+        .when(frac("Ѐ-ӿ") >= 0.30, F.lit("ru"))
+        .when(frac("؀-ۿ") >= 0.30, F.lit("ar"))
         .otherwise(F.lit("en"))
     )
 

@@ -712,3 +712,22 @@ def test_remove_repeated_paragraphs_broadcasts_overcap_set(spark):
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 3, plan
+
+
+def test_lang_id_script_branches(spark):
+    from intelligent_ocr_spark.functions.textstats import lang_id
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, ""),                                       # und
+        (1, "plain english words only"),               # en
+        (2, "한국어 문서입니다 korean text sample"),      # ko
+        (3, "это русский текст для проверки"),          # ru
+        (4, "هذا نص عربي للاختبار فقط"),                # ar
+        (5, "这是一段足够长的中文文本用于检测"),            # zh
+        (6, "日本語のテキストです"),                      # ja (kana wins over Han)
+        (7, "mostly english with 한 glyph"),            # below 20% hangul -> en
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["g"] for r in df.select("doc_id", lang_id(F.col("text")).alias("g")).collect()}
+    assert got == {0: "und", 1: "en", 2: "ko", 3: "ru", 4: "ar", 5: "zh", 6: "ja", 7: "en"}
