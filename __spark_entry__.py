@@ -3185,6 +3185,233 @@ def q_x3_dual_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# document-shape quality rules (Gopher / C4) + n-gram LM + sharding
+# --------------------------------------------------------------------------
+# The corpus table is single-line token soup, so the line-structured rule
+# branches (bullets, ellipses, javascript lines, lorem ipsum, braces,
+# terminal punctuation) are exercised by deterministic fixture rows both
+# engines append — the same pattern text_lang_id uses for its scripts.
+_QRULE_FIXTURES = [
+    (2000001, "• first bullet item...\n• second bullet item...\n- third dash line here"),
+    (
+        2000002,
+        "\n".join(
+            ["The quick brown foxes have jumped over that lazy dog with style and grace of champions."] * 4
+        ),
+    ),
+    (
+        2000003,
+        "Enable javascript to view this page properly today.\n"
+        "Lorem ipsum dolor sit amet consectetur adipiscing elit done.",
+    ),
+    (
+        2000004,
+        "function f() { return 42; }\n"
+        "A perfectly reasonable sentence follows here with more than five words.",
+    ),
+    (2000005, "# # # # # # word word word word"),
+    (2000006, ""),
+    (2000007, " ".join(chr(ord("a") + i % 26) for i in range(52))),
+    (2000008, "12345 67890 11111 22222 33333 44444 55555 66666"),
+]
+
+
+def _fixture_sql(rows) -> str:
+    sels = []
+    for i, txt in rows:
+        esc = txt.replace("'", "''")
+        sels.append(f"SELECT CAST({i} AS BIGINT) AS doc_id, '{esc}' AS text")
+    return " UNION ALL ".join(sels)
+
+
+def _docs_with_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(_QRULE_FIXTURES, "doc_id long, text string")
+    return d.unionByName(extra)
+
+
+_QRULE_BASE = (
+    "base AS (SELECT doc_id, text FROM documents UNION ALL "
+    + _fixture_sql(_QRULE_FIXTURES)
+    + ")"
+)
+
+
+@_q(
+    "quality_gopher_rules",
+    "WITH " + _QRULE_BASE + """,
+    t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+             string_split(text, chr(10)) AS lines
+      FROM base
+    ), s AS (
+      SELECT doc_id,
+             len(words)::BIGINT AS n_words,
+             len(lines)::BIGINT AS n_lines,
+             coalesce(list_sum(list_transform(words, w -> length(w))), 0)::BIGINT AS char_sum,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '…', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS symbols,
+             len(list_filter(lines, l -> regexp_matches(l, '^\\s*[•*\\-]')))::BIGINT AS n_bullet,
+             len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::BIGINT AS n_ellipsis,
+             len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             sw -> list_contains(list_transform(words, w -> lower(w)), sw)))::BIGINT AS stop_hits
+      FROM t
+    ), f AS (
+      SELECT doc_id, n_words,
+             floor((CASE WHEN n_words > 0 THEN char_sum * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6 AS mean_word_len,
+             floor((CASE WHEN n_words > 0 THEN symbols * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6 AS symbol_ratio,
+             floor((n_bullet * 1.0 / n_lines) * 1e6) / 1e6 AS bullet_frac,
+             floor((n_ellipsis * 1.0 / n_lines) * 1e6) / 1e6 AS ellipsis_frac,
+             floor((CASE WHEN n_words > 0 THEN n_alpha * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6 AS alpha_frac,
+             stop_hits
+      FROM s
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+           ellipsis_frac, alpha_frac, stop_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+            AND stop_hits >= 2) AS passes
+    FROM f ORDER BY doc_id
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document-shape gates (the non-repetition half
+    of the published suite; repetition lives in text_repetition_signals)."""
+    from intelligent_ocr_spark.functions.quality_rules import gopher_rules
+
+    return gopher_rules(_docs_with_fixtures(spark, sf_dir)).orderBy("doc_id")
+
+
+@_q(
+    "quality_c4_filters",
+    "WITH " + _QRULE_BASE + """,
+    t AS (
+      SELECT doc_id, text,
+             list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines
+      FROM base
+    ), k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+               AND len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM t
+    ), c AS (
+      SELECT doc_id, text, lines, kept,
+             coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+      FROM k
+    )
+    SELECT doc_id,
+           len(lines)::BIGINT AS n_lines,
+           len(kept)::BIGINT AS n_kept,
+           length(regexp_replace(cleaned, '[^.!?]', '', 'g'))::BIGINT AS n_sentences,
+           (NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, chr(123))
+            AND length(regexp_replace(cleaned, '[^.!?]', '', 'g')) >= 3) AS page_kept,
+           md5(cleaned) AS cleaned_md5
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning rules + page gates, with the cleaned byte
+    stream pinned by md5."""
+    from intelligent_ocr_spark.functions.quality_rules import c4_filters
+
+    return c4_filters(_docs_with_fixtures(spark, sf_dir)).orderBy("doc_id")
+
+
+@_q(
+    "text_bigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    ), pos AS (
+      SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS k
+      FROM toks WHERE len(ts) >= 2
+    ), bg AS (
+      SELECT doc_id, ts[k] AS w1, ts[k] || ' ' || ts[k + 1] AS pair FROM pos
+    ), c1 AS (
+      SELECT w1, count(*) AS cw FROM bg GROUP BY w1
+    ), c2 AS (
+      SELECT pair, count(*) AS cb FROM bg GROUP BY pair
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           floor(avg(ln(cb * 1.0 / cw)) * 1e6) / 1e6 AS mean_logprob
+    FROM bg JOIN c2 USING (pair) JOIN c1 USING (w1)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram LM score per doc — the next rung above the
+    unigram perplexity proxy; both count lookups heavy-hitter-safe."""
+    from intelligent_ocr_spark.functions.textstats import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "lang_sample_weights",
+    """
+    WITH c AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n_docs, CAST(floor(sqrt(n_docs) * 1e6) AS BIGINT) AS w_micro FROM c
+    ), t AS (
+      SELECT sum(w_micro) AS w_total FROM w
+    )
+    SELECT lang, n_docs,
+           floor((w_micro / w_total) * 1e6) / 1e6 AS weight,
+           CAST(floor((100000 * w_micro) / w_total) AS BIGINT) AS expected_docs
+    FROM w CROSS JOIN t ORDER BY lang
+    """,
+)
+def q_lang_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced (α = 0.5) language sampling allocation over
+    a 100k-draw budget — integer-micro-unit exact across engines."""
+    from intelligent_ocr_spark.functions.textstats import lang_sample_weights
+
+    return lang_sample_weights(_t(spark, sf_dir, "documents"), budget=100_000)
+
+
+@_q(
+    "prep_shard_stats",
+    """
+    WITH s AS (
+      SELECT n_chars,
+             CAST(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 32 AS INT) AS shard,
+             CAST(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 9, 8))::UBIGINT AS BIGINT) AS order_key
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(order_key) AS min_key, max(order_key) AS max_key
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def q_prep_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment summarized per shard — pins both
+    the assignment hash and the within-shard order-key range, and shows
+    the 32-way balance the training-run writer relies on."""
+    from intelligent_ocr_spark.operators.prep import shard_assign
+
+    s = shard_assign(_t(spark, sf_dir, "documents"), n_shards=32, salt="s0")
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("order_key").alias("min_key"),
+            F.max("order_key").alias("max_key"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 # The driver runs only the FIRST 50 entries of queries() (observed in rounds
@@ -3227,6 +3454,11 @@ _CHANGED_THIS_ROUND = [
     "web_robots_filter",      # NEW: RFC 9309 robots compliance audit
     "prep_bpe_tokenize",      # NEW: BPE apply step (exact subword stream)
     "text_lang_id",           # ko/ru/ar script branches + multilingual fixture
+    "quality_gopher_rules",   # NEW: Gopher document-shape gates
+    "quality_c4_filters",     # NEW: C4 line filters + page gates
+    "text_bigram_logprob",    # NEW: conditional bigram LM, HH-safe counts
+    "lang_sample_weights",    # NEW: α=0.5 temperature sampling allocation
+    "prep_shard_stats",       # NEW: deterministic shard assignment + balance
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by

@@ -11,6 +11,8 @@ covers them:
 * document fingerprinting (k-smallest-distinct-token digest)
 * repetition signals (Gopher/MassiveText distinct/max-word/bigram fracs)
 * unigram log-probability (CCNet-style perplexity proxy)
+* bigram conditional log-probability (one rung up the n-gram ladder)
+* temperature-balanced language sampling weights (α = 0.5)
 * character entropy (mojibake/binary-soup gate)
 * tf-idf top-k keywords
 * deterministic content-addressed sampling (retry-stable train/val draws)
@@ -30,6 +32,8 @@ __all__ = [
     "fingerprint",
     "repetition_signals",
     "unigram_logprob",
+    "bigram_logprob",
+    "lang_sample_weights",
     "deterministic_sample",
     "char_entropy",
     "tfidf_top_terms",
@@ -388,6 +392,106 @@ def source_token_drift(df, source_col: str = "source", text_col: str = "text"):
             (F.sum(term_nano) / F.lit(1e9)).alias("kl_divergence"),
         )
         .orderBy("source")
+    )
+
+
+def bigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document mean CONDITIONAL bigram log-probability — one rung
+    up the n-gram ladder from :func:`unigram_logprob` toward the 5-gram
+    KenLM CCNet uses.  For each adjacent token pair the model scores
+    ln(c(w₁w₂)/c(w₁·)) where c(w₁·) counts bigram positions opening
+    with w₁ — the maximum-likelihood conditional, well-defined without
+    smoothing because every scored bigram is, by construction, in the
+    corpus the counts come from.  Repetitive boilerplate scores near 0
+    (its continuations are deterministic); incoherent token soup scores
+    deeply negative.
+
+    Shape: one bigram explode (array transform over the materialized
+    token array, same construction as ``repetition_signals``); BOTH
+    count lookups use the heavy-hitter-safe hybrid
+    (:func:`~intelligent_ocr_spark.functions.freq.with_key_aggs` —
+    the context key "the" is exactly the Zipf head that kills a plain
+    frequency window at 100×, and so is the top bigram "of the").
+    Docs with <2 tokens have no bigram positions and are omitted.
+    Returns (doc_id, n_bigrams, mean_logprob) floor-scaled to 1e-6.
+    """
+    from intelligent_ocr_spark.functions.freq import with_key_aggs
+    from intelligent_ocr_spark.util import ensure_parallelism
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    tarr = F.col("_toks")
+    bigram_arr = F.when(
+        F.size(tarr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tarr) - 1),
+            lambda i: F.struct(
+                F.element_at(tarr, i).alias("w1"),
+                F.element_at(tarr, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = base.select("doc_id", F.explode(bigram_arr).alias("bg")).select(
+        "doc_id",
+        F.col("bg.w1").alias("w1"),
+        # tokens are [a-z0-9]+ so the space join is collision-free
+        F.concat_ws(" ", "bg.w1", "bg.w2").alias("pair"),
+    )
+    scored = with_key_aggs(bg, "w1", {"cw": (F.count, None)}, salt_col="doc_id")
+    scored = with_key_aggs(scored, "pair", {"cb": (F.count, None)}, salt_col="doc_id")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.floor(F.avg(F.log(F.col("cb") / F.col("cw"))) * F.lit(1e6))
+                / F.lit(1e6)
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lang_sample_weights(df, lang_col: str = "lang", budget: int = 100_000):
+    """Temperature-balanced language sampling weights (the multilingual
+    α-sampling of mBERT/XLM-R, α = 0.5): a language's draw weight is
+    ∝ n_l^α, which up-samples tail languages relative to their raw
+    share without letting the head language drown them.
+
+    α is fixed at 0.5 because sqrt is IEEE-754 correctly-rounded —
+    both engines produce the bit-identical double, where a libm ``pow``
+    would not be guaranteed to.  The normalization then runs in integer
+    micro-units (floor(sqrt(n)·1e6) summed as BIGINT) so neither the
+    share nor the allocation depends on double summation order — the
+    same merge-order-exactness trick as ``source_token_drift``.
+
+    Shape: one tiny groupBy (|langs| rows) + a broadcast scalar; the
+    expensive side is the scan, which is unavoidable.  Returns
+    (lang, n_docs, weight, expected_docs) where expected_docs allocates
+    ``budget`` draws by floor(budget · w_l / Σw).
+    """
+    counts = (
+        df.groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    micro = F.floor(F.sqrt(F.col("n_docs")) * F.lit(1e6)).cast("long")
+    wtot = counts.agg(F.sum(micro).alias("w_total"))
+    return (
+        counts.withColumn("w_micro", micro)
+        .crossJoin(F.broadcast(wtot))
+        .select(
+            "lang",
+            "n_docs",
+            (
+                F.floor(F.col("w_micro") / F.col("w_total") * F.lit(1e6))
+                / F.lit(1e6)
+            ).alias("weight"),
+            F.floor(F.lit(budget) * F.col("w_micro") / F.col("w_total"))
+            .cast("long")
+            .alias("expected_docs"),
+        )
+        .orderBy("lang")
     )
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_documents", "domain_caps", "pack_sequences", "pii_signals"]
+__all__ = ["chunk_documents", "domain_caps", "pack_sequences", "pii_signals", "shard_assign"]
 
 
 def chunk_documents(
@@ -220,3 +220,36 @@ def pii_signals(
         F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
         F.md5(red.cast("binary")).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+def shard_assign(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = 32, salt: str = "s0",
+) -> DataFrame:
+    """Deterministic training-shard assignment with a within-shard
+    shuffle order — the "global shuffle" a distributed training run
+    needs, made resumable: ``df.repartition`` + ``rand()`` changes on
+    every retry, while content-addressed hashing gives every doc a
+    stable (shard, order_key) no matter the partitioning, task retries,
+    or cluster size.  Consumers write one output file per shard and
+    read each shard sorted by ``order_key`` — a reproducible
+    epoch-0 permutation of the corpus.
+
+    shard     = first 8 md5 hex chars of ``salt|id``  (mod n_shards)
+    order_key = next 8 md5 hex chars — independent of the shard bits,
+                so within-shard order is unbiased by shard membership.
+
+    Pure projection (zero exchange; the per-shard write is the caller's
+    one unavoidable shuffle). Same hash family as
+    ``textstats.deterministic_sample`` — DuckDB twin:
+    ``('0x' || substr(md5(s||'|'||id), 1, 8))::UBIGINT``.
+    """
+    h = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    )
+    to_long = lambda c: F.conv(c, 16, 10).cast("long")  # noqa: E731
+    return df.withColumns(
+        {
+            "shard": F.pmod(to_long(F.substring(h, 1, 8)), F.lit(n_shards)).cast("int"),
+            "order_key": to_long(F.substring(h, 9, 8)),
+        }
+    )
