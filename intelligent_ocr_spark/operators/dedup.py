@@ -37,6 +37,7 @@ from intelligent_ocr_spark.util import ensure_parallelism
 __all__ = [
     "shingles",
     "exact_dup_groups",
+    "incremental_exact_dedup",
     "minhash_signature",
     "minhash_lsh_candidates",
     "simhash32",
@@ -818,4 +819,51 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot exact dedup: tag every NEW-snapshot doc against an
+    already-ingested OLD corpus — the incremental-ingestion twin of
+    :func:`exact_dup_groups` (a new crawl dump is mostly re-crawls of
+    pages the corpus already holds; WARC ``revisit`` records catch the
+    server-declared subset, this catches the rest by content).
+
+    Returns (doc_id, status, dup_of) per new doc, ``status`` ∈
+    {'exact_dup', 'unique'}, ``dup_of`` = the smallest old doc id with
+    identical content (NULL when unique).
+
+    Scale shape: the old side collapses to (content_hash, min id) by a
+    map-side-combined groupBy — at 100 TB that's one row per distinct
+    OLD document, never the corpus itself — and the tag is a hash
+    equi-join on content_hash (AQE-sizable, never an all-pairs
+    comparison). The new snapshot is scanned exactly once.
+    """
+    old_min = (
+        old_df.select(
+            F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
+            F.col(id_col).alias("_oid"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("_oid").alias("dup_of"))
+    )
+    new_h = new_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
+    )
+    return (
+        new_h.join(old_min, "content_hash", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_of").isNotNull(), F.lit("exact_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            "dup_of",
+        )
+        .orderBy("doc_id")
     )

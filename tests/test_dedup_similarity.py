@@ -731,3 +731,53 @@ def test_lang_id_script_branches(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["g"] for r in df.select("doc_id", lang_id(F.col("text")).alias("g")).collect()}
     assert got == {0: "und", 1: "en", 2: "ko", 3: "ru", 4: "ar", 5: "zh", 6: "ja", 7: "en"}
+
+
+def test_incremental_exact_dedup_known_answers(spark):
+    """Cross-snapshot tagging: re-crawled content is exact_dup against the
+    OLD corpus (pointing at the smallest old holder), fresh content is
+    unique — and dup-vs-other-NEW-docs does NOT count (snapshot-local
+    dups are exact_dup_groups' job, not this operator's)."""
+    from intelligent_ocr_spark.operators.dedup import incremental_exact_dedup
+
+    old = spark.createDataFrame(
+        [
+            (10, "page alpha"),
+            (11, "page beta"),
+            (12, "page alpha"),  # old-side dup: dup_of must be min(10, 12)
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (20, "page alpha"),   # re-crawl of 10/12 -> dup_of 10
+            (21, "page gamma"),   # fresh
+            (22, "page gamma"),   # dup of ANOTHER NEW doc only -> unique here
+            (23, "page beta"),    # re-crawl of 11
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["status"], r["dup_of"]) for r in incremental_exact_dedup(new, old).collect()}
+    assert got == {
+        20: ("exact_dup", 10),
+        21: ("unique", None),
+        22: ("unique", None),
+        23: ("exact_dup", 11),
+    }
+
+
+def test_incremental_exact_dedup_plan_shape(spark):
+    """Scale pin: the old side collapses via a partial-agg groupBy before
+    the join, and the tag is a single equi-join — never a pair join or a
+    second scan of the new snapshot."""
+    import re
+
+    from intelligent_ocr_spark.operators.dedup import incremental_exact_dedup
+
+    old = spark.createDataFrame([(i, f"t{i % 7}") for i in range(40)], "doc_id long, text string")
+    new = spark.createDataFrame([(i, f"t{i % 9}") for i in range(40)], "doc_id long, text string")
+    plan = incremental_exact_dedup(new, old)._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE prints Final first
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
+    assert len(re.findall(r"\bJoin\b|\bBroadcastHashJoin\b|\bSortMergeJoin\b", plan)) >= 1
+    assert plan.count("LeftOuter") == 1, plan
