@@ -3395,6 +3395,54 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "prep_dsir_weights",
+    # DSIR importance weights: target slice = the 'src0' source; features =
+    # hashed unigrams+bigrams into 256 buckets; per-bucket log-ratio
+    # contribution rounded ONCE to nano-units, doc weights sum integers
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS ts FROM documents
+    ), feats AS (
+      SELECT doc_id, source, unnest(ts) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, source, ts[CAST(u.i AS INT)] || ' ' || ts[CAST(u.i AS INT) + 1]
+      FROM toks, unnest(range(1, CAST(len(ts) AS BIGINT))) AS u(i)
+      WHERE len(ts) >= 2
+    ), bucketed AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 256 AS BIGINT) AS b
+      FROM feats
+    ), bc AS (
+      SELECT b, count(*) AS c_r,
+             count(*) FILTER (WHERE source = 'src0') AS c_t
+      FROM bucketed GROUP BY b
+    ), tot AS (
+      SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM bc
+    ), contrib AS (
+      SELECT b, CAST(round((ln((c_t + 1.0) / (n_t + 256.0))
+                          - ln((c_r + 1.0) / (n_r + 256.0))) * 1e9) AS BIGINT) AS cn
+      FROM bc CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(cn) AS DOUBLE) / 1e9 AS weight
+    FROM bucketed JOIN contrib USING (b)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights against a curated target slice —
+    hashed-n-gram log-ratio scoring, the published select-the-Pile-like-
+    slice recipe; bucket table broadcasts, no vocabulary-sized state
+    (operators/prep.py::dsir_importance_weights)."""
+    from intelligent_ocr_spark.operators.prep import dsir_importance_weights
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("source") == "src0"
+    )
+    return dsir_importance_weights(d, "is_target", n_buckets=256)
+
+
+@_q(
     "lang_sample_weights",
     """
     WITH c AS (
@@ -3514,16 +3562,17 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 44 names (all
+    # which as of the round-5 final commit is these 45 names (all
     # driver-green in r5's own full `tools_parity.py` sweeps).
-    # NOTE: `dedup_incremental` was REGISTERED late in round 5 after the
-    # cap was already exactly full (changed ∪ skipped-last = 50); per the
-    # same slot-yield rationale as the WARC rows-only entries above it
-    # sits in the tail this round — it is oracled, known-answer + plan
-    # pytest-pinned, parity-verified in r5's sweep, and listed below so
-    # round 6's driver covers it:
-    #   ['w1_order_repair', 'w3_topk_per_group', 'k3_txt_export',
-    #    'u3_union_passthrough', 'u1_intersect_nations',
+    # NOTE: `dedup_incremental` and `prep_dsir_weights` were REGISTERED
+    # late in round 5 after the cap was already exactly full (changed ∪
+    # skipped-last = 50); per the same slot-yield rationale as the WARC
+    # rows-only entries above they sit in the tail this round — both are
+    # oracled, pytest-pinned (known-answer/plan pins; DSIR has a full
+    # pure-Python differential), parity-verified in r5's sweep, and
+    # listed below so round 6's driver covers them:
+    #   ['j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
+    #    'k3_txt_export', 'u3_union_passthrough', 'u1_intersect_nations',
     #    'a1_lineage_counters', 'q6_forecast_revenue',
     #    'q12_priority_returns', 'q18_large_volume', 'q4_priority_exists',
     #    'q13_customer_distribution', 'q16_distinct_suppliers',
@@ -3536,11 +3585,12 @@ _SKIPPED_LAST_ROUND = [
     #    'text_source_overlap', 'text_source_drift',
     #    'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
     #    'text_char_entropy', 'mm_decode_bmp', 'sim_ivf_topk',
-    #    'x3_dual_insert_variants', 'extract_synthetic_pages',
-    #    'extract_dual_insert', 'extract_pixmap_pages',
-    #    'source_warc_extract', 'warc_revisit_dedup', 'q1_pricing_summary',
+    #    'x3_dual_insert_variants', 'prep_dsir_weights',
+    #    'extract_synthetic_pages', 'extract_dual_insert',
+    #    'extract_pixmap_pages', 'source_warc_extract',
+    #    'warc_revisit_dedup', 'q1_pricing_summary',
     #    'f1_existing_text_probe', 'f4_confidence_filter',
-    #    'x11_hash_bucketing', 'j2_resume_antijoin', 'j3_fallback_coalesce']
+    #    'x11_hash_bucketing', 'j2_resume_antijoin']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",

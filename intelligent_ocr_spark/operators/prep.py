@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_documents", "domain_caps", "pack_sequences", "pii_signals", "shard_assign"]
+__all__ = [
+    "chunk_documents",
+    "domain_caps",
+    "dsir_importance_weights",
+    "pack_sequences",
+    "pii_signals",
+    "shard_assign",
+]
 
 
 def chunk_documents(
@@ -252,4 +259,100 @@ def shard_assign(
             "shard": F.pmod(to_long(F.substring(h, 1, 8)), F.lit(n_shards)).cast("int"),
             "order_key": to_long(F.substring(h, 9, 8)),
         }
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_col: str = "is_target",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every raw-corpus document by how
+    much its hashed n-gram profile looks like a small TARGET corpus
+    (curated text, a benchmark's training split, a high-quality source)
+    relative to the raw corpus itself — the published recipe behind
+    "pick the Pile-like 5% of Common Crawl".
+
+    Features are word unigrams + bigrams hashed into ``n_buckets``
+    buckets (the paper's hashed generative model); each occurrence of a
+    feature in bucket b contributes
+    ``ln p̂_target(b) − ln p̂_raw(b)`` with add-1 smoothing, and a doc's
+    weight is the sum over its feature occurrences. ``target_col`` is a
+    boolean column marking the target subset (target docs are part of
+    the raw corpus, matching the paper's setup of raw ⊇ target draws).
+
+    Exactness across engines: each bucket's contribution is rounded to
+    integer NANO-units once on the ``n_buckets``-row table (both
+    engines compute identical doubles from identical integer counts),
+    and per-doc sums add BIGINTs — merge-order cannot move the result
+    (same trick as ``textstats.source_token_drift``).
+
+    Scale shape: explode → groupBy (doc, bucket) with map-side combine
+    (the per-doc profile is ≤ n_buckets rows no matter how long the
+    doc); the bucket frequency table is ``n_buckets`` rows — broadcast
+    — so scoring is a broadcast join + one exchange on doc_id. No
+    vocabulary-sized state anywhere: the hash fixes memory at
+    ``n_buckets`` regardless of corpus size (the point of DSIR's hashed
+    features at web scale). Docs with zero tokens have no features and
+    are omitted.
+
+    Returns (doc_id, n_feats, weight) ordered by doc_id, weight =
+    nano-unit sum / 1e9.
+    """
+    from intelligent_ocr_spark.functions.textstats import tokens
+    from intelligent_ocr_spark.util import ensure_parallelism
+
+    t = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(t, bigrams)
+    ex = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(target_col).alias("_is_t"),
+        F.explode(feats).alias("f"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    # per-(doc, bucket) profile: bounded at n_buckets rows per doc
+    prof = (
+        ex.select("doc_id", "_is_t", bucket.alias("b"))
+        .groupBy("doc_id", "_is_t", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bc = prof.groupBy("b").agg(
+        F.sum("n").alias("c_r"),
+        F.sum(F.when(F.col("_is_t"), F.col("n")).otherwise(F.lit(0))).alias("c_t"),
+    )
+    tot = bc.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+    m = F.lit(float(n_buckets))
+    contrib = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("c_t") + F.lit(1.0)) / (F.col("n_t") + m))
+                - F.log((F.col("c_r") + F.lit(1.0)) / (F.col("n_r") + m))
+            )
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("cn"),
+    )
+    return (
+        prof.join(F.broadcast(contrib), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            (F.sum(F.col("n") * F.col("cn")) / F.lit(1e9)).alias("weight"),
+        )
+        .orderBy("doc_id")
     )

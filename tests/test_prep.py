@@ -159,3 +159,75 @@ def test_domain_caps_plan_has_rank_limit_pushdown(spark):
     )
     plan = domain_caps(df, cap=5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_dsir_importance_weights_differential(spark):
+    """Exact agreement with an independent pure-Python replay of the
+    hashed-DSIR formula (md5 buckets, add-1 smoothing, nano-unit
+    rounding), plus the semantic sanity check the paper promises:
+    target-looking docs outweigh raw-looking docs."""
+    import hashlib
+    import math
+    import re as _re
+
+    from intelligent_ocr_spark.operators.prep import dsir_importance_weights
+
+    target_words = "curated prose quality thoughtful essay writing clarity style"
+    raw_words = "spam casino click buy now free winner jackpot deal offer"
+    rows = []
+    for i in range(6):  # target slice: permutations of the curated vocab
+        ws = target_words.split()
+        rows.append((i, " ".join(ws[i % 4 :] + ws[: i % 4]), True))
+    for i in range(6, 18):  # raw-only slice: spammy vocab
+        ws = raw_words.split()
+        rows.append((i, " ".join(ws[i % 5 :] + ws[: i % 5]), False))
+    rows.append((18, "curated quality essay writing with clarity", False))
+    rows.append((19, "casino jackpot free offer click now", False))
+    rows.append((20, "", False))  # no tokens -> omitted
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_target boolean")
+
+    n_buckets = 64
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight"])
+        for r in dsir_importance_weights(df, "is_target", n_buckets=n_buckets).collect()
+    }
+
+    # independent replay
+    def toks(s):
+        return [t for t in _re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % n_buckets
+
+    occ = {}  # doc -> list of buckets
+    for doc_id, text, _ in rows:
+        ts = toks(text)
+        fs = ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        occ[doc_id] = [bucket(f) for f in fs]
+    c_r, c_t = {}, {}
+    for doc_id, _, is_t in rows:
+        for b in occ[doc_id]:
+            c_r[b] = c_r.get(b, 0) + 1
+            if is_t:
+                c_t[b] = c_t.get(b, 0) + 1
+    n_r, n_t = sum(c_r.values()), sum(c_t.values())
+    cn = {
+        b: round(
+            (
+                math.log((c_t.get(b, 0) + 1.0) / (n_t + n_buckets))
+                - math.log((c_r[b] + 1.0) / (n_r + n_buckets))
+            )
+            * 1e9
+        )
+        for b in c_r
+    }
+    want = {
+        d: (len(bs), sum(cn[b] for b in bs) / 1e9)
+        for d, bs in occ.items()
+        if bs
+    }
+    assert got == want
+    assert 20 not in got
+    # the paper's point: the curated-looking held-out doc scores far above
+    # the spam-looking one
+    assert got[18][1] > 0 > got[19][1]
