@@ -2307,6 +2307,60 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_incremental_near",
+    # MinHash twin of dedup_incremental: OLD corpus = even doc_ids,
+    # NEW snapshot = odd doc_ids; a new doc flags when any of its LSH
+    # band buckets occurs in the old corpus's bucket set. Signatures are
+    # per-doc, so banding the whole table then splitting by parity is
+    # identical to banding each side separately.
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3 THEN {_SHINGLE_SQL} ELSE [] END)) AS shingle
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::UBIGINT AS h1,
+             ('0x' || substr(md5('~' || shingle), 1, 8))::UBIGINT AS h2
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {', '.join(f"min((h1 + {j} * h2) % 2147483647) AS g{j}" for j in range(8))}
+      FROM hashed GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band,
+             CASE WHEN band = 0 THEN md5(g0 || '|' || g1 || '|' || g2 || '|' || g3)
+                  ELSE md5(g4 || '|' || g5 || '|' || g6 || '|' || g7) END AS bucket
+      FROM sig CROSS JOIN (SELECT unnest([0, 1]) AS band)
+    ), old_b AS (
+      SELECT DISTINCT band, bucket FROM banded WHERE doc_id % 2 = 0
+    ), hits AS (
+      SELECT DISTINCT n.doc_id
+      FROM banded n JOIN old_b o USING (band, bucket)
+      WHERE n.doc_id % 2 = 1
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_near_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+    """,
+)
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot near-dup tagging: new docs whose LSH band buckets
+    collide with the old corpus — catches lightly-edited re-crawls that
+    content hashing misses; old side collapses to a distinct bucket set
+    and the tag is a left-semi join
+    (operators/dedup.py::incremental_near_dedup)."""
+    from intelligent_ocr_spark.operators.dedup import incremental_near_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return incremental_near_dedup(
+        d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
+@_q(
     "web_domain_caps",
     """
     WITH urls AS (
@@ -2830,6 +2884,94 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return near_dup_clusters(minhash_lsh_candidates(d, bands=2))
+
+
+@_q(
+    "pipeline_near_dedup",
+    # FineWeb-style near-dedup end-to-end: MinHash-LSH candidates →
+    # connected components → keep each component's smallest doc id →
+    # per-lang corpus accounting. The recursive CTE replays the whole
+    # chain; cluster_id is the component's min label, so "loser" =
+    # clustered doc whose id isn't the min.
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3 THEN {_SHINGLE_SQL} ELSE [] END)) AS shingle
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::UBIGINT AS h1,
+             ('0x' || substr(md5('~' || shingle), 1, 8))::UBIGINT AS h2
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {', '.join(f"min((h1 + {j} * h2) % 2147483647) AS g{j}" for j in range(8))}
+      FROM hashed GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band,
+             CASE WHEN band = 0 THEN md5(g0 || '|' || g1 || '|' || g2 || '|' || g3)
+                  ELSE md5(g4 || '|' || g5 || '|' || g6 || '|' || g7) END AS bucket
+      FROM sig CROSS JOIN (SELECT unnest([0, 1]) AS band)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), cc AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON c.node = e.src
+    ), losers AS (
+      SELECT node AS doc_id FROM cc GROUP BY node HAVING min(label) <> node
+    ), kept AS (
+      SELECT d.lang, d.n_chars FROM documents d
+      LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL
+    )
+    SELECT t.lang, t.n_total,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_total - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(COALESCE(k.sum_chars_kept, 0) AS BIGINT) AS sum_chars_kept
+    FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+          FROM documents GROUP BY lang) t
+    LEFT JOIN (SELECT lang, count(*) AS n_kept, sum(n_chars) AS sum_chars_kept
+               FROM kept GROUP BY lang) k USING (lang)
+    ORDER BY lang
+    """,
+)
+def q_pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup pipeline end-to-end (the web-corpus shape: candidates
+    never materialize doc pairs beyond band buckets, components go
+    through the log-round star algorithm, and the anti-join keeps each
+    cluster's min-id representative)."""
+    from intelligent_ocr_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        near_dup_clusters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(minhash_lsh_candidates(d, bands=2))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = d.join(losers, "doc_id", "left_anti")
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars_kept"),
+    )
+    return (
+        totals.join(kept_agg, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+            F.coalesce(F.col("sum_chars_kept"), F.lit(0)).alias("sum_chars_kept"),
+        )
+        .orderBy("lang")
+    )
 
 
 @_q(
@@ -3562,16 +3704,19 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 45 names (all
+    # which as of the round-5 final commit is these 47 names (all
     # driver-green in r5's own full `tools_parity.py` sweeps).
-    # NOTE: `dedup_incremental` and `prep_dsir_weights` were REGISTERED
-    # late in round 5 after the cap was already exactly full (changed ∪
+    # NOTE: four queries (`dedup_incremental`, `dedup_incremental_near`,
+    # `prep_dsir_weights`, `pipeline_near_dedup`) were REGISTERED late in
+    # round 5 after the cap was already exactly full (changed ∪
     # skipped-last = 50); per the same slot-yield rationale as the WARC
-    # rows-only entries above they sit in the tail this round — both are
+    # rows-only entries above they sit in the tail this round — all are
     # oracled, pytest-pinned (known-answer/plan pins; DSIR has a full
-    # pure-Python differential), parity-verified in r5's sweep, and
-    # listed below so round 6's driver covers them:
-    #   ['j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
+    # pure-Python differential; incremental-near has an in-corpus-LSH
+    # equivalence property), parity-verified in r5's sweep, and listed
+    # below so round 6's driver covers them:
+    #   ['x11_hash_bucketing', 'j2_resume_antijoin',
+    #    'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
     #    'k3_txt_export', 'u3_union_passthrough', 'u1_intersect_nations',
     #    'a1_lineage_counters', 'q6_forecast_revenue',
     #    'q12_priority_returns', 'q18_large_volume', 'q4_priority_exists',
@@ -3581,16 +3726,16 @@ _SKIPPED_LAST_ROUND = [
     #    'q3_shipping_priority', 'q5_local_supplier_volume',
     #    'url_canonicalize', 'dedup_simhash',
     #    'text_benchmark_contamination', 'sample_stratified_counts',
-    #    'prep_chunk_documents', 'dedup_incremental', 'prep_pii_signals',
+    #    'prep_chunk_documents', 'dedup_incremental',
+    #    'dedup_incremental_near', 'prep_pii_signals',
     #    'text_source_overlap', 'text_source_drift',
     #    'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
-    #    'text_char_entropy', 'mm_decode_bmp', 'sim_ivf_topk',
-    #    'x3_dual_insert_variants', 'prep_dsir_weights',
+    #    'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
+    #    'sim_ivf_topk', 'x3_dual_insert_variants', 'prep_dsir_weights',
     #    'extract_synthetic_pages', 'extract_dual_insert',
     #    'extract_pixmap_pages', 'source_warc_extract',
     #    'warc_revisit_dedup', 'q1_pricing_summary',
-    #    'f1_existing_text_probe', 'f4_confidence_filter',
-    #    'x11_hash_bucketing', 'j2_resume_antijoin']
+    #    'f1_existing_text_probe', 'f4_confidence_filter']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",

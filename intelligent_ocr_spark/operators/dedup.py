@@ -38,6 +38,7 @@ __all__ = [
     "shingles",
     "exact_dup_groups",
     "incremental_exact_dedup",
+    "incremental_near_dedup",
     "minhash_signature",
     "minhash_lsh_candidates",
     "simhash32",
@@ -157,6 +158,27 @@ def minhash_lsh_candidates(
     16-byte hash: uniform, broadcast-unfriendly by design, AQE handles the
     residual skew of giant buckets (boilerplate clusters).
     """
+    long = _band_buckets(df, id_col, text_col, k, bands, shingle_n)
+    a = long.alias("a")
+    b = long.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _band_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, bands: int = 2, shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, band, bucket) rows: the k-signature split into ``bands``
+    md5 band buckets — the shared LSH key layout behind in-corpus
+    candidate pairing and cross-snapshot tagging."""
     rows_per_band = k // bands
     sig_df = minhash_signature(ensure_parallelism(df), id_col, text_col, k, shingle_n)
     band_cols = [
@@ -168,7 +190,7 @@ def minhash_lsh_candidates(
         for b in range(bands)
     ]
     banded = sig_df.select("doc_id", *band_cols)
-    long = banded.select(
+    return banded.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -177,16 +199,51 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = long.alias("a")
-    b = long.alias("b")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-snapshot NEAR-dup tagging — the MinHash twin of
+    :func:`incremental_exact_dedup`: a NEW-snapshot doc is flagged when
+    any of its LSH band buckets already occurs in the OLD corpus (the
+    same collision rule :func:`minhash_lsh_candidates` uses in-corpus,
+    so a doc flags exactly when LSH would have paired it with some old
+    doc). Catches the lightly-edited re-crawls — banner swapped,
+    timestamp bumped — that exact content hashing misses.
+
+    Returns (doc_id, is_near_dup) for every new doc; docs too short to
+    shingle have no buckets and report false.
+
+    Scale shape: the old corpus collapses to its DISTINCT (band,
+    bucket) set — 2 rows per old doc before dedup, a 16-byte uniform
+    key — and the tag is a LEFT SEMI join on that set, so no doc pair
+    and no old-corpus row ever materializes in the output path; AQE
+    absorbs the giant-bucket skew exactly as in the in-corpus join.
+    """
+    old_b = (
+        _band_buckets(old_df, id_col, text_col, k, bands, shingle_n)
+        .select("band", "bucket")
         .distinct()
+    )
+    hits = (
+        _band_buckets(new_df, id_col, text_col, k, bands, shingle_n)
+        .join(old_b, ["band", "bucket"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        new_df.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("_hit"), F.lit(False)).alias("is_near_dup"))
+        .orderBy("doc_id")
     )
 
 

@@ -781,3 +781,62 @@ def test_incremental_exact_dedup_plan_shape(spark):
     assert "partial_min" in plan or "partial min" in plan.lower(), plan
     assert len(re.findall(r"\bJoin\b|\bBroadcastHashJoin\b|\bSortMergeJoin\b", plan)) >= 1
     assert plan.count("LeftOuter") == 1, plan
+
+
+def test_incremental_near_dedup_known_answers(spark):
+    """Near-dup tagging vs the old corpus: identical and lightly-edited
+    re-crawls flag (band collision), unrelated and too-short docs don't."""
+    from intelligent_ocr_spark.operators.dedup import incremental_near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    old = spark.createDataFrame(
+        [(10, base), (11, "completely different text about query engines and shuffles here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (20, base),  # identical re-crawl
+            # light edit: the module fixture's 0.83-jaccard pair, known to
+            # share 7/8 KM minhashes -> the untouched band still collides
+            (21, base.replace("bank", "delta")),
+            (22, "entirely fresh subject matter with no overlap whatsoever in vocabulary terms"),
+            (23, "short"),  # too short to shingle -> false
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["is_near_dup"] for r in incremental_near_dedup(new, old).collect()}
+    assert got == {20: True, 21: True, 22: False, 23: False}
+
+
+def test_incremental_near_dedup_matches_in_corpus_lsh(spark):
+    """Consistency with the in-corpus rule: a new doc flags exactly when
+    minhash_lsh_candidates over old ∪ new yields a (new, old) pair."""
+    from intelligent_ocr_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_lsh_candidates,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(30):
+        ws = words[i % 7 :] + words[: i % 7] + [f"tail{i % 5}", f"end{i % 3}"]
+        rows.append((i, " ".join(ws)))
+    old_rows = [(i, t) for i, t in rows if i % 2 == 0]
+    new_rows = [(i + 1000, t) for i, t in rows if i % 2 == 1]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    got = {r["doc_id"]: r["is_near_dup"] for r in incremental_near_dedup(new, old).collect()}
+
+    both = old.unionByName(new)
+    pairs = minhash_lsh_candidates(both).collect()
+    old_ids = {i for i, _ in old_rows}
+    flagged = set()
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        if a in old_ids and b >= 1000:
+            flagged.add(b)
+        if b in old_ids and a >= 1000:
+            flagged.add(a)
+    want = {i: (i in flagged) for i, _ in new_rows}
+    assert got == want
