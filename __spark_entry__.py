@@ -3049,6 +3049,68 @@ def q_mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_decode_png_gif",
+    """
+    SELECT doc_id,
+           CAST(12 + (doc_id * 3) % 50 AS INT) AS width,
+           CAST(12 + (doc_id * 11) % 50 AS INT) AS height,
+           (doc_id % 3 = 0) AS is_blank
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def q_mm_decode_png_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, oracle-checked (the PNG/GIF twin of
+    ``mm_decode_bmp``): even docs get a zlib-deflated PNG cycling all
+    five scanline filters, odd docs an LZW-compressed GIF (interlaced on
+    ``doc_id % 2 == 1 and doc_id % 4 == 3``); dims are a closed form of
+    doc_id and every third doc is uniform ⇒ blank. ``decode_image_stats``
+    must RECOVER dims and blank flags by actually inflating and
+    unfiltering / LZW-expanding the bytes — the oracle restates the
+    generator's closed form, so any filter, palette, bit-packing or
+    interlace defect breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_gif,
+        encode_png,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 12 + (i * 3) % 50
+                h = 12 + (i * 11) % 50
+                rng = np.random.default_rng(i)
+                if i % 3 == 0:
+                    arr = np.full((h, w, 3), 200, dtype=np.uint8)  # uniform
+                elif i % 2 == 0:
+                    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                else:
+                    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+                    arr = pal[rng.integers(0, 16, size=(h, w), dtype=np.uint8)]
+                media = (
+                    encode_png(arr)
+                    if i % 2 == 0
+                    else encode_gif(arr, interlace=(i % 4 == 3))
+                )
+                out.append({"doc_id": i, "media": media})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return (
+        decode_image_stats(media)
+        .select("doc_id", "width", "height", "is_blank")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "pipeline_training_prep",
     """
     WITH dedup AS (
@@ -3704,22 +3766,24 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 47 names (all
+    # which as of the round-5 final commit is these 48 names (all
     # driver-green in r5's own full `tools_parity.py` sweeps).
-    # NOTE: four queries (`dedup_incremental`, `dedup_incremental_near`,
-    # `prep_dsir_weights`, `pipeline_near_dedup`) were REGISTERED late in
-    # round 5 after the cap was already exactly full (changed ∪
-    # skipped-last = 50); per the same slot-yield rationale as the WARC
-    # rows-only entries above they sit in the tail this round — all are
-    # oracled, pytest-pinned (known-answer/plan pins; DSIR has a full
-    # pure-Python differential; incremental-near has an in-corpus-LSH
-    # equivalence property), parity-verified in r5's sweep, and listed
-    # below so round 6's driver covers them:
-    #   ['x11_hash_bucketing', 'j2_resume_antijoin',
-    #    'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
-    #    'k3_txt_export', 'u3_union_passthrough', 'u1_intersect_nations',
-    #    'a1_lineage_counters', 'q6_forecast_revenue',
-    #    'q12_priority_returns', 'q18_large_volume', 'q4_priority_exists',
+    # NOTE: five queries (`dedup_incremental`, `dedup_incremental_near`,
+    # `prep_dsir_weights`, `pipeline_near_dedup`, `mm_decode_png_gif`)
+    # were REGISTERED late in round 5 after the cap was already exactly
+    # full (changed ∪ skipped-last = 50); per the same slot-yield
+    # rationale as the WARC rows-only entries above they sit in the tail
+    # this round — all are oracled, pytest-pinned (known-answer/plan
+    # pins; DSIR has a full pure-Python differential; incremental-near
+    # has an in-corpus-LSH equivalence property; png/gif has 19
+    # known-answer codec tests), parity-verified in r5's sweep, and
+    # listed below so round 6's driver covers them:
+    #   ['f4_confidence_filter', 'x11_hash_bucketing',
+    #    'j2_resume_antijoin', 'j3_fallback_coalesce', 'w1_order_repair',
+    #    'w3_topk_per_group', 'k3_txt_export', 'u3_union_passthrough',
+    #    'u1_intersect_nations', 'a1_lineage_counters',
+    #    'q6_forecast_revenue', 'q12_priority_returns',
+    #    'q18_large_volume', 'q4_priority_exists',
     #    'q13_customer_distribution', 'q16_distinct_suppliers',
     #    'q19_disjunctive_predicates', 'q17_small_quantity_revenue',
     #    'q21_sole_returning_supplier', 'q22_above_avg_balance',
@@ -3731,11 +3795,11 @@ _SKIPPED_LAST_ROUND = [
     #    'text_source_overlap', 'text_source_drift',
     #    'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
     #    'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
-    #    'sim_ivf_topk', 'x3_dual_insert_variants', 'prep_dsir_weights',
-    #    'extract_synthetic_pages', 'extract_dual_insert',
-    #    'extract_pixmap_pages', 'source_warc_extract',
-    #    'warc_revisit_dedup', 'q1_pricing_summary',
-    #    'f1_existing_text_probe', 'f4_confidence_filter']
+    #    'mm_decode_png_gif', 'sim_ivf_topk', 'x3_dual_insert_variants',
+    #    'prep_dsir_weights', 'extract_synthetic_pages',
+    #    'extract_dual_insert', 'extract_pixmap_pages',
+    #    'source_warc_extract', 'warc_revisit_dedup',
+    #    'q1_pricing_summary', 'f1_existing_text_probe']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",

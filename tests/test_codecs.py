@@ -1,0 +1,251 @@
+# -*- coding: utf-8 -*-
+"""PNG and GIF real-decode tier (operators/multimodal.py).
+
+Round-trips against the encoder twins exercise every PNG filter type and
+the GIF LZW table dynamics, but a symmetric misunderstanding of a spec
+would cancel out in a round-trip — so the decoders are additionally
+pinned by HAND-ASSEMBLED byte vectors computed straight from RFC 2083
+(PNG filters, chunk layout) and GIF89a appendix F (LZW packing), plus
+reject tests for the flavors the decoders honestly do not support.
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from intelligent_ocr_spark.operators.multimodal import (
+    decode_gif,
+    decode_image_stats,
+    decode_png,
+    encode_gif,
+    encode_png,
+)
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _png(w, h, depth, ctype, raw_scanlines: bytes, extra=b"", interlace=0) -> bytes:
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([depth, ctype, 0, 0, interlace])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(raw_scanlines))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PNG round-trips (encoder twin)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filt", [None, 0, 1, 2, 3, 4, [4, 3, 2, 1, 0]])
+def test_png_roundtrip_every_filter(filt):
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (2, 2), (7, 5), (33, 17)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        dec = decode_png(encode_png(arr, filt))
+        assert dec is not None
+        out, ow, oh, oc = dec
+        assert (ow, oh, oc) == (w, h, 3)
+        assert np.array_equal(out, arr)
+
+
+def test_png_roundtrip_gradient_stresses_predictors():
+    # smooth gradients are where Sub/Average/Paeth predictions are
+    # non-trivial (near-zero residuals); exact recovery pins the inverse
+    g = (np.arange(48 * 48 * 3, dtype=np.uint32).reshape(48, 48, 3) % 256).astype(
+        np.uint8
+    )
+    for filt in (1, 3, 4):
+        out = decode_png(encode_png(g, filt))
+        assert out is not None and np.array_equal(out[0], g)
+
+
+# ---------------------------------------------------------------------------
+# PNG hand-assembled known answers (decoder alone, no twin)
+# ---------------------------------------------------------------------------
+
+
+def test_png_hand_vector_up_filter_rgb():
+    # 2x2 RGB. Row 0 filter 0 (raw), row 1 filter 2 (Up):
+    # Recon(row1) = Filt(row1) + Recon(row0) per RFC 2083 §6.4, computed
+    # by hand below.
+    row0 = bytes([0, 10, 20, 30, 40, 50, 60])
+    row1 = bytes([2, 1, 2, 3, 4, 5, 6])  # filtered bytes
+    payload = _png(2, 2, 8, 2, row0 + row1)
+    dec = decode_png(payload)
+    assert dec is not None
+    out = dec[0]
+    expect = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[11, 22, 33], [44, 55, 66]]], dtype=np.uint8
+    )
+    assert np.array_equal(out, expect)
+
+
+def test_png_hand_vector_sub_filter_wraps_mod_256():
+    # 1x3 RGB, filter 1 (Sub): Recon(x) = Filt(x) + Recon(x-3) mod 256.
+    # 250 + 10 = 260 → 4: the modular wrap is the part a naive cumsum gets
+    # wrong.
+    row = bytes([1, 250, 0, 0, 10, 1, 1, 10, 1, 1])
+    dec = decode_png(_png(3, 1, 8, 2, row))
+    assert dec is not None
+    expect = np.array([[[250, 0, 0], [4, 1, 1], [14, 2, 2]]], dtype=np.uint8)
+    assert np.array_equal(dec[0], expect)
+
+
+def test_png_hand_vector_gray_and_palette_and_alpha():
+    # ctype 0 gray 8-bit, one 2-px row, raw filter
+    dec = decode_png(_png(2, 1, 8, 0, bytes([0, 7, 200])))
+    assert dec is not None
+    assert np.array_equal(
+        dec[0], np.array([[[7, 7, 7], [200, 200, 200]]], dtype=np.uint8)
+    )
+    # ctype 3 palette: PLTE maps 0→red, 1→blue
+    plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
+    dec = decode_png(_png(2, 1, 8, 3, bytes([0, 1, 0]), extra=plte))
+    assert dec is not None
+    assert np.array_equal(
+        dec[0], np.array([[[0, 0, 255], [255, 0, 0]]], dtype=np.uint8)
+    )
+    # ctype 6 RGBA: alpha dropped, not composited
+    dec = decode_png(_png(1, 1, 8, 6, bytes([0, 9, 8, 7, 128])))
+    assert dec is not None
+    assert np.array_equal(dec[0], np.array([[[9, 8, 7]]], dtype=np.uint8))
+
+
+def test_png_unsupported_flavors_return_none():
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_png(arr)
+    assert decode_png(good) is not None
+    # 16-bit depth
+    assert decode_png(_png(1, 1, 16, 2, bytes([0] + [0] * 6))) is None
+    # Adam7 interlace
+    assert decode_png(_png(1, 1, 8, 2, bytes([0, 1, 2, 3]), interlace=1)) is None
+    # truncated IDAT (inflate fails or wrong length)
+    assert decode_png(good[:-20]) is None
+    # palette index out of range
+    plte = _chunk(b"PLTE", bytes([1, 2, 3]))
+    assert decode_png(_png(1, 1, 8, 3, bytes([0, 5]), extra=plte)) is None
+    # bad filter type byte
+    assert decode_png(_png(1, 1, 8, 2, bytes([9, 1, 2, 3]))) is None
+
+
+# ---------------------------------------------------------------------------
+# GIF round-trips (encoder twin)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip(interlace):
+    rng = np.random.default_rng(5)
+    for h, w, ncol in [(1, 1, 1), (3, 2, 2), (8, 8, 4), (16, 16, 256), (23, 11, 17)]:
+        pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+        arr = pal[rng.integers(0, ncol, size=(h, w), dtype=np.uint8)]
+        dec = decode_gif(encode_gif(arr, interlace=interlace))
+        assert dec is not None
+        out, ow, oh, oc = dec
+        assert (ow, oh, oc) == (w, h, 3)
+        assert np.array_equal(out, arr)
+
+
+def test_gif_lzw_table_growth_width_bumps_and_clear():
+    # 120x120 quasi-random 251-color image: the LZW dictionary grows
+    # through every width bump 9→12 and wraps past 4096 (encoder emits
+    # CLEAR mid-stream), so the decoder's table dynamics — including the
+    # KwKwK case — are all exercised on one fixture.
+    rng = np.random.default_rng(3)
+    idx = (np.arange(120 * 120) * 7919 // 13 % 251).astype(np.uint8).reshape(120, 120)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    arr = pal[idx]
+    dec = decode_gif(encode_gif(arr))
+    assert dec is not None and np.array_equal(dec[0], arr)
+
+
+# ---------------------------------------------------------------------------
+# GIF hand-assembled known answer
+# ---------------------------------------------------------------------------
+
+
+def test_gif_hand_vector_lzw_packing():
+    # 3x1 two-color image, pixels [1, 1, 0]. min_code=2 → CLEAR=4 EOI=5,
+    # width 3. Literal-only stream (decoder builds entries itself):
+    # codes 4,1,1,0,5 packed LSB-first = 0b101_000_001_001_100 =
+    # 0x504C → bytes 4C 50 (appendix F packing order).
+    pal = bytes([0, 0, 0, 255, 255, 255]) + bytes(6)  # size-4 table, 2 used
+    payload = (
+        b"GIF87a"
+        + (3).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + bytes([0x81, 0, 0])  # GCT flag, size bits 1 → 4 entries
+        + pal
+        + b"\x2c"
+        + bytes(4)
+        + (3).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + bytes([0x00, 2])  # not interlaced, min code size 2
+        + bytes([2, 0x4C, 0x50, 0])  # one 2-byte sub-block, terminator
+        + b"\x3b"
+    )
+    dec = decode_gif(payload)
+    assert dec is not None
+    out, w, h, c = dec
+    assert (w, h, c) == (3, 1, 3)
+    expect = np.array([[[255, 255, 255], [255, 255, 255], [0, 0, 0]]], dtype=np.uint8)
+    assert np.array_equal(out, expect)
+
+
+def test_gif_rejects_garbage_and_truncation():
+    assert decode_gif(b"GIF87a") is None
+    assert decode_gif(b"notagif") is None
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_gif(arr)
+    assert decode_gif(good) is not None
+    assert decode_gif(good[: len(good) // 2]) is None
+
+
+def test_encode_gif_rejects_truecolor():
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_gif(arr)
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: the stats operator recovers REAL dims from PNG/GIF
+# ---------------------------------------------------------------------------
+
+
+def test_decode_image_stats_reads_png_and_gif(spark):
+    rng = np.random.default_rng(2)
+    png_arr = rng.integers(0, 256, size=(19, 31, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    gif_arr = pal[rng.integers(0, 8, size=(13, 27), dtype=np.uint8)]
+    blank_png = np.full((10, 10, 3), 42, dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(png_arr))),
+        (2, bytearray(encode_gif(gif_arr, interlace=True))),
+        (3, bytearray(encode_png(blank_png))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {
+        r["doc_id"]: r
+        for r in decode_image_stats(df).collect()
+    }
+    assert (got[1]["width"], got[1]["height"]) == (31, 19)
+    assert (got[2]["width"], got[2]["height"]) == (27, 13)
+    assert got[3]["is_blank"] is True
+    assert got[1]["channels"] == got[2]["channels"] == 3
