@@ -3111,6 +3111,67 @@ def q_mm_decode_png_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_decode_jpeg",
+    """
+    SELECT doc_id,
+           CAST(12 + (doc_id * 5) % 40 AS INT) AS width,
+           CAST(12 + (doc_id * 7) % 40 AS INT) AS height,
+           (doc_id % 3 = 0) AS is_blank
+    FROM documents WHERE doc_id < 150 ORDER BY doc_id
+    """,
+)
+def q_mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, oracle-checked (the JPEG sibling of
+    ``mm_decode_png_gif``): every doc gets an entropy-coded JFIF payload
+    — uniform (⇒ blank) on ``doc_id % 3 == 0``, otherwise a neutral
+    luminance gradient — cycling sampling mode (4:4:4 / 4:2:0 / 4:2:2 by
+    ``doc_id % 3``), grayscale single-component on ``doc_id % 5 == 1``,
+    restart markers on ``doc_id % 7 == 2``. Dims are a closed form of
+    doc_id, so ``decode_image_stats`` must actually Huffman-expand,
+    dequantize and IDCT the scan to recover them; any marker-walk,
+    canonical-code, EXTEND or MCU-layout defect breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_jpeg,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 12 + (i * 5) % 40
+                h = 12 + (i * 7) % 40
+                if i % 3 == 0:
+                    arr = np.full((h, w, 3), 40 + i % 160, dtype=np.uint8)
+                else:
+                    g = np.linspace(i % 50, 200 + i % 55, h * w)
+                    g = g.reshape(h, w).astype(np.uint8)
+                    arr = np.repeat(g[:, :, None], 3, axis=2)
+                mode = [False, True, "422"][i % 3]
+                media = encode_jpeg(
+                    arr,
+                    subsample=mode,
+                    gray=(i % 5 == 1),
+                    restart_interval=3 if i % 7 == 2 else 0,
+                )
+                out.append({"doc_id": i, "media": media})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return (
+        decode_image_stats(media)
+        .select("doc_id", "width", "height", "is_blank")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "pipeline_training_prep",
     """
     WITH dedup AS (
@@ -3766,24 +3827,24 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 48 names (all
+    # which as of the round-5 final commit is these 49 names (all
     # driver-green in r5's own full `tools_parity.py` sweeps).
-    # NOTE: five queries (`dedup_incremental`, `dedup_incremental_near`,
-    # `prep_dsir_weights`, `pipeline_near_dedup`, `mm_decode_png_gif`)
-    # were REGISTERED late in round 5 after the cap was already exactly
-    # full (changed ∪ skipped-last = 50); per the same slot-yield
-    # rationale as the WARC rows-only entries above they sit in the tail
-    # this round — all are oracled, pytest-pinned (known-answer/plan
-    # pins; DSIR has a full pure-Python differential; incremental-near
-    # has an in-corpus-LSH equivalence property; png/gif has 19
-    # known-answer codec tests), parity-verified in r5's sweep, and
-    # listed below so round 6's driver covers them:
-    #   ['f4_confidence_filter', 'x11_hash_bucketing',
-    #    'j2_resume_antijoin', 'j3_fallback_coalesce', 'w1_order_repair',
-    #    'w3_topk_per_group', 'k3_txt_export', 'u3_union_passthrough',
-    #    'u1_intersect_nations', 'a1_lineage_counters',
-    #    'q6_forecast_revenue', 'q12_priority_returns',
-    #    'q18_large_volume', 'q4_priority_exists',
+    # NOTE: six queries (`dedup_incremental`, `dedup_incremental_near`,
+    # `prep_dsir_weights`, `pipeline_near_dedup`, `mm_decode_png_gif`,
+    # `mm_decode_jpeg`) were REGISTERED late in round 5 after the cap
+    # was already exactly full (changed ∪ skipped-last = 50); per the
+    # same slot-yield rationale as the WARC rows-only entries above they
+    # sit in the tail this round — all are oracled, pytest-pinned
+    # (known-answer/plan pins; DSIR has a full pure-Python differential;
+    # incremental-near has an in-corpus-LSH equivalence property;
+    # png/gif/jpeg have 32 known-answer codec tests), parity-verified in
+    # r5's sweep, and listed below so round 6's driver covers them:
+    #   ['f1_existing_text_probe', 'f4_confidence_filter',
+    #    'x11_hash_bucketing', 'j2_resume_antijoin',
+    #    'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
+    #    'k3_txt_export', 'u3_union_passthrough', 'u1_intersect_nations',
+    #    'a1_lineage_counters', 'q6_forecast_revenue',
+    #    'q12_priority_returns', 'q18_large_volume', 'q4_priority_exists',
     #    'q13_customer_distribution', 'q16_distinct_suppliers',
     #    'q19_disjunctive_predicates', 'q17_small_quantity_revenue',
     #    'q21_sole_returning_supplier', 'q22_above_avg_balance',
@@ -3795,11 +3856,11 @@ _SKIPPED_LAST_ROUND = [
     #    'text_source_overlap', 'text_source_drift',
     #    'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
     #    'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
-    #    'mm_decode_png_gif', 'sim_ivf_topk', 'x3_dual_insert_variants',
-    #    'prep_dsir_weights', 'extract_synthetic_pages',
-    #    'extract_dual_insert', 'extract_pixmap_pages',
-    #    'source_warc_extract', 'warc_revisit_dedup',
-    #    'q1_pricing_summary', 'f1_existing_text_probe']
+    #    'mm_decode_png_gif', 'mm_decode_jpeg', 'sim_ivf_topk',
+    #    'x3_dual_insert_variants', 'prep_dsir_weights',
+    #    'extract_synthetic_pages', 'extract_dual_insert',
+    #    'extract_pixmap_pages', 'source_warc_extract',
+    #    'warc_revisit_dedup', 'q1_pricing_summary']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",

@@ -6,11 +6,13 @@ signatures) is real and tested. The codec layer is three-tier:
 PIL when importable (not in this container), a REAL in-container decoder
 for BMP (24-bit uncompressed), PPM/PGM, **PNG** (stdlib-zlib inflate +
 numpy scanline unfiltering, all five filter types, color types
-0/2/3/4/6) and **GIF** (pure-Python LZW, interlace, local/global color
-tables) — each spec-faithful, round-trip tested against its encoder
-twin plus hand-computed known-answer byte vectors — and a deterministic
-fake for anything else so every downstream stage still runs real numpy
-on real shapes. Only JPEG/video remain the environment-bound seam.
+0/2/3/4/6), **GIF** (pure-Python LZW, interlace, local/global color
+tables) and **baseline JPEG** (canonical Huffman from DHT, matrix IDCT,
+4:2:0/4:2:2/4:4:4, restart markers, grayscale) — each spec-faithful,
+round-trip tested against its encoder twin plus hand-computed
+known-answer byte vectors — and a deterministic fake for anything else
+so every downstream stage still runs real numpy on real shapes. Only
+video/progressive-JPEG remain the environment-bound seam.
 
 Pattern mirrors the extraction engine: decode + feature-extract fused into
 ONE ``mapInPandas`` stage, module-level singleton for any heavyweight codec
@@ -43,9 +45,11 @@ __all__ = [
     "decode_ppm",
     "decode_png",
     "decode_gif",
+    "decode_jpeg",
     "encode_bmp",
     "encode_png",
     "encode_gif",
+    "encode_jpeg",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -585,13 +589,485 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     return header + img + b"\x3b"
 
 
+# JFIF zigzag scan order: index i of the zigzag stream → (row, col)
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II basis M: forward DCT = M·b·Mᵀ, inverse =
+    Mᵀ·B·M. Matrix form keeps both transforms as two numpy matmuls."""
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huff_canonical(bits: list[int], vals: bytes) -> dict:
+    """DHT payload → {(length, code): symbol} via the canonical code
+    assignment of ITU-T T.81 Annex C (codes count up within a length,
+    shift left when the length grows)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment that has
+    already had its 0xFF00 byte stuffing removed."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("bitstream exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: low-order ``size`` bits → signed value."""
+    if size and v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v
+
+
+def decode_jpeg(payload: bytes):
+    """Real baseline JPEG decode with no image library: marker walk,
+    canonical Huffman tables read from DHT, run-length/EOB AC expansion,
+    dequantize, un-zigzag, matrix IDCT, chroma upsampling, JFIF
+    YCbCr→RGB. Supports baseline DCT (SOF0), 8-bit, 1 or 3 components,
+    sampling factors 1-2 (4:4:4, 4:2:0, 4:2:2), restart markers.
+    Returns (arr, w, h, 3) or None for progressive/12-bit/arithmetic
+    flavors or undecodable bytes.
+
+    Per-bit Huffman walking is Python-speed — right for the fixture and
+    metadata-stat sizes this tier serves; the surrounding Spark plumbing
+    is identical whether this or a native codec sits behind the seam.
+    """
+    if payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        pos = 2
+        qt: dict[int, np.ndarray] = {}
+        huff_dc: dict[int, dict] = {}
+        huff_ac: dict[int, dict] = {}
+        frame = None
+        restart_interval = 0
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            ln = int.from_bytes(payload[pos : pos + 2], "big")
+            seg = payload[pos + 2 : pos + ln]
+            if marker == 0xDB:  # DQT
+                s = 0
+                while s < len(seg):
+                    pq, tq = seg[s] >> 4, seg[s] & 0x0F
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline-8
+                    qt[tq] = np.frombuffer(
+                        seg[s + 1 : s + 65], dtype=np.uint8
+                    ).astype(np.int32)
+                    s += 65
+            elif marker == 0xC0:  # SOF0 baseline
+                prec = seg[0]
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if prec != 8 or nc not in (1, 3) or not w or not h:
+                    return None
+                comps = []
+                for i in range(nc):
+                    cid, sf, tq = seg[6 + 3 * i : 9 + 3 * i]
+                    comps.append({"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq})
+                frame = (w, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                return None  # non-baseline frame types
+            elif marker == 0xC4:  # DHT
+                s = 0
+                while s < len(seg):
+                    tc, th = seg[s] >> 4, seg[s] & 0x0F
+                    bits = list(seg[s + 1 : s + 17])
+                    nv = sum(bits)
+                    vals = seg[s + 17 : s + 17 + nv]
+                    (huff_dc if tc == 0 else huff_ac)[th] = _huff_canonical(bits, vals)
+                    s += 17 + nv
+            elif marker == 0xDD:  # DRI
+                restart_interval = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS: entropy-coded data follows
+                if frame is None:
+                    return None
+                ns = seg[0]
+                scan = []
+                for i in range(ns):
+                    cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                    scan.append((cs, tables >> 4, tables & 0x0F))
+                data_start = pos + ln
+                return _jpeg_scan(
+                    payload, data_start, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            pos += ln
+        return None
+    except (ValueError, IndexError, KeyError):
+        return None
+
+
+def _jpeg_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    """Decode the (single, interleaved) scan: split the entropy stream on
+    restart markers, Huffman-expand each MCU, assemble component planes,
+    upsample and color-convert."""
+    w, h, comps = frame
+    if len(scan) != len(comps):
+        return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # Entropy segments: stuffed 0xFF00 collapses to 0xFF; RSTn splits.
+    segments = []
+    cur = bytearray()
+    while pos + 1 < len(payload):
+        b0 = payload[pos]
+        if b0 != 0xFF:
+            cur.append(b0)
+            pos += 1
+            continue
+        b1 = payload[pos + 1]
+        if b1 == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= b1 <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # EOI or any other marker ends the scan
+            break
+    segments.append(bytes(cur))
+
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+    n_mcus = mcux * mcuy
+    per_seg = restart_interval or n_mcus
+    mcu = 0
+    for seg_bytes in segments:
+        if mcu >= n_mcus:
+            break
+        reader = _BitReader(seg_bytes)
+        pred = [0] * len(comps)
+        for _ in range(min(per_seg, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for ci, c in enumerate(comps):
+                sc = scan[ci]
+                dct = huff_dc.get(sc[1])
+                act = huff_ac.get(sc[2])
+                quant = qt.get(c["tq"])
+                if dct is None or act is None or quant is None:
+                    return None
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int64)
+                        size = reader.huff(dct)
+                        pred[ci] += _extend(reader.bits(size), size)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(act)
+                            run, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                return None
+                            coef[k] = _extend(reader.bits(sz), sz)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = coef * quant  # both zigzag-ordered
+                        pix = _DCT_M.T @ block.reshape(8, 8) @ _DCT_M
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu += 1
+    if mcu != n_mcus:
+        return None
+
+    full = []
+    for ci, c in enumerate(comps):
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        p = planes[ci][:ch, :cw] + 128.0
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2), w, h, 3
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    arr = np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    return arr, w, h, 3
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+
+
+def _jpeg_blocks(plane: np.ndarray, quant: np.ndarray):
+    """Level-shift, forward-DCT and quantize every 8×8 block of an
+    edge-padded plane; yields zigzag coefficient vectors row-major."""
+    h, w = plane.shape
+    shifted = plane.astype(np.float64) - 128.0
+    for y0 in range(0, h, 8):
+        for x0 in range(0, w, 8):
+            blk = _DCT_M @ shifted[y0 : y0 + 8, x0 : x0 + 8] @ _DCT_M.T
+            # reshape(64) is row-major; zigzag stream position i carries
+            # flat element _ZIGZAG[i]
+            yield np.rint(blk.reshape(64) / quant).astype(np.int64)[_ZIGZAG]
+
+
+def _coef_symbols(zz: np.ndarray):
+    """Zigzag coefficients → (dc_size, dc_bits), [(rs, sz, bits), ...]
+    per T.81 F.1.2 run-length coding. DC here is the raw value; the
+    caller differences it."""
+    out = []
+    k = 1
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    while k <= last:
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            k += 1
+            continue
+        while run > 15:
+            out.append((0xF0, 0, 0))
+            run -= 16
+        size = int(abs(v)).bit_length()
+        bits = v if v >= 0 else v + (1 << size) - 1
+        out.append(((run << 4) | size, size, bits))
+        run = 0
+        k += 1
+    if last < 63:
+        out.append((0x00, 0, 0))  # EOB
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray, subsample: bool = False, quant: int = 1,
+    restart_interval: int = 0, gray: bool = False,
+) -> bytes:
+    """Deterministic baseline JPEG writer (fixture twin of
+    :func:`decode_jpeg`): JFIF YCbCr (or single-component grayscale with
+    ``gray``), flat quantization table (``quant=1`` ⇒ near-lossless —
+    uniform blocks round-trip exactly), optional 4:2:0 (``subsample``)
+    via 2×2 chroma mean, optional restart markers. Huffman tables are
+    built from the symbols actually emitted (single shared DC + AC
+    table, all codes at one canonical length), so coverage is guaranteed
+    without the Annex K tables; the decoder reads whatever DHT says, as
+    with any other encoder. ``subsample`` accepts False (4:4:4), True or
+    ``"420"`` (4:2:0), and ``"422"`` (horizontal-only)."""
+    h, w, _ = arr.shape
+    if gray:
+        shf = svf = 1
+    elif subsample == "422":
+        shf, svf = 2, 1
+    elif subsample:
+        shf = svf = 2
+    else:
+        shf = svf = 1
+    mw, mh = 8 * shf, 8 * svf
+    pw, ph = -(-w // mw) * mw, -(-h // mh) * mh
+    a = arr.astype(np.float64)
+    pad = np.pad(a, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    r, g, b = pad[:, :, 0], pad[:, :, 1], pad[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    qtab = np.full(64, max(1, min(255, quant)), dtype=np.int64)
+    mcux, mcuy = pw // mw, ph // mh
+    y_blocks = list(_jpeg_blocks(y, qtab))
+    if not gray:
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if shf > 1 or svf > 1:
+            cb = cb.reshape(ph // svf, svf, pw // shf, shf).mean(axis=(1, 3))
+            cr = cr.reshape(ph // svf, svf, pw // shf, shf).mean(axis=(1, 3))
+        cb_blocks = list(_jpeg_blocks(cb, qtab))
+        cr_blocks = list(_jpeg_blocks(cr, qtab))
+    ybx = pw // 8
+
+    # Interleaved MCU stream of zigzag blocks: Y (shf×svf blocks), Cb, Cr.
+    def mcu_stream():
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            units = []
+            for by in range(svf):
+                for bx in range(shf):
+                    units.append((0, y_blocks[(my * svf + by) * ybx + mx * shf + bx]))
+            if not gray:
+                units.append((1, cb_blocks[my * mcux + mx]))
+                units.append((2, cr_blocks[my * mcux + mx]))
+            yield units
+
+    # Pass 1: symbol census for the canonical fixed-length tables.
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    pred = [0, 0, 0]
+    mcu_units = list(mcu_stream())
+    coded = []  # per MCU: list of (dc_size, dc_bits, ac_list)
+    n_mcus = len(mcu_units)
+    per_seg = restart_interval or n_mcus
+    for m, units in enumerate(mcu_units):
+        if m % per_seg == 0:
+            pred = [0, 0, 0]
+        cu = []
+        for ci, zz in units:
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            size = abs(diff).bit_length()
+            bits = diff if diff >= 0 else diff + (1 << size) - 1
+            ac = _coef_symbols(zz)
+            dc_syms.add(size)
+            ac_syms.update(s for s, _, _ in ac)
+            cu.append((size, bits, ac))
+        coded.append(cu)
+
+    def fixed_table(syms: set[int], length: int):
+        vals = sorted(syms)
+        if len(vals) >= (1 << length):
+            raise ValueError("symbol set too large for fixed-length table")
+        bits = [0] * 16
+        bits[length - 1] = len(vals)
+        codes = {v: (length, i) for i, v in enumerate(vals)}
+        return bits, bytes(vals), codes
+
+    dc_bits, dc_vals, dc_codes = fixed_table(dc_syms, 6)
+    ac_bits, ac_vals, ac_codes = fixed_table(ac_syms, 9)
+
+    wtr = _BitWriter()
+    body = bytearray()
+    for m, cu in enumerate(coded):
+        if m and m % per_seg == 0:
+            wtr.flush()
+            body += wtr.out
+            body += b"\xff" + bytes([0xD0 + ((m // per_seg - 1) % 8)])
+            wtr = _BitWriter()
+        for size, bits, ac in cu:
+            ln, code = dc_codes[size]
+            wtr.write(code, ln)
+            if size:
+                wtr.write(bits, size)
+            for sym, sz, vb in ac:
+                ln, code = ac_codes[sym]
+                wtr.write(code, ln)
+                if sz:
+                    wtr.write(vb, sz)
+    wtr.flush()
+    body += wtr.out
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return b"\xff" + bytes([marker]) + (len(data) + 2).to_bytes(2, "big") + data
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + qtab.astype(np.uint8).tobytes())
+    nc = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    sof += bytes([1, (shf << 4) | svf, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 0, 3, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([nc, 1, 0x00]) + (b"" if gray else bytes([2, 0x00, 3, 0x00]))
+    out += seg(0xDA, sos + bytes([0, 63, 0]))
+    out += bytes(body) + b"\xff\xd9"
+    return out
+
+
 def _decode_uncompressed(payload: bytes):
-    """The real in-container codec tier: BMP, netpbm, PNG, GIF."""
+    """The real in-container codec tier: BMP, netpbm, PNG, GIF, JPEG."""
     return (
         decode_bmp(payload)
         or decode_ppm(payload)
         or decode_png(payload)
         or decode_gif(payload)
+        or decode_jpeg(payload)
     )
 
 

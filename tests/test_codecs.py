@@ -249,3 +249,149 @@ def test_decode_image_stats_reads_png_and_gif(spark):
     assert (got[2]["width"], got[2]["height"]) == (27, 13)
     assert got[3]["is_blank"] is True
     assert got[1]["channels"] == got[2]["channels"] == 3
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT) round-trips and hand vectors
+# ---------------------------------------------------------------------------
+
+from intelligent_ocr_spark.operators.multimodal import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_jpeg_uniform_roundtrip_exact():
+    # Uniform blocks are DC-only: with a flat quant=1 table the DC
+    # coefficient 8*(v-128) is integer-exact, so reconstruction is exact.
+    for h, w in [(8, 8), (24, 40), (13, 21)]:
+        arr = np.full((h, w, 3), 200, dtype=np.uint8)
+        dec, gw, gh, c = decode_jpeg(encode_jpeg(arr))
+        assert (gw, gh, c) == (w, h, 3)
+        assert np.array_equal(dec, arr)
+
+
+def test_jpeg_random_444_tight_roundtrip():
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(30, 50, 3), dtype=np.uint8)
+    dec, w, h, _ = decode_jpeg(encode_jpeg(arr))
+    assert (w, h) == (50, 30)
+    # only float DCT + YCbCr rounding; noise survives within +-3
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 3
+
+
+@pytest.mark.parametrize("mode", [False, True, "422"])
+def test_jpeg_neutral_gradient_all_samplings(mode):
+    # Color-neutral content has uniform chroma, so even 4:2:0/4:2:2
+    # chroma decimation is lossless and the luma gradient must survive.
+    g = np.linspace(0, 255, 30 * 50).reshape(30, 50).astype(np.uint8)
+    arr = np.repeat(g[:, :, None], 3, axis=2)
+    dec, w, h, _ = decode_jpeg(encode_jpeg(arr, subsample=mode))
+    assert (w, h) == (50, 30)
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 2
+
+
+def test_jpeg_grayscale_single_component():
+    g = np.linspace(10, 250, 17 * 29).reshape(17, 29).astype(np.uint8)
+    arr = np.repeat(g[:, :, None], 3, axis=2)
+    payload = encode_jpeg(arr, gray=True)
+    # SOF0 declares exactly one component
+    sof = payload.index(b"\xff\xc0")
+    assert payload[sof + 9] == 1
+    dec, w, h, c = decode_jpeg(payload)
+    assert (w, h, c) == (29, 17, 3)
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 1
+
+
+def test_jpeg_restart_markers_roundtrip():
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8)
+    payload = encode_jpeg(arr, restart_interval=3)
+    # DRI segment present and RST0.. markers actually emitted in order
+    assert b"\xff\xdd\x00\x04\x00\x03" in payload
+    assert b"\xff\xd0" in payload and b"\xff\xd1" in payload
+    dec, w, h, _ = decode_jpeg(payload)
+    assert (w, h) == (41, 33)
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 3
+
+
+def test_jpeg_chroma_subsampled_color_recovers_dims_means():
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(29, 37, 3), dtype=np.uint8)
+    dec, w, h, _ = decode_jpeg(encode_jpeg(arr, subsample=True))
+    assert (w, h) == (37, 29)
+    # chroma noise is decimated, but luma (and thus channel means)
+    # survive: per-image mean within a few levels
+    assert abs(dec.mean() - arr.mean()) < 4
+
+
+def test_jpeg_lossy_quant_smooth_content():
+    g = np.linspace(0, 255, 30 * 50).reshape(30, 50).astype(np.uint8)
+    arr = np.repeat(g[:, :, None], 3, axis=2)
+    dec, w, h, _ = decode_jpeg(encode_jpeg(arr, quant=8))
+    assert (w, h) == (50, 30)
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 8
+
+
+def _hand_jpeg_gray_dc_only(dc_size: int, entropy: bytes) -> bytes:
+    """Minimal 8x8 single-component JPEG assembled straight from T.81:
+    flat quant table 1, a one-code DC table (code '0' -> dc_size), a
+    one-code AC table (code '0' -> EOB), caller supplies the packed
+    entropy bytes."""
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + (len(data) + 2).to_bytes(2, "big") + data
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    dc_bits = bytes([1] + [0] * 15)  # one code, length 1
+    out += seg(0xC4, bytes([0x00]) + dc_bits + bytes([dc_size]))
+    out += seg(0xC4, bytes([0x10]) + dc_bits + bytes([0x00]))  # EOB
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return out + entropy + b"\xff\xd9"
+
+
+def test_jpeg_hand_vector_positive_dc():
+    # Pixel value 130 -> level shift +2 -> orthonormal DC = 16 -> size 5,
+    # magnitude bits 10000. Stream: huff('0') 10000 huff('0') -> 7 bits,
+    # 1-padded: 0b01000001 = 0x41. Decoder must reproduce uniform 130.
+    dec, w, h, _ = decode_jpeg(_hand_jpeg_gray_dc_only(5, b"\x41"))
+    assert (w, h) == (8, 8)
+    assert np.array_equal(dec, np.full((8, 8, 3), 130, dtype=np.uint8))
+
+
+def test_jpeg_hand_vector_negative_dc_extend():
+    # Pixel value 126 -> DC = -16 -> size 5, EXTEND bits -16+31=15 =
+    # 01111. Stream 0 01111 0 + pad -> 0b00111101 = 0x3D.
+    dec, w, h, _ = decode_jpeg(_hand_jpeg_gray_dc_only(5, b"\x3d"))
+    assert (w, h) == (8, 8)
+    assert np.array_equal(dec, np.full((8, 8, 3), 126, dtype=np.uint8))
+
+
+def test_jpeg_rejects_unsupported_flavors():
+    arr = np.full((8, 8, 3), 99, dtype=np.uint8)
+    good = encode_jpeg(arr)
+    assert decode_jpeg(b"NOTAJPEG") is None
+    assert decode_jpeg(good[:40]) is None  # truncated mid-headers
+    # progressive: flip SOF0 -> SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2")
+    assert decode_jpeg(prog) is None
+    # 16-bit quant table (Pq=1) is not baseline-8
+    bad_q = good.replace(b"\xff\xdb\x00\x43\x00", b"\xff\xdb\x00\x43\x10")
+    assert decode_jpeg(bad_q) is None
+
+
+def test_decode_image_stats_reads_jpeg(spark):
+    rng = np.random.default_rng(4)
+    noisy = rng.integers(0, 256, size=(19, 31, 3), dtype=np.uint8)
+    blank = np.full((10, 14, 3), 77, dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_jpeg(noisy))),
+        (2, bytearray(encode_jpeg(blank, subsample=True))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r for r in decode_image_stats(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (31, 19)
+    assert (got[2]["width"], got[2]["height"]) == (14, 10)
+    assert got[2]["is_blank"] is True and got[1]["is_blank"] is False
