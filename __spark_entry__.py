@@ -3172,6 +3172,94 @@ def q_mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_audio_stats",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             ELSE 44100 END AS rate,
+             16 + (doc_id * 9) % 180 AS n,
+             CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS ch,
+             CASE WHEN doc_id % 5 = 2 THEN 8 ELSE 16 END AS bits,
+             (doc_id % 6 = 0) AS silent
+      FROM documents WHERE doc_id < 120
+    ), a AS (
+      SELECT *,
+             CASE WHEN silent THEN 0.0
+                  WHEN bits = 8
+                    THEN CAST(8 + (doc_id * 11) % 120 AS DOUBLE) / 128
+                  ELSE CAST(256 + (doc_id * 517) % 30000 AS DOUBLE) / 32768
+             END AS s,
+             n * ch * (bits // 8) AS pay
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(44 + pay + (pay % 2) AS BIGINT) AS n_bytes,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(ch AS INT) AS n_channels,
+           CAST(bits AS INT) AS bits,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n AS DOUBLE) / rate AS duration_s,
+           s AS rms,
+           s AS peak,
+           CASE WHEN silent THEN 0.0
+                ELSE CAST((n - 1) // 2 AS DOUBLE) / (n - 1)
+           END AS zero_cross_rate,
+           0.0 AS clip_frac,
+           silent AS is_silence
+    FROM a ORDER BY doc_id
+    """,
+)
+def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE decode + audio stats, oracle-checked end to end
+    (the audio sibling of ``mm_decode_jpeg``): every doc gets a genuine
+    WAV payload — digital silence on ``doc_id % 6 == 0``, otherwise a
+    period-4 square wave with a dyadic amplitude — cycling sample rate,
+    8/16-bit depth and mono/stereo. Every oracle column (byte size,
+    frame count, duration, RMS, peak, zero-cross rate, clip fraction,
+    silence flag) is a closed form of doc_id, and the dyadic amplitudes
+    make the float64 decode math EXACT, so any chunk-walk, quantization
+    or stats defect breaks the hash bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.audio import decode_audio_stats, encode_wav
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = [8000, 16000, 44100][i % 3]
+                n = 16 + (i * 9) % 180
+                ch = 2 if i % 4 == 1 else 1
+                bits = 8 if i % 5 == 2 else 16
+                if i % 6 == 0:
+                    sig = np.zeros(n, dtype=np.float64)
+                else:
+                    amp = (
+                        (8 + (i * 11) % 120) / 128.0
+                        if bits == 8
+                        else (256 + (i * 517) % 30000) / 32768.0
+                    )
+                    pat = np.array([amp, amp, -amp, -amp], dtype=np.float64)
+                    sig = np.tile(pat, n // 4 + 1)[:n]
+                arr = np.column_stack([sig] * ch)
+                media = encode_wav(arr, rate, bits=bits)
+                out.append({"doc_id": i, "media": media})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return (
+        decode_audio_stats(media)
+        .drop("content_md5")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "pipeline_training_prep",
     """
     WITH dedup AS (
@@ -3827,23 +3915,25 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 49 names (all
+    # which as of the round-5 final commit is these 50 names (all
     # driver-green in r5's own full `tools_parity.py` sweeps).
-    # NOTE: six queries (`dedup_incremental`, `dedup_incremental_near`,
+    # NOTE: seven queries (`dedup_incremental`, `dedup_incremental_near`,
     # `prep_dsir_weights`, `pipeline_near_dedup`, `mm_decode_png_gif`,
-    # `mm_decode_jpeg`) were REGISTERED late in round 5 after the cap
-    # was already exactly full (changed ∪ skipped-last = 50); per the
-    # same slot-yield rationale as the WARC rows-only entries above they
-    # sit in the tail this round — all are oracled, pytest-pinned
-    # (known-answer/plan pins; DSIR has a full pure-Python differential;
-    # incremental-near has an in-corpus-LSH equivalence property;
-    # png/gif/jpeg have 32 known-answer codec tests), parity-verified in
-    # r5's sweep, and listed below so round 6's driver covers them:
-    #   ['f1_existing_text_probe', 'f4_confidence_filter',
-    #    'x11_hash_bucketing', 'j2_resume_antijoin',
-    #    'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
-    #    'k3_txt_export', 'u3_union_passthrough', 'u1_intersect_nations',
-    #    'a1_lineage_counters', 'q6_forecast_revenue',
+    # `mm_decode_jpeg`, `mm_audio_stats`) were REGISTERED late in round
+    # 5 after the cap was already exactly full (changed ∪ skipped-last
+    # = 50); per the same slot-yield rationale as the WARC rows-only
+    # entries above they sit in the tail this round — all are oracled,
+    # pytest-pinned (known-answer/plan pins; DSIR has a full pure-Python
+    # differential; incremental-near has an in-corpus-LSH equivalence
+    # property; png/gif/jpeg have 32 and WAV 24 known-answer codec
+    # tests), parity-verified in r5's sweep, and listed below so round
+    # 6's driver covers them:
+    #   ['q1_pricing_summary', 'f1_existing_text_probe',
+    #    'f4_confidence_filter', 'x11_hash_bucketing',
+    #    'j2_resume_antijoin', 'j3_fallback_coalesce', 'w1_order_repair',
+    #    'w3_topk_per_group', 'k3_txt_export', 'u3_union_passthrough',
+    #    'u1_intersect_nations', 'a1_lineage_counters',
+    #    'q6_forecast_revenue',
     #    'q12_priority_returns', 'q18_large_volume', 'q4_priority_exists',
     #    'q13_customer_distribution', 'q16_distinct_suppliers',
     #    'q19_disjunctive_predicates', 'q17_small_quantity_revenue',
@@ -3856,11 +3946,11 @@ _SKIPPED_LAST_ROUND = [
     #    'text_source_overlap', 'text_source_drift',
     #    'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
     #    'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
-    #    'mm_decode_png_gif', 'mm_decode_jpeg', 'sim_ivf_topk',
-    #    'x3_dual_insert_variants', 'prep_dsir_weights',
+    #    'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_audio_stats',
+    #    'sim_ivf_topk', 'x3_dual_insert_variants', 'prep_dsir_weights',
     #    'extract_synthetic_pages', 'extract_dual_insert',
     #    'extract_pixmap_pages', 'source_warc_extract',
-    #    'warc_revisit_dedup', 'q1_pricing_summary']
+    #    'warc_revisit_dedup']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",

@@ -1,0 +1,296 @@
+"""Audio columns: RIFF/WAVE as an opaque ``binary`` column with typed
+stats — the audio twin of the image tier in ``multimodal.py``.
+
+The decoder is a REAL spec-faithful RIFF walker (word-aligned chunk
+iteration, unknown chunks skipped, ``fmt `` parsed per the original
+Microsoft/IBM WAVE spec): PCM 8-bit unsigned, 16/24/32-bit signed
+little-endian, IEEE float32 (format tag 3), and WAVE_FORMAT_EXTENSIBLE
+(0xFFFE) resolved through its SubFormat GUID prefix. Everything else
+(ADPCM, MP3-in-WAV, ...) returns ``None`` and quarantines — same
+degrade-never-crash rule as the image decoders.
+
+Stats are the ones a corpus-quality pipeline gates on: duration, RMS /
+peak level, zero-crossing rate (the classic cheap speech-vs-tone
+signal), clipping fraction and a silence flag. All math is float64 so
+small-amplitude fixtures with dyadic sample values produce EXACT
+closed-form answers — the driver oracle for ``mm_audio_stats`` relies
+on that.
+
+Spark shape mirrors ``decode_image_stats``: decode + analyze fused into
+ONE ``mapInPandas`` stage over a pruned (id, media) projection — zero
+exchanges, scan-speed at any scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from intelligent_ocr_spark.util import ensure_parallelism
+
+__all__ = [
+    "AUDIO_META_SCHEMA",
+    "decode_wav",
+    "encode_wav",
+    "decode_audio_stats",
+]
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zero_cross_rate", T.DoubleType(), True),
+        T.StructField("clip_frac", T.DoubleType(), True),
+        T.StructField("is_silence", T.BooleanType(), True),
+        T.StructField("content_md5", T.StringType(), False),
+    ]
+)
+
+# Silence gate: anything whose peak stays under 1/512 full scale
+# (≈ −54 dBFS) is treated as silence. Dyadic so fixtures stay exact.
+_SILENCE_PEAK = 1.0 / 512.0
+
+# First 4 bytes of the KSDATAFORMAT_SUBTYPE_{PCM,IEEE_FLOAT} GUIDs —
+# the rest of the GUID is the fixed WAVE-EX media suffix.
+_EXT_PCM = (1).to_bytes(4, "little")
+_EXT_FLOAT = (3).to_bytes(4, "little")
+
+
+def _wav_chunks(payload: bytes):
+    """Yield (chunk_id, body) over a RIFF body, honoring the spec's
+    word alignment (odd-sized chunks carry one pad byte that is NOT
+    counted in the size field)."""
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return  # truncated chunk: stop at the last whole one
+        yield cid, body
+        pos += 8 + size + (size & 1)
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE → (samples, sample_rate, n_channels, bits).
+
+    ``samples`` is float64 shaped (n_frames, n_channels), normalized to
+    [-1, 1) by the integer type's full scale (int16 −32768 ↦ −1.0 — the
+    one value that reaches full scale, which is exactly what the
+    clipping stat counts). Returns ``None`` for non-WAV bytes, missing
+    fmt/data chunks, or compression tags this decoder honestly does not
+    implement.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None
+    for cid, body in _wav_chunks(payload):
+        if cid == b"fmt " and fmt is None:
+            fmt = body
+        elif cid == b"data" and data is None:
+            data = body
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    tag = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if n_channels < 1 or sample_rate < 1:
+        return None
+    if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag lives in SubFormat
+        if len(fmt) < 40:
+            return None
+        sub = fmt[24:28]
+        if sub == _EXT_PCM:
+            tag = 1
+        elif sub == _EXT_FLOAT:
+            tag = 3
+        else:
+            return None
+    if tag == 1:  # integer PCM
+        if bits == 8:
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+            x = x.astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8)
+            raw = raw.reshape(-1, 3).astype(np.int64)
+            v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            v = (v ^ 0x800000) - 0x800000  # sign-extend 24 → 64
+            x = v.astype(np.float64) / 8388608.0
+        elif bits == 32:
+            x = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4")
+            x = x.astype(np.float64) / 2147483648.0
+        else:
+            return None
+    elif tag == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4").astype(np.float64)
+    else:
+        return None
+    n = len(x) // n_channels * n_channels
+    samples = x[:n].reshape(-1, n_channels)
+    return samples, sample_rate, n_channels, bits
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
+    """Deterministic WAV writer (fixture twin of :func:`decode_wav`).
+
+    ``samples`` is float64 (n_frames, n_channels) in [-1, 1]; quantized
+    by full scale with the same convention the decoder inverts, so
+    dyadic values round-trip bit-exactly. ``bits`` ∈ {8, 16, 24, 32,
+    -32} where -32 writes IEEE float32. Written independently of the
+    decoder (struct-free little-endian assembly straight from the spec
+    layout) so round-trip tests catch one-sided mistakes.
+    """
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, n_channels = samples.shape
+    flat = samples.reshape(-1)
+    if bits == 8:
+        body = (np.clip(flat * 128.0 + 128.0, 0, 255)).astype(np.uint8).tobytes()
+        tag, width = 1, 1
+    elif bits == 16:
+        body = np.clip(flat * 32768.0, -32768, 32767).astype("<i2").tobytes()
+        tag, width = 1, 2
+    elif bits == 24:
+        v = np.clip(flat * 8388608.0, -8388608, 8388607).astype(np.int64)
+        v = v & 0xFFFFFF
+        raw = np.empty((len(v), 3), dtype=np.uint8)
+        raw[:, 0] = v & 0xFF
+        raw[:, 1] = (v >> 8) & 0xFF
+        raw[:, 2] = (v >> 16) & 0xFF
+        body = raw.tobytes()
+        tag, width = 1, 3
+    elif bits == 32:
+        body = (
+            np.clip(flat * 2147483648.0, -2147483648, 2147483647)
+            .astype("<i4")
+            .tobytes()
+        )
+        tag, width = 1, 4
+    elif bits == -32:
+        body = flat.astype("<f4").tobytes()
+        tag, width, bits = 3, 4, 32
+    else:
+        raise ValueError(f"unsupported bits: {bits}")
+    block_align = n_channels * width
+    fmt = (
+        tag.to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = body + (b"\x00" if len(body) & 1 else b"")
+    riff_body = (
+        b"WAVE"
+        + b"fmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(body).to_bytes(4, "little")
+        + data
+    )
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def _audio_stats(samples: np.ndarray) -> dict:
+    """Stats over normalized float64 samples (n_frames, n_channels).
+
+    Zero-crossing rate is measured on channel 0 with sign(x) := x >= 0
+    (0 counts as positive so digital silence has rate 0, not noise).
+    Clipping counts |x| >= 1.0 over ALL channels — only the integer
+    type's most-negative code reaches it, the standard hard-clip tell.
+    """
+    n_frames = samples.shape[0]
+    if n_frames == 0:
+        return {
+            "rms": 0.0,
+            "peak": 0.0,
+            "zero_cross_rate": 0.0,
+            "clip_frac": 0.0,
+            "is_silence": True,
+        }
+    rms = float(np.sqrt(np.mean(samples * samples)))
+    peak = float(np.max(np.abs(samples)))
+    ch0 = samples[:, 0]
+    if n_frames > 1:
+        sign = ch0 >= 0.0
+        zcr = float(np.count_nonzero(sign[1:] != sign[:-1])) / (n_frames - 1)
+    else:
+        zcr = 0.0
+    clip = float(np.count_nonzero(np.abs(samples) >= 1.0)) / samples.size
+    return {
+        "rms": rms,
+        "peak": peak,
+        "zero_cross_rate": zcr,
+        "clip_frac": clip,
+        "is_silence": bool(peak < _SILENCE_PEAK),
+    }
+
+
+def decode_audio_stats(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """binary WAV → typed audio stats, fused decode+analyze mapInPandas.
+
+    NULL / empty / undecodable media → quarantined row (sample_rate
+    NULL), never a task crash — identical contract to
+    :func:`multimodal.decode_image_stats`.
+    """
+    pruned = ensure_parallelism(df.select(id_col, media_col))
+    cols = [f.name for f in AUDIO_META_SCHEMA.fields]
+
+    def op(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                payload = bytes(payload) if payload is not None else b""
+                row = {
+                    "doc_id": doc_id,
+                    "n_bytes": len(payload),
+                    "sample_rate": None,
+                    "n_channels": None,
+                    "bits": None,
+                    "n_frames": None,
+                    "duration_s": None,
+                    "rms": None,
+                    "peak": None,
+                    "zero_cross_rate": None,
+                    "clip_frac": None,
+                    "is_silence": None,
+                    "content_md5": hashlib.md5(payload).hexdigest(),
+                }
+                decoded = decode_wav(payload) if payload else None
+                if decoded is not None:
+                    samples, rate, n_channels, bits = decoded
+                    row.update(
+                        sample_rate=rate,
+                        n_channels=n_channels,
+                        bits=bits,
+                        n_frames=samples.shape[0],
+                        duration_s=samples.shape[0] / rate,
+                        **_audio_stats(samples),
+                    )
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return pruned.mapInPandas(op, AUDIO_META_SCHEMA)

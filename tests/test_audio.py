@@ -1,0 +1,185 @@
+# -*- coding: utf-8 -*-
+"""RIFF/WAVE real-decode tier (operators/audio.py).
+
+Round-trips against the encoder twin cover every supported bit depth,
+but a symmetric spec misunderstanding would cancel out — so the decoder
+is additionally pinned by a HAND-ASSEMBLED byte vector laid out straight
+from the canonical WAVE chunk diagram, plus chunk-walk edge cases (odd
+sizes word-aligned, unknown chunks skipped, truncation stops at the last
+whole chunk) and reject tests for the formats it honestly refuses.
+Stats are pinned by closed-form signals: square waves (exact dyadic RMS
+/ peak / ZCR), full-scale-negative clipping, digital silence.
+"""
+
+import numpy as np
+import pytest
+
+from intelligent_ocr_spark.operators.audio import (
+    decode_audio_stats,
+    decode_wav,
+    encode_wav,
+)
+
+
+def _square(n, amp, period=4):
+    """+amp,+amp,-amp,-amp,... — dyadic amplitudes make exact stats."""
+    half = period // 2
+    pat = np.array([amp] * half + [-amp] * half, dtype=np.float64)
+    return np.tile(pat, n // period + 1)[:n]
+
+
+# ---------------------------------------------------------------- decode
+
+
+def test_hand_assembled_wav_vector():
+    # 16-bit mono 8 kHz, 4 frames: +16384, -16384, +8192, -32768 —
+    # every field written out by hand per the RIFF/WAVE layout.
+    data = b"\x00\x40" + b"\x00\xc0" + b"\x00\x20" + b"\x00\x80"
+    fmt = (
+        b"\x01\x00"  # PCM
+        + b"\x01\x00"  # 1 channel
+        + b"\x40\x1f\x00\x00"  # 8000 Hz
+        + b"\x80\x3e\x00\x00"  # byte rate 16000
+        + b"\x02\x00"  # block align
+        + b"\x10\x00"  # 16 bits
+    )
+    payload = (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+    samples, rate, ch, bits = decode_wav(payload)
+    assert (rate, ch, bits) == (8000, 1, 16)
+    np.testing.assert_array_equal(
+        samples[:, 0], np.array([0.5, -0.5, 0.25, -1.0])
+    )
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24, 32, -32])
+@pytest.mark.parametrize("channels", [1, 2])
+def test_round_trip_all_depths(bits, channels):
+    rng = np.random.RandomState(7 * channels + abs(bits))
+    # dyadic grid representable at every depth ≥ 8 bits
+    base = rng.randint(-127, 128, size=(50, channels)) / 128.0
+    payload = encode_wav(base, 44100, bits=bits)
+    samples, rate, ch, got_bits = decode_wav(payload)
+    assert (rate, ch) == (44100, channels)
+    assert got_bits == abs(bits)
+    np.testing.assert_array_equal(samples, base)
+
+
+def test_unknown_chunks_skipped_and_odd_size_padded():
+    base = encode_wav(_square(8, 0.5)[:, None], 8000, bits=16)
+    # splice a 3-byte junk chunk (odd size ⇒ 1 pad byte) before fmt
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    payload = base[:12] + junk + base[12:]
+    payload = payload[:4] + (len(payload) - 8).to_bytes(4, "little") + payload[8:]
+    samples, rate, ch, bits = decode_wav(payload)
+    assert samples.shape == (8, 1)
+    np.testing.assert_array_equal(samples[:, 0], _square(8, 0.5))
+
+
+def test_truncated_data_chunk_rejected():
+    payload = encode_wav(_square(16, 0.5)[:, None], 8000, bits=16)
+    assert decode_wav(payload[:-5]) is None  # data chunk now short
+
+
+def test_extensible_subformat_resolved():
+    base = encode_wav(_square(8, 0.25)[:, None], 16000, bits=16)
+    # rebuild fmt as WAVE_FORMAT_EXTENSIBLE wrapping PCM
+    fmt = base[20:36]
+    ext = (
+        b"\xfe\xff"
+        + fmt[2:16]
+        + (22).to_bytes(2, "little")  # cbSize
+        + (16).to_bytes(2, "little")  # valid bits
+        + (1).to_bytes(4, "little")  # channel mask (mono)
+        + (1).to_bytes(4, "little")  # SubFormat: PCM GUID prefix
+        + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    )
+    payload = (
+        base[:16]
+        + len(ext).to_bytes(4, "little")
+        + ext
+        + base[36:]
+    )
+    payload = payload[:4] + (len(payload) - 8).to_bytes(4, "little") + payload[8:]
+    samples, rate, ch, bits = decode_wav(payload)
+    assert (rate, ch, bits) == (16000, 1, 16)
+    np.testing.assert_array_equal(samples[:, 0], _square(8, 0.25))
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda p: b"RIFX" + p[4:],  # wrong magic
+        lambda p: p[:8] + b"AVI " + p[12:],  # not WAVE
+        lambda p: p[:20] + b"\x02\x00" + p[22:],  # ADPCM tag
+        lambda p: p[:34] + b"\x0c\x00" + p[36:],  # 12-bit PCM
+        lambda p: p[:36] + b"junk" + p[40:],  # data chunk id gone
+    ],
+)
+def test_rejects(mutate):
+    payload = encode_wav(_square(8, 0.5)[:, None], 8000, bits=16)
+    assert decode_wav(mutate(payload)) is None
+
+
+# ----------------------------------------------------------------- stats
+
+
+def _stats_of(payload, spark):
+    df = spark.createDataFrame([(0, bytearray(payload))], "doc_id long, media binary")
+    return decode_audio_stats(df).collect()[0]
+
+
+def test_square_wave_stats_exact(spark):
+    # 16-bit square amp 8192/32768 = 0.25, 10 frames: + + - - + + - - + +
+    payload = encode_wav(_square(10, 0.25)[:, None], 8000, bits=16)
+    row = _stats_of(payload, spark)
+    assert row.rms == 0.25 and row.peak == 0.25
+    assert row.zero_cross_rate == 4 / 9  # sign flips at i = 2,4,6,8
+    assert row.clip_frac == 0.0
+    assert row.is_silence is False
+    assert row.duration_s == 10 / 8000
+    assert row.n_frames == 10 and row.sample_rate == 8000
+
+
+def test_clipping_counts_full_scale_negative(spark):
+    x = np.array([0.5, -1.0, 0.5, -1.0], dtype=np.float64)[:, None]
+    payload = encode_wav(x, 8000, bits=16)  # -1.0 ⇒ int16 -32768
+    row = _stats_of(payload, spark)
+    assert row.clip_frac == 0.5 and row.peak == 1.0
+
+
+def test_silence_flag(spark):
+    payload = encode_wav(np.zeros((32, 1)), 8000, bits=16)
+    row = _stats_of(payload, spark)
+    assert row.is_silence is True
+    assert row.rms == 0.0 and row.zero_cross_rate == 0.0
+
+
+def test_quarantine_rows_never_crash(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, bytearray(b"")), (2, bytearray(b"not a wav at all"))],
+        "doc_id long, media binary",
+    )
+    rows = {r.doc_id: r for r in decode_audio_stats(df).collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r.sample_rate is None and r.rms is None
+    assert rows[2].n_bytes == 16
+
+
+def test_stereo_stats_match_mono(spark):
+    mono = _square(12, 0.5)
+    payload = encode_wav(np.column_stack([mono, mono]), 16000, bits=16)
+    row = _stats_of(payload, spark)
+    assert row.n_channels == 2 and row.n_frames == 12
+    assert row.rms == 0.5 and row.peak == 0.5
+    assert row.zero_cross_rate == 5 / 11
