@@ -3260,6 +3260,72 @@ def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_video_frames",
+    """
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(1 + doc_id % 6 AS INT) AS n_frames,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 24
+                                ELSE 30 END AS DOUBLE) AS fps,
+           CAST(16 + (doc_id * 3) % 24 AS INT) AS width,
+           CAST(16 + (doc_id * 5) % 24 AS INT) AS height,
+           ((doc_id + f) % 3 = 0) AS is_blank
+    FROM (SELECT doc_id,
+                 unnest(range(0, CAST(1 + doc_id % 6 AS BIGINT), 2)) AS f
+          FROM documents WHERE doc_id < 80)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG-in-AVI demux + per-frame decode, oracle-checked (the
+    video sibling of ``mm_audio_stats``): every doc gets a genuine AVI
+    container — ``1 + doc_id % 6`` JPEG frames of closed-form dims,
+    frame ``i`` uniform (⇒ blank) iff ``(doc_id + i) % 3 == 0``, fps
+    cycling 10/24/30 via the stream header's rate/scale — then every
+    2nd frame is sampled. Width/height/blankness come from the DECODED
+    pixels (not container headers), so the chunk walk, the per-frame
+    JPEG expansion and the sampling fan-out are all on the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.video import (
+        encode_avi_mjpeg,
+        sample_video_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nf = 1 + i % 6
+                w = 16 + (i * 3) % 24
+                h = 16 + (i * 5) % 24
+                fps = [10, 24, 30][i % 3]
+                frames = []
+                for k in range(nf):
+                    if (i + k) % 3 == 0:
+                        arr = np.full((h, w, 3), 40 + (i + k) % 160, dtype=np.uint8)
+                    else:
+                        g = np.linspace((i + k) % 50, 200 + (i + k) % 55, h * w)
+                        g = g.reshape(h, w).astype(np.uint8)
+                        arr = np.repeat(g[:, :, None], 3, axis=2)
+                    frames.append(arr)
+                media = encode_avi_mjpeg(frames, fps=fps)
+                out.append({"doc_id": i, "media": media})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return (
+        sample_video_frames(media, every_n=2)
+        .drop("frame_md5")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@_q(
     "pipeline_training_prep",
     """
     WITH dedup AS (
@@ -3915,19 +3981,19 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 50 names (all
+    # which as of the round-5 final commit is these 51 names (all
     # driver-green in r5's own full `tools_parity.py` sweeps).
-    # NOTE: seven queries (`dedup_incremental`, `dedup_incremental_near`,
+    # NOTE: eight queries (`dedup_incremental`, `dedup_incremental_near`,
     # `prep_dsir_weights`, `pipeline_near_dedup`, `mm_decode_png_gif`,
-    # `mm_decode_jpeg`, `mm_audio_stats`) were REGISTERED late in round
-    # 5 after the cap was already exactly full (changed ∪ skipped-last
-    # = 50); per the same slot-yield rationale as the WARC rows-only
-    # entries above they sit in the tail this round — all are oracled,
-    # pytest-pinned (known-answer/plan pins; DSIR has a full pure-Python
-    # differential; incremental-near has an in-corpus-LSH equivalence
-    # property; png/gif/jpeg have 32 and WAV 24 known-answer codec
-    # tests), parity-verified in r5's sweep, and listed below so round
-    # 6's driver covers them:
+    # `mm_decode_jpeg`, `mm_audio_stats`, `mm_video_frames`) were
+    # REGISTERED late in round 5 after the cap was already exactly full
+    # (changed ∪ skipped-last = 50); per the same slot-yield rationale
+    # as the WARC rows-only entries above they sit in the tail this
+    # round — all are oracled, pytest-pinned (known-answer/plan pins;
+    # DSIR has a full pure-Python differential; incremental-near has an
+    # in-corpus-LSH equivalence property; png/gif/jpeg have 32, WAV 24
+    # and AVI 10 known-answer codec tests), parity-verified in r5's
+    # sweep, and listed below so round 6's driver covers them:
     #   ['q1_pricing_summary', 'f1_existing_text_probe',
     #    'f4_confidence_filter', 'x11_hash_bucketing',
     #    'j2_resume_antijoin', 'j3_fallback_coalesce', 'w1_order_repair',
@@ -3947,7 +4013,8 @@ _SKIPPED_LAST_ROUND = [
     #    'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
     #    'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
     #    'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_audio_stats',
-    #    'sim_ivf_topk', 'x3_dual_insert_variants', 'prep_dsir_weights',
+    #    'mm_video_frames', 'sim_ivf_topk', 'x3_dual_insert_variants',
+    #    'prep_dsir_weights',
     #    'extract_synthetic_pages', 'extract_dual_insert',
     #    'extract_pixmap_pages', 'source_warc_extract',
     #    'warc_revisit_dedup']
