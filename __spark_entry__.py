@@ -3061,13 +3061,14 @@ def q_mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_decode_png_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-image decode, oracle-checked (the PNG/GIF twin of
     ``mm_decode_bmp``): even docs get a zlib-deflated PNG cycling all
-    five scanline filters, odd docs an LZW-compressed GIF (interlaced on
-    ``doc_id % 2 == 1 and doc_id % 4 == 3``); dims are a closed form of
-    doc_id and every third doc is uniform ⇒ blank. ``decode_image_stats``
-    must RECOVER dims and blank flags by actually inflating and
-    unfiltering / LZW-expanding the bytes — the oracle restates the
-    generator's closed form, so any filter, palette, bit-packing or
-    interlace defect breaks the hash."""
+    five scanline filters (Adam7-interlaced on ``doc_id % 4 == 0``),
+    odd docs an LZW-compressed GIF (interlaced on ``doc_id % 4 == 3``);
+    dims are a closed form of doc_id and every third doc is uniform ⇒
+    blank. ``decode_image_stats`` must RECOVER dims and blank flags by
+    actually inflating and unfiltering / LZW-expanding the bytes — the
+    oracle restates the generator's closed form, so any filter,
+    palette, bit-packing or interlace (GIF row order or Adam7 pass
+    grid) defect breaks the hash."""
     import numpy as np
     import pandas as pd
 
@@ -3095,7 +3096,7 @@ def q_mm_decode_png_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
                     arr = pal[rng.integers(0, 16, size=(h, w), dtype=np.uint8)]
                 media = (
-                    encode_png(arr)
+                    encode_png(arr, interlace=(i % 4 == 0))
                     if i % 2 == 0
                     else encode_gif(arr, interlace=(i % 4 == 3))
                 )

@@ -199,20 +199,83 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_png(payload: bytes):
-    """Real PNG decode with no image library: chunk walk, stdlib-``zlib``
-    inflate of the concatenated IDAT stream, then scanline unfiltering
-    (all five filter types 0-4 per RFC 2083 §6). Supports bit depth 8,
-    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-    6 (RGBA), non-interlaced. Alpha is dropped, gray replicated,
-    palette resolved — output is always RGB. Returns (arr, w, h, 3) or
-    None for any other PNG flavor (16-bit, Adam7) or undecodable bytes.
+# Adam7 pass grid: (first row, first col, row step, col step) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (0, 4, 8, 8),
+    (4, 0, 8, 4),
+    (0, 2, 4, 4),
+    (2, 0, 4, 2),
+    (0, 1, 2, 2),
+    (1, 0, 2, 1),
+]
+
+
+def _png_unfilter(rows: np.ndarray, w: int, h: int, nch: int):
+    """Invert the five RFC 2083 §6 row filters over a (h, stride+1)
+    byte matrix (filter byte first). Returns (h, stride) or None on an
+    unknown filter type.
 
     Filter 1 (Sub) is a per-byte-lane running sum — vectorized as a
     modular cumsum; 2 (Up) is a whole-row vector add. Average/Paeth
     recurse on the left neighbor, so those rows walk pixel positions in
     Python with numpy ops on the channel lane — O(width) per row, fine
     for the metadata-stat sizes this tier serves.
+    """
+    stride = w * nch
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else zero_row
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: modular cumsum per byte lane
+            lanes = cur.reshape(w, nch)
+            rec = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride) & 0xFF
+        elif f == 2:  # Up
+            rec = (cur + prior) & 0xFF
+        elif f == 3:  # Average
+            rec = cur
+            left = np.zeros(nch, dtype=np.int32)
+            pri = prior.reshape(w, nch)
+            px = rec.reshape(w, nch)
+            for x in range(w):
+                px[x] = (px[x] + ((left + pri[x]) >> 1)) & 0xFF
+                left = px[x]
+            rec = px.reshape(stride)
+        elif f == 4:  # Paeth
+            rec = cur
+            a = np.zeros(nch, dtype=np.int32)  # left
+            c = np.zeros(nch, dtype=np.int32)  # upper-left
+            pri = prior.reshape(w, nch)
+            px = rec.reshape(w, nch)
+            for x in range(w):
+                b = pri[x]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                px[x] = (px[x] + pred) & 0xFF
+                a, c = px[x].copy(), b
+            rec = px.reshape(stride)
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes):
+    """Real PNG decode with no image library: chunk walk, stdlib-``zlib``
+    inflate of the concatenated IDAT stream, then scanline unfiltering
+    (all five filter types 0-4 per RFC 2083 §6). Supports bit depth 8,
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA), sequential AND Adam7-interlaced (each pass unfiltered as
+    its own sub-image per §2.6, then scattered onto the pass grid).
+    Alpha is dropped, gray replicated, palette resolved — output is
+    always RGB. Returns (arr, w, h, 3) or None for any other PNG flavor
+    (16-bit) or undecodable bytes.
     """
     if payload[:8] != _PNG_SIG:
         return None
@@ -244,53 +307,38 @@ def decode_png(payload: bytes):
         h = int.from_bytes(ihdr[4:8], "big")
         depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
         nch = _PNG_CHANNELS.get(ctype)
-        if depth != 8 or interlace != 0 or nch is None or w <= 0 or h <= 0:
+        if depth != 8 or interlace not in (0, 1) or nch is None or w <= 0 or h <= 0:
             return None
         raw = zlib.decompress(bytes(idat))
         stride = w * nch
-        if len(raw) != h * (stride + 1):
-            return None
-        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-        filters = rows[:, 0]
-        out = np.zeros((h, stride), dtype=np.uint8)
-        zero_row = np.zeros(stride, dtype=np.int32)
-        for y in range(h):
-            f = int(filters[y])
-            cur = rows[y, 1:].astype(np.int32)
-            prior = out[y - 1].astype(np.int32) if y else zero_row
-            if f == 0:
-                rec = cur
-            elif f == 1:  # Sub: modular cumsum per byte lane
-                lanes = cur.reshape(w, nch)
-                rec = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride) & 0xFF
-            elif f == 2:  # Up
-                rec = (cur + prior) & 0xFF
-            elif f == 3:  # Average
-                rec = cur
-                left = np.zeros(nch, dtype=np.int32)
-                pri = prior.reshape(w, nch)
-                px = rec.reshape(w, nch)
-                for x in range(w):
-                    px[x] = (px[x] + ((left + pri[x]) >> 1)) & 0xFF
-                    left = px[x]
-                rec = px.reshape(stride)
-            elif f == 4:  # Paeth
-                rec = cur
-                a = np.zeros(nch, dtype=np.int32)  # left
-                c = np.zeros(nch, dtype=np.int32)  # upper-left
-                pri = prior.reshape(w, nch)
-                px = rec.reshape(w, nch)
-                for x in range(w):
-                    b = pri[x]
-                    p = a + b - c
-                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                    pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-                    px[x] = (px[x] + pred) & 0xFF
-                    a, c = px[x].copy(), b
-                rec = px.reshape(stride)
-            else:
+        if interlace == 0:
+            if len(raw) != h * (stride + 1):
                 return None
-            out[y] = rec.astype(np.uint8)
+            rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+            out = _png_unfilter(rows, w, h, nch)
+            if out is None:
+                return None
+        else:  # Adam7: 7 independently-filtered sub-images, concatenated
+            grid = np.zeros((h, w, nch), dtype=np.uint8)
+            at = 0
+            for r0, c0, rs, cs in _ADAM7:
+                pw = (w - c0 + cs - 1) // cs
+                ph = (h - r0 + rs - 1) // rs
+                if pw <= 0 or ph <= 0:
+                    continue  # empty pass emits no scanlines at all
+                pstride = pw * nch
+                need = ph * (pstride + 1)
+                if at + need > len(raw):
+                    return None
+                rows = np.frombuffer(raw[at : at + need], dtype=np.uint8)
+                at += need
+                sub = _png_unfilter(rows.reshape(ph, pstride + 1), pw, ph, nch)
+                if sub is None:
+                    return None
+                grid[r0::rs, c0::cs, :] = sub.reshape(ph, pw, nch)
+            if at != len(raw):
+                return None
+            out = grid.reshape(h, stride)
         px = out.reshape(h, w, nch)
         if ctype == 0:
             arr = np.repeat(px, 3, axis=2)
@@ -324,18 +372,11 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, filters=None) -> bytes:
-    """Deterministic PNG writer (fixture twin of :func:`decode_png`):
-    8-bit RGB (color type 2), one filter byte per row. ``filters`` picks
-    the per-row filter type (int, or list cycled over rows; default
-    cycles 0..4 so round-trip tests exercise every unfilter path). The
-    forward filters are the spec's §6 equations, written independently
-    of the decoder's inverse forms."""
+def _png_filter_rows(arr: np.ndarray, filters) -> bytearray:
+    """Forward-filter an (h, w, 3) image into PNG scanlines (filter
+    byte + filtered row each) — the spec's §6 equations, written
+    independently of the decoder's inverse forms."""
     h, w, _ = arr.shape
-    if filters is None:
-        filters = [0, 1, 2, 3, 4]
-    elif isinstance(filters, int):
-        filters = [filters]
     a32 = arr.astype(np.int32)
     stride = w * 3
     lines = bytearray()
@@ -360,12 +401,36 @@ def encode_png(arr: np.ndarray, filters=None) -> bytes:
             enc = (cur - pred) & 0xFF
         lines.append(f)
         lines += enc.astype(np.uint8).tobytes()
+    return lines
+
+
+def encode_png(arr: np.ndarray, filters=None, interlace: bool = False) -> bytes:
+    """Deterministic PNG writer (fixture twin of :func:`decode_png`):
+    8-bit RGB (color type 2), one filter byte per row. ``filters`` picks
+    the per-row filter type (int, or list cycled over rows; default
+    cycles 0..4 so round-trip tests exercise every unfilter path).
+    ``interlace=True`` writes Adam7: each pass extracted on the pass
+    grid and filtered as its own sub-image, empty passes omitted."""
+    h, w, _ = arr.shape
+    if filters is None:
+        filters = [0, 1, 2, 3, 4]
+    elif isinstance(filters, int):
+        filters = [filters]
+    if interlace:
+        lines = bytearray()
+        for r0, c0, rs, cs in _ADAM7:
+            sub = arr[r0::rs, c0::cs, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines += _png_filter_rows(np.ascontiguousarray(sub), filters)
+    else:
+        lines = _png_filter_rows(arr, filters)
     import zlib
 
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no interlace
+        + bytes([8, 2, 0, 0, int(interlace)])  # depth 8, RGB, deflate, adaptive
     )
     return (
         _PNG_SIG

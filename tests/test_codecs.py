@@ -133,8 +133,8 @@ def test_png_unsupported_flavors_return_none():
     assert decode_png(good) is not None
     # 16-bit depth
     assert decode_png(_png(1, 1, 16, 2, bytes([0] + [0] * 6))) is None
-    # Adam7 interlace
-    assert decode_png(_png(1, 1, 8, 2, bytes([0, 1, 2, 3]), interlace=1)) is None
+    # interlace method 2 does not exist
+    assert decode_png(_png(1, 1, 8, 2, bytes([0, 1, 2, 3]), interlace=2)) is None
     # truncated IDAT (inflate fails or wrong length)
     assert decode_png(good[:-20]) is None
     # palette index out of range
@@ -142,6 +142,65 @@ def test_png_unsupported_flavors_return_none():
     assert decode_png(_png(1, 1, 8, 3, bytes([0, 5]), extra=plte)) is None
     # bad filter type byte
     assert decode_png(_png(1, 1, 8, 2, bytes([9, 1, 2, 3]))) is None
+
+
+# ---------------------------------------------------------------------------
+# PNG Adam7 interlace
+# ---------------------------------------------------------------------------
+
+
+def test_png_adam7_hand_vector():
+    # 2×2 RGB Adam7 populates exactly passes 1 (px 0,0), 6 (px 0,1) and
+    # 7 (row 1) — in THAT order in the stream, each with its own filter
+    # byte. Scanlines written straight from the spec's pass grid.
+    raw = (
+        bytes([0, 10, 11, 12])  # pass 1: (0,0)
+        + bytes([0, 20, 21, 22])  # pass 6: (0,1)
+        + bytes([0, 30, 31, 32, 40, 41, 42])  # pass 7: (1,0) (1,1)
+    )
+    dec = decode_png(_png(2, 2, 8, 2, raw, interlace=1))
+    assert dec is not None
+    arr, w, h, _ = dec
+    assert (w, h) == (2, 2)
+    expect = np.array(
+        [[[10, 11, 12], [20, 21, 22]], [[30, 31, 32], [40, 41, 42]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(arr, expect)
+
+
+def test_png_adam7_roundtrip_odd_dims_all_filters():
+    rng = np.random.default_rng(11)
+    # dims straddling every pass-emptiness boundary, incl. sub-8 tiles
+    for h, w in [(1, 1), (2, 2), (3, 9), (5, 4), (8, 8), (9, 5), (17, 13)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for filters in [0, 1, 2, 3, 4, None]:
+            payload = encode_png(arr, filters=filters, interlace=True)
+            dec = decode_png(payload)
+            assert dec is not None, (h, w, filters)
+            assert np.array_equal(dec[0], arr), (h, w, filters)
+            # and the interlaced file decodes identically to sequential
+            seq = decode_png(encode_png(arr, filters=filters))
+            assert np.array_equal(dec[0], seq[0])
+
+
+def test_png_adam7_wrong_stream_length_rejected():
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_png(arr, interlace=True)
+    import zlib
+
+    # rebuild the IDAT with one trailing garbage byte appended
+    assert decode_png(good) is not None
+    pos = good.find(b"IDAT") - 4
+    ln = int.from_bytes(good[pos : pos + 4], "big")
+    stream = zlib.decompress(good[pos + 8 : pos + 8 + ln])
+    bad = zlib.compress(stream + b"\x00", 6)
+    rebuilt = (
+        good[:pos]
+        + _chunk(b"IDAT", bad)
+        + good[pos + 12 + ln :]
+    )
+    assert decode_png(rebuilt) is None
 
 
 # ---------------------------------------------------------------------------
