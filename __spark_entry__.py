@@ -3122,21 +3122,25 @@ def q_mm_decode_png_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG decode, oracle-checked (the JPEG sibling of
+    """REAL JPEG decode, oracle-checked (the JPEG sibling of
     ``mm_decode_png_gif``): every doc gets an entropy-coded JFIF payload
     — uniform (⇒ blank) on ``doc_id % 3 == 0``, otherwise a neutral
-    luminance gradient — cycling sampling mode (4:4:4 / 4:2:0 / 4:2:2 by
-    ``doc_id % 3``), grayscale single-component on ``doc_id % 5 == 1``,
-    restart markers on ``doc_id % 7 == 2``. Dims are a closed form of
-    doc_id, so ``decode_image_stats`` must actually Huffman-expand,
-    dequantize and IDCT the scan to recover them; any marker-walk,
-    canonical-code, EXTEND or MCU-layout defect breaks the hash."""
+    luminance gradient. Docs with ``doc_id % 4 == 1`` are PROGRESSIVE
+    (SOF2, spectral selection; successive approximation on
+    ``doc_id % 8 == 1``); the rest are baseline, cycling sampling mode
+    (4:4:4 / 4:2:0 / 4:2:2 by ``doc_id % 3``), grayscale on
+    ``doc_id % 5 == 1``, restart markers on ``doc_id % 7 == 2``. Dims
+    are a closed form of doc_id, so ``decode_image_stats`` must
+    actually Huffman-expand, dequantize and IDCT the scans to recover
+    them; any marker-walk, canonical-code, EXTEND, MCU-layout or
+    Annex-G refinement defect breaks the hash."""
     import numpy as np
     import pandas as pd
 
     from intelligent_ocr_spark.operators.multimodal import (
         decode_image_stats,
         encode_jpeg,
+        encode_jpeg_progressive,
     )
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select("doc_id")
@@ -3154,13 +3158,18 @@ def q_mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     g = np.linspace(i % 50, 200 + i % 55, h * w)
                     g = g.reshape(h, w).astype(np.uint8)
                     arr = np.repeat(g[:, :, None], 3, axis=2)
-                mode = [False, True, "422"][i % 3]
-                media = encode_jpeg(
-                    arr,
-                    subsample=mode,
-                    gray=(i % 5 == 1),
-                    restart_interval=3 if i % 7 == 2 else 0,
-                )
+                if i % 4 == 1:
+                    media = encode_jpeg_progressive(
+                        arr, gray=(i % 5 == 1), successive=(i % 8 == 1)
+                    )
+                else:
+                    mode = [False, True, "422"][i % 3]
+                    media = encode_jpeg(
+                        arr,
+                        subsample=mode,
+                        gray=(i % 5 == 1),
+                        restart_interval=3 if i % 7 == 2 else 0,
+                    )
                 out.append({"doc_id": i, "media": media})
             yield pd.DataFrame(out, columns=["doc_id", "media"])
 

@@ -6,13 +6,15 @@ signatures) is real and tested. The codec layer is three-tier:
 PIL when importable (not in this container), a REAL in-container decoder
 for BMP (24-bit uncompressed), PPM/PGM, **PNG** (stdlib-zlib inflate +
 numpy scanline unfiltering, all five filter types, color types
-0/2/3/4/6), **GIF** (pure-Python LZW, interlace, local/global color
-tables) and **baseline JPEG** (canonical Huffman from DHT, matrix IDCT,
-4:2:0/4:2:2/4:4:4, restart markers, grayscale) — each spec-faithful,
-round-trip tested against its encoder twin plus hand-computed
-known-answer byte vectors — and a deterministic fake for anything else
-so every downstream stage still runs real numpy on real shapes. Only
-video/progressive-JPEG remain the environment-bound seam.
+0/2/3/4/6, sequential and Adam7), **GIF** (pure-Python LZW, interlace,
+local/global color tables) and **JPEG** — baseline (canonical Huffman
+from DHT, matrix IDCT, 4:2:0/4:2:2/4:4:4, restart markers, grayscale)
+AND progressive (T.81 Annex G spectral selection + successive
+approximation) — each spec-faithful, round-trip tested against its
+encoder twin plus hand-computed known-answer byte vectors — and a
+deterministic fake for anything else so every downstream stage still
+runs real numpy on real shapes. Only video codecs beyond MJPEG (see
+``video.py``) remain the environment-bound seam.
 
 Pattern mirrors the extraction engine: decode + feature-extract fused into
 ONE ``mapInPandas`` stage, module-level singleton for any heavyweight codec
@@ -50,6 +52,7 @@ __all__ = [
     "encode_png",
     "encode_gif",
     "encode_jpeg",
+    "encode_jpeg_progressive",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -738,13 +741,16 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Real baseline JPEG decode with no image library: marker walk,
-    canonical Huffman tables read from DHT, run-length/EOB AC expansion,
+    """Real JPEG decode with no image library: marker walk, canonical
+    Huffman tables read from DHT, run-length/EOB AC expansion,
     dequantize, un-zigzag, matrix IDCT, chroma upsampling, JFIF
-    YCbCr→RGB. Supports baseline DCT (SOF0), 8-bit, 1 or 3 components,
-    sampling factors 1-2 (4:4:4, 4:2:0, 4:2:2), restart markers.
-    Returns (arr, w, h, 3) or None for progressive/12-bit/arithmetic
-    flavors or undecodable bytes.
+    YCbCr→RGB. Supports baseline DCT (SOF0) with sampling factors 1-2
+    (4:4:4, 4:2:0, 4:2:2) and restart markers, AND progressive DCT
+    (SOF2, T.81 Annex G): multi-scan accumulation with spectral
+    selection and successive approximation — DC first/refine, AC first
+    with EOB runs, AC refinement with correction bits. 8-bit, 1 or 3
+    components. Returns (arr, w, h, 3) or None for 12-bit/arithmetic/
+    lossless flavors or undecodable bytes.
 
     Per-bit Huffman walking is Python-speed — right for the fixture and
     metadata-stat sizes this tier serves; the surrounding Spark plumbing
@@ -758,6 +764,8 @@ def decode_jpeg(payload: bytes):
         huff_dc: dict[int, dict] = {}
         huff_ac: dict[int, dict] = {}
         frame = None
+        progressive = False
+        coefs = None  # per comp: (BH, BW, 64) zigzag-order accumulators
         restart_interval = 0
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
@@ -766,6 +774,8 @@ def decode_jpeg(payload: bytes):
             pos += 2
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 continue
+            if marker == 0xD9:  # EOI
+                break
             ln = int.from_bytes(payload[pos : pos + 2], "big")
             seg = payload[pos + 2 : pos + ln]
             if marker == 0xDB:  # DQT
@@ -778,7 +788,7 @@ def decode_jpeg(payload: bytes):
                         seg[s + 1 : s + 65], dtype=np.uint8
                     ).astype(np.int32)
                     s += 65
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 prec = seg[0]
                 h = int.from_bytes(seg[1:3], "big")
                 w = int.from_bytes(seg[3:5], "big")
@@ -790,8 +800,22 @@ def decode_jpeg(payload: bytes):
                     cid, sf, tq = seg[6 + 3 * i : 9 + 3 * i]
                     comps.append({"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq})
                 frame = (w, h, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-                return None  # non-baseline frame types
+                progressive = marker == 0xC2
+                if progressive:
+                    if not all(
+                        1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps
+                    ):
+                        return None
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    coefs = [
+                        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                        for c in comps
+                    ]
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                return None  # extended/lossless/arithmetic frame types
             elif marker == 0xC4:  # DHT
                 s = 0
                 while s < len(seg):
@@ -812,31 +836,33 @@ def decode_jpeg(payload: bytes):
                     cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                     scan.append((cs, tables >> 4, tables & 0x0F))
                 data_start = pos + ln
-                return _jpeg_scan(
-                    payload, data_start, frame, scan, qt, huff_dc, huff_ac,
-                    restart_interval,
+                if not progressive:
+                    return _jpeg_scan(
+                        payload, data_start, frame, scan, qt, huff_dc, huff_ac,
+                        restart_interval,
+                    )
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+                pos = _jpeg_prog_scan(
+                    payload, data_start, frame, coefs, scan, ss, se, ah, al,
+                    huff_dc, huff_ac, restart_interval,
                 )
+                if pos is None:
+                    return None
+                continue
             pos += ln
-        return None
+        if not progressive or frame is None or coefs is None:
+            return None
+        return _jpeg_prog_reconstruct(frame, coefs, qt)
     except (ValueError, IndexError, KeyError):
         return None
 
 
-def _jpeg_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
-    """Decode the (single, interleaved) scan: split the entropy stream on
-    restart markers, Huffman-expand each MCU, assemble component planes,
-    upsample and color-convert."""
-    w, h, comps = frame
-    if len(scan) != len(comps):
-        return None
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
-        return None
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # Entropy segments: stuffed 0xFF00 collapses to 0xFF; RSTn splits.
+def _entropy_segments(payload, pos):
+    """Split an entropy-coded stream starting at ``pos``: stuffed
+    0xFF00 collapses to 0xFF, RSTn markers split segments, any other
+    marker ends the stream. Returns (segments, end_pos) with end_pos at
+    the terminating marker's 0xFF."""
     segments = []
     cur = bytearray()
     while pos + 1 < len(payload):
@@ -856,6 +882,24 @@ def _jpeg_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
         else:  # EOI or any other marker ends the scan
             break
     segments.append(bytes(cur))
+    return segments, pos
+
+
+def _jpeg_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    """Decode the (single, interleaved) scan: split the entropy stream on
+    restart markers, Huffman-expand each MCU, assemble component planes,
+    upsample and color-convert."""
+    w, h, comps = frame
+    if len(scan) != len(comps):
+        return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    segments, _ = _entropy_segments(payload, pos)
 
     planes = []
     for c in comps:
@@ -908,7 +952,15 @@ def _jpeg_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
             mcu += 1
     if mcu != n_mcus:
         return None
+    return _jpeg_colorize(w, h, comps, planes)
 
+
+def _jpeg_colorize(w, h, comps, planes):
+    """Crop component planes to their true dims, upsample chroma, and
+    apply the JFIF YCbCr→RGB transform (shared by the baseline and
+    progressive paths)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for ci, c in enumerate(comps):
         cw = -(-w * c["h"] // hmax)
@@ -925,6 +977,188 @@ def _jpeg_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
     b = y + 1.772 * cb
     arr = np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
     return arr, w, h, 3
+
+
+def _ac_first(reader, blk, act, ss, se, al, eobrun):
+    """Progressive AC first pass for one block (T.81 G.1.2.2): run/size
+    expansion into the spectral band with EOB-run accounting. ``blk`` is
+    the block's 64-entry zigzag accumulator; returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff(act)
+        run, sz = rs >> 4, rs & 0x0F
+        if sz == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += reader.bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("AC band overflow")
+        blk[k] = _extend(reader.bits(sz), sz) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(reader, blk, act, ss, se, al, eobrun):
+    """Progressive AC refinement for one block (T.81 G.1.2.3): place
+    newly-nonzero ±2^Al coefficients and apply one correction bit to
+    every history-nonzero coefficient the walk crosses — including the
+    block tails consumed by an EOB run. Returns the new EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.huff(act)
+            run, sz = rs >> 4, rs & 0x0F
+            newval = 0
+            if sz == 0:
+                if run < 15:  # EOBn: band tail handled below
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += reader.bits(run)
+                    break
+                # ZRL: skip 16 zero-history positions with corrections
+            else:
+                if sz != 1:
+                    raise ValueError("refine size must be 1")
+                newval = p1 if reader.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.bit() and not (abs(int(blk[k])) & p1):
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if k <= se and newval:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.bit() and not (abs(int(blk[k])) & p1):
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_prog_scan(
+    payload, pos, frame, coefs, scan, ss, se, ah, al, huff_dc, huff_ac,
+    restart_interval,
+):
+    """Decode one progressive scan into the per-component coefficient
+    accumulators. Interleaved scans (ns > 1, DC only) walk the MCU grid;
+    single-component scans walk that component's own ceil(dim/8) block
+    raster per G.2. DC predictors and EOB runs reset at restart markers.
+    Returns the stream position after the scan's entropy data, or None.
+    """
+    w, h, comps = frame
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    if any(cs not in by_id for cs, _, _ in scan):
+        return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    interleaved = len(scan) > 1
+    if ss == 0:
+        if se != 0 or ah > 1:
+            return None  # DC scan is exactly the 0 band
+    else:
+        if interleaved or se > 63 or ss > se:
+            return None  # AC scans are single-component
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        ci = by_id[scan[0][0]]
+        c = comps[ci]
+        cw = -(-w * c["h"] // hmax)
+        chh = -(-h * c["v"] // vmax)
+        bw = -(-cw // 8)
+        bh = -(-chh // 8)
+        n_units = bw * bh
+    per_seg = restart_interval or n_units
+    segments, end = _entropy_segments(payload, pos)
+    unit = 0
+    for seg_bytes in segments:
+        if unit >= n_units:
+            break
+        reader = _BitReader(seg_bytes)
+        pred = [0] * len(comps)
+        eobrun = 0
+        for _ in range(min(per_seg, n_units - unit)):
+            if interleaved:  # DC scan over the MCU grid
+                my, mx = divmod(unit, mcux)
+                for cs, td, _ta in scan:
+                    cj = by_id[cs]
+                    cc = comps[cj]
+                    for byy in range(cc["v"]):
+                        for bxx in range(cc["h"]):
+                            blk = coefs[cj][my * cc["v"] + byy, mx * cc["h"] + bxx]
+                            if ah == 0:
+                                table = huff_dc.get(td)
+                                if table is None:
+                                    return None
+                                size = reader.huff(table)
+                                pred[cj] += _extend(reader.bits(size), size)
+                                blk[0] = pred[cj] << al
+                            elif reader.bit():
+                                blk[0] |= 1 << al
+            else:
+                byy, bxx = divmod(unit, bw)
+                blk = coefs[ci][byy, bxx]
+                cs, td, ta = scan[0]
+                if ss == 0:  # non-interleaved DC scan
+                    if ah == 0:
+                        table = huff_dc.get(td)
+                        if table is None:
+                            return None
+                        size = reader.huff(table)
+                        pred[ci] += _extend(reader.bits(size), size)
+                        blk[0] = pred[ci] << al
+                    elif reader.bit():
+                        blk[0] |= 1 << al
+                else:
+                    table = huff_ac.get(ta)
+                    if table is None:
+                        return None
+                    if ah == 0:
+                        eobrun = _ac_first(reader, blk, table, ss, se, al, eobrun)
+                    else:
+                        eobrun = _ac_refine(reader, blk, table, ss, se, al, eobrun)
+            unit += 1
+    if unit != n_units:
+        return None
+    return end
+
+
+def _jpeg_prog_reconstruct(frame, coefs, qt):
+    """Final progressive reconstruction: dequantize the accumulated
+    zigzag coefficients, un-zigzag, IDCT every block (vectorized as two
+    einsum matmuls over the whole block grid), then colorize."""
+    w, h, comps = frame
+    planes = []
+    for ci, c in enumerate(comps):
+        quant = qt.get(c["tq"])
+        if quant is None:
+            return None
+        grid = coefs[ci].astype(np.float64) * quant.astype(np.float64)
+        bh, bw, _ = grid.shape
+        blocks = np.zeros((bh, bw, 64), dtype=np.float64)
+        blocks[:, :, _ZIGZAG] = grid
+        blocks = blocks.reshape(bh, bw, 8, 8)
+        pix = np.einsum("ij,abjk,kl->abil", _DCT_M.T, blocks, _DCT_M)
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _jpeg_colorize(w, h, comps, planes)
 
 
 class _BitWriter:
@@ -1123,6 +1357,241 @@ def encode_jpeg(
     out += seg(0xDA, sos + bytes([0, 63, 0]))
     out += bytes(body) + b"\xff\xd9"
     return out
+
+
+def _fixed_huff(syms, length: int):
+    """Canonical fixed-length Huffman table over a symbol census (same
+    construction as the baseline encoder's): all codes at one length,
+    values sorted — the decoder reads whatever DHT says."""
+    vals = sorted(syms) or [0]
+    if len(vals) >= (1 << length):
+        raise ValueError("symbol set too large for fixed-length table")
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    codes = {v: (length, i) for i, v in enumerate(vals)}
+    return bits, bytes(vals), codes
+
+
+def _prog_ac_first_tokens(blocks, ss, se, al):
+    """Token stream for a progressive AC first scan (one component,
+    band ss..se, point transform Al): run/size symbols with EOB runs
+    spanning empty block tails, exactly the stream :func:`_ac_first`
+    inverts."""
+    tokens = []
+    eob = 0
+
+    def flush():
+        nonlocal eob
+        while eob:
+            run = min(eob, 32767)
+            r = run.bit_length() - 1
+            tokens.append(("sym", r << 4))
+            if r:
+                tokens.append(("bits", run - (1 << r), r))
+            eob -= run
+
+    for zz in blocks:
+        band = [
+            (1 if int(x) > 0 else -1) * (abs(int(x)) >> al)
+            for x in zz[ss : se + 1]
+        ]
+        nz = [i for i, x in enumerate(band) if x]
+        if not nz:
+            eob += 1
+            continue
+        flush()
+        run = 0
+        for i in range(nz[-1] + 1):
+            x = band[i]
+            if x == 0:
+                run += 1
+                continue
+            while run > 15:
+                tokens.append(("sym", 0xF0))
+                run -= 16
+            size = abs(x).bit_length()
+            vb = x if x >= 0 else x + (1 << size) - 1
+            tokens.append(("sym", (run << 4) | size))
+            tokens.append(("bits", vb, size))
+            run = 0
+        if nz[-1] < se - ss:
+            eob += 1
+    flush()
+    return tokens
+
+
+def _prog_ac_refine_tokens(blocks, ss, se, al):
+    """Token stream for a progressive AC refinement scan: newly-nonzero
+    ±2^Al placements with interleaved correction bits for every
+    history-nonzero coefficient the decoder's walk crosses, EOB runs
+    carrying the queued tail corrections — the stream
+    :func:`_ac_refine` inverts."""
+    p1 = 1 << al
+    tokens = []
+    eob_blocks: list[list[int]] = []  # per-run-block correction bits
+
+    def flush():
+        nonlocal eob_blocks
+        if not eob_blocks:
+            return
+        run = len(eob_blocks)
+        r = run.bit_length() - 1
+        tokens.append(("sym", r << 4))
+        if r:
+            tokens.append(("bits", run - (1 << r), r))
+        for corr in eob_blocks:
+            for b in corr:
+                tokens.append(("bits", b, 1))
+        eob_blocks = []
+
+    for zz in blocks:
+        v = [int(x) for x in zz]
+        mag = [abs(x) >> al for x in v]
+        hist = [m >= 2 for m in mag]  # nonzero after earlier scans
+        newly = [k for k in range(ss, se + 1) if mag[k] == 1]
+        if not newly:
+            eob_blocks.append(
+                [mag[k] & 1 for k in range(ss, se + 1) if hist[k]]
+            )
+            if len(eob_blocks) == 32767:
+                flush()
+            continue
+        flush()
+        run = 0
+        pend: list[int] = []
+        for k in range(ss, newly[-1] + 1):
+            if hist[k]:
+                pend.append(mag[k] & 1)
+            elif mag[k] == 1:
+                tokens.append(("sym", (run << 4) | 1))
+                tokens.append(("bits", 1 if v[k] > 0 else 0, 1))
+                tokens.extend(("bits", b, 1) for b in pend)
+                pend = []
+                run = 0
+            else:
+                run += 1
+                if run == 16:
+                    tokens.append(("sym", 0xF0))
+                    tokens.extend(("bits", b, 1) for b in pend)
+                    pend = []
+                    run = 0
+        if newly[-1] < se:
+            eob_blocks.append(
+                [mag[k] & 1 for k in range(newly[-1] + 1, se + 1) if hist[k]]
+            )
+    flush()
+    return tokens
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, gray: bool = False, quant: int = 1,
+    successive: bool = True, bands=((1, 5), (6, 63)),
+) -> bytes:
+    """Deterministic progressive JPEG writer (fixture twin of the SOF2
+    path in :func:`decode_jpeg`): 4:4:4 (or grayscale), spectral
+    selection into ``bands``, and — with ``successive`` — one level of
+    successive approximation (DC first at Al=1 + bit refine; AC first
+    at Al=1 + correction refine), so every Annex G decode path is
+    exercised. At ``quant=1`` the refined coefficients equal the
+    baseline encoder's exactly, making progressive-vs-baseline decode
+    equality a bit-exact differential test."""
+    h, w, _ = arr.shape
+    pw, ph = -(-w // 8) * 8, -(-h // 8) * 8
+    a = arr.astype(np.float64)
+    pad = np.pad(a, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    r, g, b = pad[:, :, 0], pad[:, :, 1], pad[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    qtab = np.full(64, max(1, min(255, quant)), dtype=np.int64)
+    comp_blocks = [list(_jpeg_blocks(y, qtab))]
+    if not gray:
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        comp_blocks.append(list(_jpeg_blocks(cb, qtab)))
+        comp_blocks.append(list(_jpeg_blocks(cr, qtab)))
+    nc = len(comp_blocks)
+    n_blocks = (pw // 8) * (ph // 8)
+    al1 = 1 if successive else 0
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return b"\xff" + bytes([marker]) + (len(data) + 2).to_bytes(2, "big") + data
+
+    def write_tokens(tokens, codes) -> bytes:
+        wtr = _BitWriter()
+        for kind, *payload_ in tokens:
+            if kind == "sym":
+                ln, code = codes[payload_[0]]
+                wtr.write(code, ln)
+            else:
+                vb, n = payload_
+                if n:
+                    wtr.write(vb, n)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def sos(scan_comps, ss, se, ah, al) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            body += bytes([cid, 0x00])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + qtab.astype(np.uint8).tobytes())
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof)
+
+    # DC first scan: interleaved diffs of the Al-shifted DC values.
+    tokens = []
+    pred = [0] * nc
+    for m in range(n_blocks):
+        for ci in range(nc):
+            d = int(comp_blocks[ci][m][0]) >> al1
+            diff = d - pred[ci]
+            pred[ci] = d
+            size = abs(diff).bit_length()
+            vb = diff if diff >= 0 else diff + (1 << size) - 1
+            tokens.append(("sym", size))
+            tokens.append(("bits", vb, size))
+    dc_bits, dc_vals, dc_codes = _fixed_huff(
+        {t[1] for t in tokens if t[0] == "sym"}, 6
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    out += sos(list(range(1, nc + 1)), 0, 0, 0, al1)
+    out += write_tokens(tokens, dc_codes)
+
+    # AC first scans: one per component per spectral band.
+    for ci in range(nc):
+        for ss, se in bands:
+            tokens = _prog_ac_first_tokens(comp_blocks[ci], ss, se, al1)
+            ac_bits, ac_vals, ac_codes = _fixed_huff(
+                {t[1] for t in tokens if t[0] == "sym"}, 9
+            )
+            out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+            out += sos([ci + 1], ss, se, 0, al1)
+            out += write_tokens(tokens, ac_codes)
+
+    if successive:
+        # DC refinement: one raw bit per block, no Huffman coding.
+        wtr = _BitWriter()
+        for m in range(n_blocks):
+            for ci in range(nc):
+                wtr.write(int(comp_blocks[ci][m][0]) & 1, 1)
+        wtr.flush()
+        out += sos(list(range(1, nc + 1)), 0, 0, 1, 0)
+        out += bytes(wtr.out)
+        # AC refinement scans.
+        for ci in range(nc):
+            for ss, se in bands:
+                tokens = _prog_ac_refine_tokens(comp_blocks[ci], ss, se, 0)
+                ac_bits, ac_vals, ac_codes = _fixed_huff(
+                    {t[1] for t in tokens if t[0] == "sym"}, 9
+                )
+                out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+                out += sos([ci + 1], ss, se, 1, 0)
+                out += write_tokens(tokens, ac_codes)
+
+    return out + b"\xff\xd9"
 
 
 def _decode_uncompressed(payload: bytes):

@@ -433,7 +433,8 @@ def test_jpeg_rejects_unsupported_flavors():
     good = encode_jpeg(arr)
     assert decode_jpeg(b"NOTAJPEG") is None
     assert decode_jpeg(good[:40]) is None  # truncated mid-headers
-    # progressive: flip SOF0 -> SOF2
+    # a baseline stream relabeled SOF2 is malformed progressive: its
+    # SOS (Ss=0, Se=63) is neither a DC nor a legal AC scan header
     prog = good.replace(b"\xff\xc0", b"\xff\xc2")
     assert decode_jpeg(prog) is None
     # 16-bit quant table (Pq=1) is not baseline-8
@@ -454,3 +455,114 @@ def test_decode_image_stats_reads_jpeg(spark):
     assert (got[1]["width"], got[1]["height"]) == (31, 19)
     assert (got[2]["width"], got[2]["height"]) == (14, 10)
     assert got[2]["is_blank"] is True and got[1]["is_blank"] is False
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (T.81 Annex G)
+# ---------------------------------------------------------------------------
+
+
+def _seg(marker: int, data: bytes) -> bytes:
+    return b"\xff" + bytes([marker]) + (len(data) + 2).to_bytes(2, "big") + data
+
+
+def test_jpeg_progressive_hand_vector_spectral_selection():
+    # 8x8 grayscale, flat quant 1, coefficients (zigzag order):
+    # DC=10, AC k=1 -> 3, k=5 -> -1, rest 0. Two scans: DC then AC 1..63.
+    # DC DHT: single symbol 4 at code length 1 (code '0');
+    # stream '0'+1010 padded -> 0x57.
+    # AC DHT: symbols {0x00, 0x02, 0x31} at length 2 (codes 00/01/10);
+    # stream: 0x02('01')+bits'11', 0x31('10')+bit'0', EOB('00')
+    # = 011110000 padded -> 0x78 0x7F.
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + _seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+        + _seg(0xC4, bytes([0x00, 1] + [0] * 15 + [4]))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + bytes([0x57])
+        + _seg(0xC4, bytes([0x10, 0, 3] + [0] * 14 + [0x00, 0x02, 0x31]))
+        + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        + bytes([0x78, 0x7F])
+        + b"\xff\xd9"
+    )
+    dec = decode_jpeg(payload)
+    assert dec is not None
+    arr, w, h, _ = dec
+    assert (w, h) == (8, 8)
+    from intelligent_ocr_spark.operators.multimodal import _DCT_M, _ZIGZAG
+
+    zz = np.zeros(64)
+    zz[0], zz[1], zz[5] = 10, 3, -1
+    block = np.zeros(64)
+    block[_ZIGZAG] = zz
+    expect = np.clip(
+        np.rint(_DCT_M.T @ block.reshape(8, 8) @ _DCT_M + 128.0), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(arr, np.repeat(expect[:, :, None], 3, axis=2))
+
+
+def test_jpeg_progressive_hand_vector_restart_resets_dc_pred():
+    # 16x8 grayscale, two blocks, DRI=1: each restart segment must reset
+    # the DC predictor, so both blocks code the SAME size-7 diff of 80
+    # ('0'+1010000 = 0x50) and decode to two flat 138 tiles. Without the
+    # reset the second block would decode 160.
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + _seg(0xC2, bytes([8, 0, 8, 0, 16, 1, 1, 0x11, 0]))
+        + _seg(0xC4, bytes([0x00, 1] + [0] * 15 + [7]))
+        + _seg(0xDD, bytes([0, 1]))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + bytes([0x50])
+        + b"\xff\xd0"
+        + bytes([0x50])
+        + b"\xff\xd9"
+    )
+    dec = decode_jpeg(payload)
+    assert dec is not None
+    arr, w, h, _ = dec
+    assert (w, h) == (16, 8)
+    assert np.array_equal(arr, np.full((8, 16, 3), 138, dtype=np.uint8))
+
+
+def test_jpeg_progressive_matches_baseline_bit_exactly():
+    # At quant=1 the progressive coefficient accumulation must land on
+    # exactly the baseline encoder's integers, so the decoded images are
+    # equal BIT FOR BIT -- a differential that catches any defect in DC/
+    # AC first scans, EOB runs, refinement corrections or band stitching.
+    from intelligent_ocr_spark.operators.multimodal import encode_jpeg_progressive
+
+    rng = np.random.default_rng(23)
+    cases = []
+    noise = rng.integers(0, 256, size=(21, 13, 3), dtype=np.uint8)
+    cases.append(noise)
+    sparse = np.full((17, 26, 3), 128, dtype=np.uint8)
+    sparse[3, 5] = (255, 0, 9)
+    sparse[12, 20] = (0, 255, 17)
+    cases.append(sparse)  # long zero runs: ZRL + EOB-run stress
+    for arr in cases:
+        for gray in (False, True):
+            ref = decode_jpeg(encode_jpeg(arr, gray=gray))[0]
+            for successive in (False, True):
+                for bands in (((1, 5), (6, 63)), ((1, 63),)):
+                    payload = encode_jpeg_progressive(
+                        arr, gray=gray, successive=successive, bands=bands
+                    )
+                    got = decode_jpeg(payload)
+                    assert got is not None, (gray, successive, bands)
+                    assert np.array_equal(got[0], ref), (gray, successive, bands)
+
+
+def test_jpeg_progressive_emits_refinement_scans():
+    # guard: successive=True must really write Ah=1 scans (DC refine +
+    # one AC refine per band), or the refinement decode paths would be
+    # silently untested by the differential above.
+    from intelligent_ocr_spark.operators.multimodal import encode_jpeg_progressive
+
+    arr = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    payload = encode_jpeg_progressive(arr, gray=True, successive=True)
+    # scans: DC first + 2 AC first + DC refine + 2 AC refine = 6
+    assert payload.count(b"\xff\xda") == 6
+    plain = encode_jpeg_progressive(arr, gray=True, successive=False)
+    assert plain.count(b"\xff\xda") == 3
