@@ -3270,6 +3270,71 @@ def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_audio_g711",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             16 + (doc_id * 7) % 120 AS n,
+             CASE WHEN doc_id % 2 = 0
+                  THEN CAST(32124 AS DOUBLE) / 32768   -- µ-law full scale
+                  ELSE CAST(32256 AS DOUBLE) / 32768   -- A-law full scale
+             END AS s
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           CAST(44 + n + (n % 2) AS BIGINT) AS n_bytes,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(8 AS INT) AS bits,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n AS DOUBLE) / 8000 AS duration_s,
+           s AS rms,
+           s AS peak,
+           CAST((n - 1) // 2 AS DOUBLE) / (n - 1) AS zero_cross_rate,
+           false AS is_silence
+    FROM p ORDER BY doc_id
+    """,
+)
+def q_mm_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 telephony decode, oracle-checked: every doc gets a
+    mono 8 kHz WAV whose square wave sits exactly on the codec's
+    full-scale codeword — µ-law (tag 7, ±32124/32768) on even docs,
+    A-law (tag 6, ±32256/32768) on odd — so the companding tables, the
+    nearest-codeword encoder and the stats math must all agree with the
+    standard's segment formulas bit-for-bit for the closed-form RMS /
+    peak / ZCR columns to hash."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.audio import decode_audio_stats, encode_wav
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 16 + (i * 7) % 120
+                codec = "ulaw" if i % 2 == 0 else "alaw"
+                amp = (32124 if i % 2 == 0 else 32256) / 32768.0
+                pat = np.array([amp, amp, -amp, -amp], dtype=np.float64)
+                sig = np.tile(pat, n // 4 + 1)[:n]
+                media = encode_wav(sig[:, None], 8000, bits=codec)
+                out.append({"doc_id": i, "media": media})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return (
+        decode_audio_stats(media)
+        .select(
+            "doc_id", "n_bytes", "sample_rate", "bits", "n_frames",
+            "duration_s", "rms", "peak", "zero_cross_rate", "is_silence",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "mm_video_frames",
     """
     SELECT doc_id,
@@ -3991,19 +4056,20 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 51 names (all
+    # which as of the round-5 final commit is these 52 names (all
     # driver-green in r5's own full `tools_parity.py` sweeps).
-    # NOTE: eight queries (`dedup_incremental`, `dedup_incremental_near`,
+    # NOTE: nine queries (`dedup_incremental`, `dedup_incremental_near`,
     # `prep_dsir_weights`, `pipeline_near_dedup`, `mm_decode_png_gif`,
-    # `mm_decode_jpeg`, `mm_audio_stats`, `mm_video_frames`) were
-    # REGISTERED late in round 5 after the cap was already exactly full
-    # (changed ∪ skipped-last = 50); per the same slot-yield rationale
-    # as the WARC rows-only entries above they sit in the tail this
-    # round — all are oracled, pytest-pinned (known-answer/plan pins;
-    # DSIR has a full pure-Python differential; incremental-near has an
-    # in-corpus-LSH equivalence property; png/gif/jpeg have 32, WAV 24
-    # and AVI 10 known-answer codec tests), parity-verified in r5's
-    # sweep, and listed below so round 6's driver covers them:
+    # `mm_decode_jpeg`, `mm_audio_stats`, `mm_audio_g711`,
+    # `mm_video_frames`) were REGISTERED late in round 5 after the cap
+    # was already exactly full (changed ∪ skipped-last = 50); per the
+    # same slot-yield rationale as the WARC rows-only entries above they
+    # sit in the tail this round — all are oracled, pytest-pinned
+    # (known-answer/plan pins; DSIR has a full pure-Python differential;
+    # incremental-near has an in-corpus-LSH equivalence property;
+    # png/gif/jpeg have 39, WAV/G.711 28 and AVI 10 known-answer codec
+    # tests), parity-verified in r5's sweep, and listed below so round
+    # 6's driver covers them:
     #   ['q1_pricing_summary', 'f1_existing_text_probe',
     #    'f4_confidence_filter', 'x11_hash_bucketing',
     #    'j2_resume_antijoin', 'j3_fallback_coalesce', 'w1_order_repair',
@@ -4023,8 +4089,8 @@ _SKIPPED_LAST_ROUND = [
     #    'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
     #    'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
     #    'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_audio_stats',
-    #    'mm_video_frames', 'sim_ivf_topk', 'x3_dual_insert_variants',
-    #    'prep_dsir_weights',
+    #    'mm_audio_g711', 'mm_video_frames', 'sim_ivf_topk',
+    #    'x3_dual_insert_variants', 'prep_dsir_weights',
     #    'extract_synthetic_pages', 'extract_dual_insert',
     #    'extract_pixmap_pages', 'source_warc_extract',
     #    'warc_revisit_dedup']

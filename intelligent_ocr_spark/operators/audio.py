@@ -4,10 +4,12 @@ stats — the audio twin of the image tier in ``multimodal.py``.
 The decoder is a REAL spec-faithful RIFF walker (word-aligned chunk
 iteration, unknown chunks skipped, ``fmt `` parsed per the original
 Microsoft/IBM WAVE spec): PCM 8-bit unsigned, 16/24/32-bit signed
-little-endian, IEEE float32 (format tag 3), and WAVE_FORMAT_EXTENSIBLE
-(0xFFFE) resolved through its SubFormat GUID prefix. Everything else
-(ADPCM, MP3-in-WAV, ...) returns ``None`` and quarantines — same
-degrade-never-crash rule as the image decoders.
+little-endian, IEEE float32 (format tag 3), G.711 µ-law/A-law
+telephony companding (tags 7/6, tables expanded from the standard's
+segment formulas), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolved
+through its SubFormat GUID prefix. Everything else (ADPCM, MP3-in-WAV,
+...) returns ``None`` and quarantines — same degrade-never-crash rule
+as the image decoders.
 
 Stats are the ones a corpus-quality pipeline gates on: duration, RMS /
 peak level, zero-crossing rate (the classic cheap speech-vs-tone
@@ -69,6 +71,33 @@ _EXT_PCM = (1).to_bytes(4, "little")
 _EXT_FLOAT = (3).to_bytes(4, "little")
 
 
+def _g711_tables():
+    """G.711 companding tables: 256-entry byte → linear (float64 full
+    scale) for µ-law and A-law, expanded straight from the standard's
+    segment/mantissa formulas (bias 0x84 for µ, 0x55 toggle for A)."""
+    ulaw = np.empty(256, dtype=np.float64)
+    for u in range(256):
+        x = ~u & 0xFF
+        mag = (((x & 0x0F) << 3) + 0x84) << ((x & 0x70) >> 4)
+        ulaw[u] = (0x84 - mag) if x & 0x80 else (mag - 0x84)
+    alaw = np.empty(256, dtype=np.float64)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if a & 0x80 else -t
+    return ulaw / 32768.0, alaw / 32768.0
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
 def _wav_chunks(payload: bytes):
     """Yield (chunk_id, body) over a RIFF body, honoring the spec's
     word alignment (odd-sized chunks carry one pad byte that is NOT
@@ -91,9 +120,10 @@ def decode_wav(payload: bytes):
     ``samples`` is float64 shaped (n_frames, n_channels), normalized to
     [-1, 1) by the integer type's full scale (int16 −32768 ↦ −1.0 — the
     one value that reaches full scale, which is exactly what the
-    clipping stat counts). Returns ``None`` for non-WAV bytes, missing
-    fmt/data chunks, or compression tags this decoder honestly does not
-    implement.
+    clipping stat counts); G.711 bytes expand through the µ-law/A-law
+    tables (±32124/32768 and ±32256/32768 full scale). Returns ``None``
+    for non-WAV bytes, missing fmt/data chunks, or compression tags
+    this decoder honestly does not implement.
     """
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
@@ -142,6 +172,10 @@ def decode_wav(payload: bytes):
             return None
     elif tag == 3 and bits == 32:  # IEEE float
         x = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4").astype(np.float64)
+    elif tag == 6 and bits == 8:  # G.711 A-law
+        x = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+    elif tag == 7 and bits == 8:  # G.711 µ-law
+        x = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
     else:
         return None
     n = len(x) // n_channels * n_channels
@@ -155,15 +189,23 @@ def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
     ``samples`` is float64 (n_frames, n_channels) in [-1, 1]; quantized
     by full scale with the same convention the decoder inverts, so
     dyadic values round-trip bit-exactly. ``bits`` ∈ {8, 16, 24, 32,
-    -32} where -32 writes IEEE float32. Written independently of the
-    decoder (struct-free little-endian assembly straight from the spec
-    layout) so round-trip tests catch one-sided mistakes.
+    -32, "ulaw", "alaw"} where -32 writes IEEE float32 and the string
+    forms write G.711 companded bytes (nearest codeword, so samples
+    that sit exactly on table values round-trip bit-exactly). Written
+    independently of the decoder (struct-free little-endian assembly
+    straight from the spec layout) so round-trip tests catch one-sided
+    mistakes.
     """
     if samples.ndim == 1:
         samples = samples[:, None]
     n_frames, n_channels = samples.shape
     flat = samples.reshape(-1)
-    if bits == 8:
+    if bits in ("ulaw", "alaw"):
+        table = _ULAW_TABLE if bits == "ulaw" else _ALAW_TABLE
+        body = np.abs(flat[:, None] - table[None, :]).argmin(axis=1)
+        body = body.astype(np.uint8).tobytes()
+        tag, width, bits = (7 if bits == "ulaw" else 6), 1, 8
+    elif bits == 8:
         body = (np.clip(flat * 128.0 + 128.0, 0, 255)).astype(np.uint8).tobytes()
         tag, width = 1, 1
     elif bits == 16:

@@ -183,3 +183,42 @@ def test_stereo_stats_match_mono(spark):
     assert row.n_channels == 2 and row.n_frames == 12
     assert row.rms == 0.5 and row.peak == 0.5
     assert row.zero_cross_rate == 5 / 11
+
+
+# ----------------------------------------------------------- G.711 (tags 6/7)
+
+
+def test_g711_known_answer_bytes():
+    # spec-derived codewords: full-scale and zero/minimum codes computed
+    # by hand from the G.711 segment formulas (bias 0x84; 0x55 toggle)
+    from intelligent_ocr_spark.operators.audio import _ALAW_TABLE, _ULAW_TABLE
+
+    assert _ULAW_TABLE[0x00] * 32768 == -32124  # seg 7, mantissa 15, neg
+    assert _ULAW_TABLE[0x80] * 32768 == 32124
+    assert _ULAW_TABLE[0xFF] == 0.0  # both zero codes decode to 0
+    assert _ULAW_TABLE[0x7F] == 0.0
+    assert _ALAW_TABLE[0x2A] * 32768 == -32256  # seg 7, mantissa 15
+    assert _ALAW_TABLE[0xAA] * 32768 == 32256
+    assert _ALAW_TABLE[0xD5] * 32768 == 8  # seg 0 minimum magnitude
+    assert _ALAW_TABLE[0x55] * 32768 == -8
+
+
+@pytest.mark.parametrize("codec", ["ulaw", "alaw"])
+def test_g711_roundtrip_on_codewords(codec):
+    from intelligent_ocr_spark.operators.audio import _ALAW_TABLE, _ULAW_TABLE
+
+    table = _ULAW_TABLE if codec == "ulaw" else _ALAW_TABLE
+    vals = np.unique(table)  # every decodable level, once
+    payload = encode_wav(vals[:, None], 8000, bits=codec)
+    samples, rate, ch, bits = decode_wav(payload)
+    assert bits == 8 and ch == 1
+    np.testing.assert_array_equal(samples[:, 0], vals)
+
+
+def test_g711_square_stats_exact(spark):
+    # µ-law full-scale square: ±32124/32768 — all stats closed-form
+    amp = 32124 / 32768
+    payload = encode_wav(_square(10, amp)[:, None], 8000, bits="ulaw")
+    row = _stats_of(payload, spark)
+    assert row.rms == amp and row.peak == amp
+    assert row.zero_cross_rate == 4 / 9 and row.clip_frac == 0.0
