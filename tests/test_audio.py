@@ -222,3 +222,65 @@ def test_g711_square_stats_exact(spark):
     row = _stats_of(payload, spark)
     assert row.rms == amp and row.peak == amp
     assert row.zero_cross_rate == 4 / 9 and row.clip_frac == 0.0
+
+
+# ----------------------------------------------------------- segmentation
+
+
+def _bursty(bursts, gap, amp):
+    """bursts of square wave separated by `gap` silent frames."""
+    from numpy import concatenate, zeros
+
+    parts = []
+    for ln in bursts:
+        parts.append(_square(ln, amp))
+        parts.append(zeros(gap))
+    return concatenate(parts)
+
+
+def _segments_of(payload, spark, **kw):
+    from intelligent_ocr_spark.operators.audio import segment_audio
+
+    df = spark.createDataFrame([(0, bytearray(payload))], "doc_id long, media binary")
+    return sorted(segment_audio(df, **kw).collect(), key=lambda r: r.seg_idx or 0)
+
+
+def test_segment_bounds_and_stats_exact(spark):
+    payload = encode_wav(_bursty([12, 8], 6, 0.25)[:, None], 8000, bits=16)
+    rows = _segments_of(payload, spark, min_gap=4)
+    assert [(r.start_frame, r.end_frame) for r in rows] == [(0, 12), (18, 26)]
+    for r in rows:
+        assert r.rms == 0.25 and r.peak == 0.25
+    assert rows[0].duration_s == 12 / 8000 and rows[0].n_frames == 12
+
+
+def test_short_gaps_merge(spark):
+    payload = encode_wav(_bursty([8, 8], 3, 0.5)[:, None], 8000, bits=16)
+    rows = _segments_of(payload, spark, min_gap=4)
+    # 3 < min_gap: one merged segment spanning first to last active frame
+    assert [(r.start_frame, r.end_frame) for r in rows] == [(0, 19)]
+
+
+def test_leading_silence_trimmed(spark):
+    sig = np.concatenate([np.zeros(10), _square(8, 0.5), np.zeros(10)])
+    payload = encode_wav(sig[:, None], 8000, bits=16)
+    rows = _segments_of(payload, spark, min_gap=4)
+    assert [(r.start_frame, r.end_frame) for r in rows] == [(10, 18)]
+
+
+def test_all_silence_yields_no_segments(spark):
+    payload = encode_wav(np.zeros((40, 1)), 8000, bits=16)
+    from intelligent_ocr_spark.operators.audio import segment_audio
+
+    df = spark.createDataFrame([(0, bytearray(payload))], "doc_id long, media binary")
+    assert segment_audio(df).count() == 0
+
+
+def test_segment_quarantine_row(spark):
+    from intelligent_ocr_spark.operators.audio import segment_audio
+
+    df = spark.createDataFrame(
+        [(7, bytearray(b"not audio"))], "doc_id long, media binary"
+    )
+    rows = segment_audio(df).collect()
+    assert len(rows) == 1 and rows[0].seg_idx is None and rows[0].doc_id == 7
