@@ -3460,6 +3460,73 @@ def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pipeline_multimodal_dedup",
+    """
+    SELECT doc_id,
+           CAST(12 + (doc_id * 3) % 50 AS INT) AS width,
+           CAST(12 + (doc_id * 11) % 50 AS INT) AS height
+    FROM documents WHERE doc_id < 40 AND doc_id % 3 <> 0 ORDER BY doc_id
+    """,
+)
+def q_pipeline_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal corpus pipeline, oracle-checked end to end:
+    real decode (mixed PNG/JPEG, interlace and progressive variants) →
+    blank gate → exact dedup on the decoded content hash keeping the
+    smallest doc_id. Media bytes are keyed by ``doc_id % 40`` so every
+    group of 3 docs carries byte-identical payloads; the oracle's
+    survivor set (one non-blank doc per group, dims closed forms of the
+    group key) only hashes if decode, gating and the relational dedup
+    all compose exactly — the image twin of ``pipeline_quality_dedup``."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        encode_png,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                g = i % 40  # content group: 3 byte-identical docs each
+                w = 12 + (g * 3) % 50
+                h = 12 + (g * 11) % 50
+                rng = np.random.default_rng(g)
+                if g % 3 == 0:
+                    arr = np.full((h, w, 3), 150, dtype=np.uint8)  # blank
+                else:
+                    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                if g % 2 == 0:
+                    media = encode_png(arr, interlace=(g % 4 == 0))
+                elif g % 5 == 1:
+                    media = encode_jpeg_progressive(arr, successive=(g % 10 == 1))
+                else:
+                    media = encode_jpeg(arr, subsample=[False, True, "422"][g % 3])
+                out.append({"doc_id": i, "media": media})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    stats = decode_image_stats(media)
+    return (
+        stats.filter(~F.col("is_blank"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("width").alias("width"),
+            F.first("height").alias("height"),
+        )
+        .select("doc_id", "width", "height")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "pipeline_training_prep",
     """
     WITH dedup AS (
@@ -4115,26 +4182,30 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 53 names (all
-    # driver-green in r5's own full `tools_parity.py` sweeps).
-    # NOTE: ten queries (`dedup_incremental`, `dedup_incremental_near`,
+    # which as of the round-5 final commit is these 54 names (all
+    # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
+    # stable-remainder rotation index depends on registry SIZE, so this
+    # list must be regenerated after the round's LAST registration).
+    # NOTE: eleven queries (`dedup_incremental`, `dedup_incremental_near`,
     # `prep_dsir_weights`, `pipeline_near_dedup`, `mm_decode_png_gif`,
     # `mm_decode_jpeg`, `mm_audio_stats`, `mm_audio_g711`,
-    # `mm_audio_segments`, `mm_video_frames`) were REGISTERED late in
-    # round 5 after the cap was already exactly full (changed ∪
-    # skipped-last = 50); per the same slot-yield rationale as the WARC
-    # rows-only entries above they sit in the tail this round — all are
-    # oracled, pytest-pinned (known-answer/plan pins; DSIR has a full
+    # `mm_audio_segments`, `mm_video_frames`,
+    # `pipeline_multimodal_dedup`) were REGISTERED late in round 5
+    # after the cap was already exactly full (changed ∪ skipped-last =
+    # 50); per the same slot-yield rationale as the WARC rows-only
+    # entries above they sit in the tail this round — all are oracled,
+    # pytest-pinned (known-answer/plan pins; DSIR has a full
     # pure-Python differential; incremental-near has an in-corpus-LSH
     # equivalence property; png/gif/jpeg have 39, WAV/G.711/VAD 33 and
     # AVI 10 known-answer codec tests), parity-verified in r5's sweep,
     # and listed below so round 6's driver covers them:
-    #   ['q1_pricing_summary', 'f1_existing_text_probe',
-    #    'f4_confidence_filter', 'x11_hash_bucketing',
-    #    'j2_resume_antijoin', 'j3_fallback_coalesce', 'w1_order_repair',
-    #    'w3_topk_per_group', 'k3_txt_export', 'u3_union_passthrough',
-    #    'u1_intersect_nations', 'a1_lineage_counters',
-    #    'q6_forecast_revenue',
+    #   ['extract_dual_insert', 'extract_pixmap_pages',
+    #    'source_warc_extract', 'warc_revisit_dedup', 'q1_pricing_summary',
+    #    'f1_existing_text_probe', 'f4_confidence_filter',
+    #    'x11_hash_bucketing', 'j2_resume_antijoin',
+    #    'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
+    #    'k3_txt_export', 'u3_union_passthrough', 'u1_intersect_nations',
+    #    'a1_lineage_counters', 'q6_forecast_revenue',
     #    'q12_priority_returns', 'q18_large_volume', 'q4_priority_exists',
     #    'q13_customer_distribution', 'q16_distinct_suppliers',
     #    'q19_disjunctive_predicates', 'q17_small_quantity_revenue',
@@ -4149,10 +4220,9 @@ _SKIPPED_LAST_ROUND = [
     #    'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
     #    'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_audio_stats',
     #    'mm_audio_g711', 'mm_audio_segments', 'mm_video_frames',
-    #    'sim_ivf_topk', 'x3_dual_insert_variants', 'prep_dsir_weights',
-    #    'extract_synthetic_pages', 'extract_dual_insert',
-    #    'extract_pixmap_pages', 'source_warc_extract',
-    #    'warc_revisit_dedup']
+    #    'pipeline_multimodal_dedup', 'sim_ivf_topk',
+    #    'x3_dual_insert_variants', 'prep_dsir_weights',
+    #    'extract_synthetic_pages']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",
