@@ -1673,12 +1673,14 @@ def decode_image_stats(df: DataFrame, media_col: str = "media", id_col: str = "d
 def sample_frames(
     df: DataFrame, every_n: int = 4, media_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Video-style frame sampling plumbing: split the payload into fixed
-    4KiB 'frames', keep every ``every_n``-th, emit one row per kept frame.
+    """Container-agnostic frame sampling plumbing: split the payload
+    into fixed 4KiB 'frames', keep every ``every_n``-th, emit one row
+    per kept frame.
 
-    Real implementation swaps the byte-slicer for a container demuxer; the
-    fan-out shape (1 row → m rows inside mapInPandas) is the part Spark
-    cares about and is real here.
+    The REAL container demuxer this byte-slicer stands in for exists as
+    :func:`video.sample_video_frames` (MJPEG-in-AVI, decoded pixels);
+    this variant stays for media whose container format is unknown —
+    the fan-out shape (1 row → m rows inside mapInPandas) is identical.
     """
     pruned = ensure_parallelism(df.select(id_col, media_col))
 
