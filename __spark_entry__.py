@@ -3182,6 +3182,70 @@ def q_mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_decode_exif",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             12 + (doc_id * 5) % 36 AS w0,
+             16 + (doc_id * 7) % 36 AS h0,
+             1 + doc_id % 8 AS o
+      FROM documents WHERE doc_id < 80
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN o >= 5 THEN h0 ELSE w0 END AS INT) AS width,
+           CAST(CASE WHEN o >= 5 THEN w0 ELSE h0 END AS INT) AS height,
+           (doc_id % 3 = 0) AS is_blank
+    FROM p ORDER BY doc_id
+    """,
+)
+def q_mm_decode_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exif orientation applied at decode, oracle-checked: every doc is
+    a JPEG carrying an APP1 orientation tag ``1 + doc_id % 8``
+    (big-endian TIFF on ``doc_id % 2 == 1``), so the transposing cases
+    (5-8) must SWAP the decoded dims — the oracle restates the swap in
+    closed form, pinning the APP1 walk, the IFD parse in both byte
+    orders, and the display transform end to end."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_jpeg,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 12 + (i * 5) % 36
+                h = 16 + (i * 7) % 36
+                if i % 3 == 0:
+                    arr = np.full((h, w, 3), 60 + i % 150, dtype=np.uint8)
+                else:
+                    g = np.linspace(i % 40, 190 + i % 60, h * w)
+                    arr = np.repeat(
+                        g.reshape(h, w).astype(np.uint8)[:, :, None], 3, axis=2
+                    )
+                media = encode_jpeg(
+                    arr,
+                    exif_orientation=1 + i % 8,
+                    exif_byte_order="big" if i % 2 == 1 else "little",
+                )
+                out.append({"doc_id": i, "media": media})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return (
+        decode_image_stats(media)
+        .select("doc_id", "width", "height", "is_blank")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "mm_audio_stats",
     """
     WITH p AS (
@@ -4182,14 +4246,14 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 54 names (all
+    # which as of the round-5 final commit is these 55 names (all
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: eleven queries (`dedup_incremental`, `dedup_incremental_near`,
+    # NOTE: twelve queries (`dedup_incremental`, `dedup_incremental_near`,
     # `prep_dsir_weights`, `pipeline_near_dedup`, `mm_decode_png_gif`,
-    # `mm_decode_jpeg`, `mm_audio_stats`, `mm_audio_g711`,
-    # `mm_audio_segments`, `mm_video_frames`,
+    # `mm_decode_jpeg`, `mm_decode_exif`, `mm_audio_stats`,
+    # `mm_audio_g711`, `mm_audio_segments`, `mm_video_frames`,
     # `pipeline_multimodal_dedup`) were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only
@@ -4199,8 +4263,9 @@ _SKIPPED_LAST_ROUND = [
     # equivalence property; png/gif/jpeg have 39, WAV/G.711/VAD 33 and
     # AVI 10 known-answer codec tests), parity-verified in r5's sweep,
     # and listed below so round 6's driver covers them:
-    #   ['extract_dual_insert', 'extract_pixmap_pages',
-    #    'source_warc_extract', 'warc_revisit_dedup', 'q1_pricing_summary',
+    #   ['extract_synthetic_pages', 'extract_dual_insert',
+    #    'extract_pixmap_pages', 'source_warc_extract',
+    #    'warc_revisit_dedup', 'q1_pricing_summary',
     #    'f1_existing_text_probe', 'f4_confidence_filter',
     #    'x11_hash_bucketing', 'j2_resume_antijoin',
     #    'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
@@ -4218,11 +4283,10 @@ _SKIPPED_LAST_ROUND = [
     #    'text_source_overlap', 'text_source_drift',
     #    'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
     #    'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
-    #    'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_audio_stats',
-    #    'mm_audio_g711', 'mm_audio_segments', 'mm_video_frames',
-    #    'pipeline_multimodal_dedup', 'sim_ivf_topk',
-    #    'x3_dual_insert_variants', 'prep_dsir_weights',
-    #    'extract_synthetic_pages']
+    #    'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
+    #    'mm_audio_stats', 'mm_audio_g711', 'mm_audio_segments',
+    #    'mm_video_frames', 'pipeline_multimodal_dedup', 'sim_ivf_topk',
+    #    'x3_dual_insert_variants', 'prep_dsir_weights']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",

@@ -740,6 +740,56 @@ def _extend(v: int, size: int) -> int:
     return v
 
 
+def _exif_orientation(app1: bytes) -> int:
+    """Orientation (1-8) from an APP1 Exif segment: 'Exif\\0\\0' header,
+    TIFF byte-order mark, IFD0 walk for tag 0x0112. Returns 1 (normal)
+    for anything malformed — metadata must never fail a decode."""
+    try:
+        if app1[:6] != b"Exif\x00\x00":
+            return 1
+        t = app1[6:]
+        if t[:2] == b"II":
+            bo = "little"
+        elif t[:2] == b"MM":
+            bo = "big"
+        else:
+            return 1
+        if int.from_bytes(t[2:4], bo) != 42:
+            return 1
+        ifd = int.from_bytes(t[4:8], bo)
+        n = int.from_bytes(t[ifd : ifd + 2], bo)
+        for i in range(n):
+            e = t[ifd + 2 + 12 * i : ifd + 14 + 12 * i]
+            if int.from_bytes(e[0:2], bo) == 0x0112 and int.from_bytes(
+                e[2:4], bo
+            ) == 3:
+                v = int.from_bytes(e[8:10], bo)
+                return v if 1 <= v <= 8 else 1
+        return 1
+    except (IndexError, ValueError):
+        return 1
+
+
+def _apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Map decoded pixels to display orientation per the Exif spec's
+    eight cases (5-8 swap width and height)."""
+    if orientation == 2:
+        arr = arr[:, ::-1]
+    elif orientation == 3:
+        arr = arr[::-1, ::-1]
+    elif orientation == 4:
+        arr = arr[::-1, :]
+    elif orientation == 5:  # transpose
+        arr = arr.transpose(1, 0, 2)
+    elif orientation == 6:  # rotate 90 CW
+        arr = arr.transpose(1, 0, 2)[:, ::-1]
+    elif orientation == 7:  # transverse
+        arr = arr.transpose(1, 0, 2)[::-1, ::-1]
+    elif orientation == 8:  # rotate 90 CCW
+        arr = arr.transpose(1, 0, 2)[::-1, :]
+    return np.ascontiguousarray(arr)
+
+
 def decode_jpeg(payload: bytes):
     """Real JPEG decode with no image library: marker walk, canonical
     Huffman tables read from DHT, run-length/EOB AC expansion,
@@ -767,6 +817,7 @@ def decode_jpeg(payload: bytes):
         progressive = False
         coefs = None  # per comp: (BH, BW, 64) zigzag-order accumulators
         restart_interval = 0
+        orientation = 1
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
@@ -825,6 +876,8 @@ def decode_jpeg(payload: bytes):
                     vals = seg[s + 17 : s + 17 + nv]
                     (huff_dc if tc == 0 else huff_ac)[th] = _huff_canonical(bits, vals)
                     s += 17 + nv
+            elif marker == 0xE1:  # APP1: Exif orientation (display transform)
+                orientation = _exif_orientation(bytes(seg))
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(seg[0:2], "big")
             elif marker == 0xDA:  # SOS: entropy-coded data follows
@@ -837,9 +890,12 @@ def decode_jpeg(payload: bytes):
                     scan.append((cs, tables >> 4, tables & 0x0F))
                 data_start = pos + ln
                 if not progressive:
-                    return _jpeg_scan(
-                        payload, data_start, frame, scan, qt, huff_dc, huff_ac,
-                        restart_interval,
+                    return _orient_result(
+                        _jpeg_scan(
+                            payload, data_start, frame, scan, qt, huff_dc,
+                            huff_ac, restart_interval,
+                        ),
+                        orientation,
                     )
                 ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                 ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
@@ -853,9 +909,19 @@ def decode_jpeg(payload: bytes):
             pos += ln
         if not progressive or frame is None or coefs is None:
             return None
-        return _jpeg_prog_reconstruct(frame, coefs, qt)
+        return _orient_result(_jpeg_prog_reconstruct(frame, coefs, qt), orientation)
     except (ValueError, IndexError, KeyError):
         return None
+
+
+def _orient_result(res, orientation: int):
+    """Apply an Exif orientation to a decode result, swapping the
+    reported dims for the transposing cases (5-8)."""
+    if res is None or orientation == 1:
+        return res
+    arr, _w, _h, c = res
+    arr = _apply_orientation(arr, orientation)
+    return arr, arr.shape[1], arr.shape[0], c
 
 
 def _entropy_segments(payload, pos):
@@ -1227,9 +1293,28 @@ def _coef_symbols(zz: np.ndarray):
     return out
 
 
+def _exif_app1(orientation: int, byte_order: str = "little") -> bytes:
+    """Minimal APP1 Exif segment body: TIFF header + a one-entry IFD0
+    carrying the orientation tag (0x0112, SHORT). Both byte orders
+    supported so the reader's 'II'/'MM' handling stays honest."""
+    bo = byte_order
+    mark = b"II" if bo == "little" else b"MM"
+    entry = (
+        (0x0112).to_bytes(2, bo)
+        + (3).to_bytes(2, bo)  # SHORT
+        + (1).to_bytes(4, bo)
+        + orientation.to_bytes(2, bo)
+        + b"\x00\x00"
+    )
+    tiff = mark + (42).to_bytes(2, bo) + (8).to_bytes(4, bo)
+    tiff += (1).to_bytes(2, bo) + entry + (0).to_bytes(4, bo)
+    return b"Exif\x00\x00" + tiff
+
+
 def encode_jpeg(
     arr: np.ndarray, subsample: bool = False, quant: int = 1,
     restart_interval: int = 0, gray: bool = False,
+    exif_orientation: int = 0, exif_byte_order: str = "little",
 ) -> bytes:
     """Deterministic baseline JPEG writer (fixture twin of
     :func:`decode_jpeg`): JFIF YCbCr (or single-component grayscale with
@@ -1342,6 +1427,8 @@ def encode_jpeg(
         return b"\xff" + bytes([marker]) + (len(data) + 2).to_bytes(2, "big") + data
 
     out = b"\xff\xd8"
+    if exif_orientation:
+        out += seg(0xE1, _exif_app1(exif_orientation, exif_byte_order))
     out += seg(0xDB, bytes([0]) + qtab.astype(np.uint8).tobytes())
     nc = 1 if gray else 3
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])

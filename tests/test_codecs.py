@@ -566,3 +566,61 @@ def test_jpeg_progressive_emits_refinement_scans():
     assert payload.count(b"\xff\xda") == 6
     plain = encode_jpeg_progressive(arr, gray=True, successive=False)
     assert plain.count(b"\xff\xda") == 3
+
+
+# ---------------------------------------------------------------------------
+# Exif orientation (APP1)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("byte_order", ["little", "big"])
+def test_exif_orientation_all_eight(byte_order):
+    from intelligent_ocr_spark.operators.multimodal import (
+        _apply_orientation,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, size=(10, 18, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(arr))[0]
+    for o in range(1, 9):
+        payload = encode_jpeg(arr, exif_orientation=o, exif_byte_order=byte_order)
+        got = decode_jpeg(payload)
+        exp = _apply_orientation(base, o)
+        assert got is not None
+        assert np.array_equal(got[0], exp), (o, byte_order)
+        assert (got[1], got[2]) == (exp.shape[1], exp.shape[0])
+
+
+def test_exif_malformed_app1_ignored():
+    from intelligent_ocr_spark.operators.multimodal import encode_jpeg
+
+    arr = np.full((8, 16, 3), 90, dtype=np.uint8)
+    good = encode_jpeg(arr, exif_orientation=6)
+    base = decode_jpeg(encode_jpeg(arr))
+    # corrupt the TIFF byte-order mark: decode proceeds unrotated
+    bad = good.replace(b"Exif\x00\x00II", b"Exif\x00\x00XX")
+    got = decode_jpeg(bad)
+    assert got is not None and (got[1], got[2]) == (base[1], base[2])
+    # APP1 that is not Exif at all (e.g. XMP) is also ignored
+    # (same-length prefix swap keeps the segment length field honest)
+    xmp = good.replace(b"Exif\x00\x00", b"http:/")
+    got = decode_jpeg(xmp)
+    assert got is not None and (got[1], got[2]) == (base[1], base[2])
+
+
+def test_exif_hand_vector_big_endian():
+    # hand-assembled MM (big-endian) APP1: orientation 8 = rotate 90 CCW
+    from intelligent_ocr_spark.operators.multimodal import _exif_orientation
+
+    tiff = (
+        b"MM" + (42).to_bytes(2, "big") + (8).to_bytes(4, "big")
+        + (1).to_bytes(2, "big")
+        + (0x0112).to_bytes(2, "big") + (3).to_bytes(2, "big")
+        + (1).to_bytes(4, "big") + (8).to_bytes(2, "big") + b"\x00\x00"
+        + (0).to_bytes(4, "big")
+    )
+    assert _exif_orientation(b"Exif\x00\x00" + tiff) == 8
+    # out-of-range orientation value falls back to normal
+    bad = tiff.replace((8).to_bytes(2, "big") + b"\x00\x00", (9).to_bytes(2, "big") + b"\x00\x00", 1)
+    assert _exif_orientation(b"Exif\x00\x00" + bad) == 1
