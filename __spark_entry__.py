@@ -3399,6 +3399,87 @@ def q_mm_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_audio_adpcm",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             2 + doc_id % 4 AS nb,
+             CAST(512 + (doc_id * 97) % 30000 AS DOUBLE) / 32768 AS s
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           CAST(60 + nb * 20 AS BIGINT) AS n_bytes,
+           CAST(4 AS INT) AS bits,
+           CAST(nb * 33 AS BIGINT) AS n_frames,
+           CAST(nb * 33 AS DOUBLE) / 8000 AS duration_s,
+           s AS rms,
+           s AS peak,
+           CAST(nb - 1 AS DOUBLE) / (nb * 33 - 1) AS zero_cross_rate,
+           false AS is_silence
+    FROM p ORDER BY doc_id
+    """,
+)
+def q_mm_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA ADPCM decode, oracle-checked: every doc gets a
+    hand-assembled tag-0x11 WAV of ``2 + doc_id % 4`` blocks whose
+    headers carry an alternating-sign predictor with step index 0 and
+    all-zero nibble payloads — at index 0 the step's diff truncates to
+    zero, so each block decodes to 33 EXACT copies of its header sample
+    and the whole file is a block-wise square wave. RMS/peak/ZCR and
+    the byte/frame accounting are closed forms of doc_id; any defect in
+    the block walk, header parse, nibble state machine or fact-chunk
+    handling breaks the hash."""
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.audio import decode_audio_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nb = 2 + i % 4
+                amp = 512 + (i * 97) % 30000
+                data = b""
+                for k in range(nb):
+                    pred = amp if k % 2 == 0 else -amp
+                    data += pred.to_bytes(2, "little", signed=True)
+                    data += bytes([0, 0]) + bytes(16)  # idx 0, zero nibbles
+                fmt = (
+                    (0x11).to_bytes(2, "little")
+                    + (1).to_bytes(2, "little")
+                    + (8000).to_bytes(4, "little")
+                    + (8000 * 20 // 33).to_bytes(4, "little")
+                    + (20).to_bytes(2, "little")
+                    + (4).to_bytes(2, "little")
+                    + (2).to_bytes(2, "little")
+                    + (33).to_bytes(2, "little")
+                )
+                media = (
+                    b"WAVE"
+                    + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                    + b"fact" + (4).to_bytes(4, "little")
+                    + (nb * 33).to_bytes(4, "little")
+                    + b"data" + len(data).to_bytes(4, "little") + data
+                )
+                media = b"RIFF" + len(media).to_bytes(4, "little") + media
+                out.append({"doc_id": i, "media": media})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return (
+        decode_audio_stats(media)
+        .select(
+            "doc_id", "n_bytes", "bits", "n_frames", "duration_s",
+            "rms", "peak", "zero_cross_rate", "is_silence",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "mm_audio_segments",
     """
     WITH p AS (
@@ -4246,14 +4327,15 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 55 names (all
+    # which as of the round-5 final commit is these 56 names (all
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: twelve queries (`dedup_incremental`, `dedup_incremental_near`,
-    # `prep_dsir_weights`, `pipeline_near_dedup`, `mm_decode_png_gif`,
-    # `mm_decode_jpeg`, `mm_decode_exif`, `mm_audio_stats`,
-    # `mm_audio_g711`, `mm_audio_segments`, `mm_video_frames`,
+    # NOTE: thirteen queries (`dedup_incremental`,
+    # `dedup_incremental_near`, `prep_dsir_weights`,
+    # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
+    # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
+    # `mm_audio_adpcm`, `mm_audio_segments`, `mm_video_frames`,
     # `pipeline_multimodal_dedup`) were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only
@@ -4263,9 +4345,9 @@ _SKIPPED_LAST_ROUND = [
     # equivalence property; png/gif/jpeg have 39, WAV/G.711/VAD 33 and
     # AVI 10 known-answer codec tests), parity-verified in r5's sweep,
     # and listed below so round 6's driver covers them:
-    #   ['extract_synthetic_pages', 'extract_dual_insert',
-    #    'extract_pixmap_pages', 'source_warc_extract',
-    #    'warc_revisit_dedup', 'q1_pricing_summary',
+    #   ['prep_dsir_weights', 'extract_synthetic_pages',
+    #    'extract_dual_insert', 'extract_pixmap_pages',
+    #    'source_warc_extract', 'warc_revisit_dedup', 'q1_pricing_summary',
     #    'f1_existing_text_probe', 'f4_confidence_filter',
     #    'x11_hash_bucketing', 'j2_resume_antijoin',
     #    'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
@@ -4284,9 +4366,10 @@ _SKIPPED_LAST_ROUND = [
     #    'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
     #    'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
     #    'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
-    #    'mm_audio_stats', 'mm_audio_g711', 'mm_audio_segments',
-    #    'mm_video_frames', 'pipeline_multimodal_dedup', 'sim_ivf_topk',
-    #    'x3_dual_insert_variants', 'prep_dsir_weights']
+    #    'mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
+    #    'mm_audio_segments', 'mm_video_frames',
+    #    'pipeline_multimodal_dedup', 'sim_ivf_topk',
+    #    'x3_dual_insert_variants']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",

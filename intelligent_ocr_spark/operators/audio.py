@@ -112,6 +112,116 @@ def _g711_tables():
 
 _ULAW_TABLE, _ALAW_TABLE = _g711_tables()
 
+# IMA/DVI ADPCM quantizer step table (89 entries) and index adjustments,
+# per the IMA Digital Audio Pack recommendation.
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+        494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+        1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+        4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+        11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+        27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_expand_nibble(code: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM step: 4-bit code + (predictor, step index) → new
+    (predictor, step index), per the standard's bit-weighted expansion
+    diff = step·(b2 + b1/2 + b0/4 + 1/8)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[code & 7])))
+    return pred, index
+
+
+def _ima_decode_block(block: bytes, n_channels: int):
+    """One IMA ADPCM WAV block → int list per channel. Layout: a 4-byte
+    header per channel (int16 predictor — which IS the block's first
+    sample — plus step index), then channel-interleaved 4-byte groups
+    of low-nibble-first codes (8 samples per channel per group)."""
+    preds = []
+    indexes = []
+    outs = []
+    for c in range(n_channels):
+        hdr = block[4 * c : 4 * c + 4]
+        p = int.from_bytes(hdr[0:2], "little", signed=True)
+        idx = min(88, hdr[2])
+        preds.append(p)
+        indexes.append(idx)
+        outs.append([p])
+    pos = 4 * n_channels
+    while pos + 4 * n_channels <= len(block):
+        for c in range(n_channels):
+            group = block[pos + 4 * c : pos + 4 * c + 4]
+            p, idx = preds[c], indexes[c]
+            for byte in group:
+                for code in (byte & 0x0F, byte >> 4):
+                    p, idx = _ima_expand_nibble(code, p, idx)
+                    outs[c].append(p)
+            preds[c], indexes[c] = p, idx
+        pos += 4 * n_channels
+    return outs
+
+
+def _ima_compress(samples16: np.ndarray, block_frames: int) -> bytes:
+    """IMA ADPCM encoder twin: per-block greedy bit-weighted quantizer
+    mirroring :func:`_ima_expand_nibble` (the standard's reference
+    shape). ``samples16`` is int (n_frames, n_channels); blocks carry
+    ``block_frames`` frames (header sample + nibble payload)."""
+    n, ch = samples16.shape
+    out = bytearray()
+    indexes = [0] * ch  # persists across blocks via each block header
+    for b0 in range(0, n, block_frames):
+        blk = samples16[b0 : b0 + block_frames]
+        if blk.shape[0] < block_frames:  # pad the tail block
+            pad = np.repeat(blk[-1:], block_frames - blk.shape[0], axis=0)
+            blk = np.concatenate([blk, pad])
+        preds = [int(blk[0, c]) for c in range(ch)]
+        for c in range(ch):
+            out += int(preds[c]).to_bytes(2, "little", signed=True)
+            out += bytes([indexes[c], 0])
+        nibbles = [[] for _ in range(ch)]
+        for i in range(1, block_frames):
+            for c in range(ch):
+                step = int(_IMA_STEPS[indexes[c]])
+                diff = int(blk[i, c]) - preds[c]
+                code = 0
+                if diff < 0:
+                    code = 8
+                    diff = -diff
+                if diff >= step:
+                    code |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    code |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    code |= 1
+                preds[c], indexes[c] = _ima_expand_nibble(
+                    code, preds[c], indexes[c]
+                )
+                nibbles[c].append(code)
+        for g in range(0, block_frames - 1, 8):
+            for c in range(ch):
+                eight = nibbles[c][g : g + 8] + [0] * (8 - len(nibbles[c][g : g + 8]))
+                for k in range(0, 8, 2):
+                    out.append(eight[k] | (eight[k + 1] << 4))
+    return bytes(out)
+
 
 def _wav_chunks(payload: bytes):
     """Yield (chunk_id, body) over a RIFF body, honoring the spec's
@@ -144,11 +254,14 @@ def decode_wav(payload: bytes):
         return None
     fmt = None
     data = None
+    fact_frames = None
     for cid, body in _wav_chunks(payload):
         if cid == b"fmt " and fmt is None:
             fmt = body
         elif cid == b"data" and data is None:
             data = body
+        elif cid == b"fact" and len(body) >= 4:
+            fact_frames = int.from_bytes(body[0:4], "little")
     if fmt is None or data is None or len(fmt) < 16:
         return None
     tag = int.from_bytes(fmt[0:2], "little")
@@ -157,6 +270,21 @@ def decode_wav(payload: bytes):
     bits = int.from_bytes(fmt[14:16], "little")
     if n_channels < 1 or sample_rate < 1:
         return None
+    if tag == 0x11 and bits == 4:  # IMA/DVI ADPCM: block state machine
+        block_align = int.from_bytes(fmt[12:14], "little")
+        if block_align < 8 * n_channels or (block_align - 4 * n_channels) % (
+            4 * n_channels
+        ):
+            return None
+        chans: list[list[int]] = [[] for _ in range(n_channels)]
+        for off in range(0, len(data) - block_align + 1, block_align):
+            outs = _ima_decode_block(data[off : off + block_align], n_channels)
+            for c in range(n_channels):
+                chans[c].extend(outs[c])
+        samples = np.array(chans, dtype=np.float64).T / 32768.0
+        if fact_frames is not None:
+            samples = samples[:fact_frames]
+        return samples, sample_rate, n_channels, 4
     if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag lives in SubFormat
         if len(fmt) < 40:
             return None
@@ -215,7 +343,16 @@ def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
         samples = samples[:, None]
     n_frames, n_channels = samples.shape
     flat = samples.reshape(-1)
-    if bits in ("ulaw", "alaw"):
+    extra = b""
+    fact = b""
+    if bits == "ima":  # IMA ADPCM, 33 frames per block (16 bytes/chan)
+        s16 = np.clip(samples * 32768.0, -32768, 32767).astype(np.int64)
+        body = _ima_compress(s16, 33)
+        tag, width, bits = 0x11, None, 4
+        block_align = 20 * n_channels
+        extra = (2).to_bytes(2, "little") + (33).to_bytes(2, "little")
+        fact = b"fact" + (4).to_bytes(4, "little") + n_frames.to_bytes(4, "little")
+    elif bits in ("ulaw", "alaw"):
         table = _ULAW_TABLE if bits == "ulaw" else _ALAW_TABLE
         body = np.abs(flat[:, None] - table[None, :]).argmin(axis=1)
         body = body.astype(np.uint8).tobytes()
@@ -247,14 +384,20 @@ def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
         tag, width, bits = 3, 4, 32
     else:
         raise ValueError(f"unsupported bits: {bits}")
-    block_align = n_channels * width
+    if width is not None:
+        block_align = n_channels * width
+    byte_rate = (
+        sample_rate * block_align // 33 if width is None  # block-based avg
+        else sample_rate * block_align
+    )
     fmt = (
         tag.to_bytes(2, "little")
         + n_channels.to_bytes(2, "little")
         + sample_rate.to_bytes(4, "little")
-        + (sample_rate * block_align).to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
         + block_align.to_bytes(2, "little")
         + bits.to_bytes(2, "little")
+        + extra
     )
     data = body + (b"\x00" if len(body) & 1 else b"")
     riff_body = (
@@ -262,6 +405,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
         + b"fmt "
         + len(fmt).to_bytes(4, "little")
         + fmt
+        + fact
         + b"data"
         + len(body).to_bytes(4, "little")
         + data

@@ -284,3 +284,58 @@ def test_segment_quarantine_row(spark):
     )
     rows = segment_audio(df).collect()
     assert len(rows) == 1 and rows[0].seg_idx is None and rows[0].doc_id == 7
+
+
+# ------------------------------------------------------- IMA ADPCM (tag 0x11)
+
+
+def test_ima_hand_computed_nibble_vector():
+    # header: predictor 100, step index 20 (step 50); nibbles 0x3, 0xC,
+    # then six zero codes — every predictor/index transition computed by
+    # hand from the IMA step/index tables:
+    #   0x3: diff 6+12+25=43  -> 143, idx 19
+    #   0xC: diff 5+45  =50 (-) ->  93, idx 21
+    #   0x0 six times: +6 +6 +5 +5 +4 +4 with idx 21->20->19->18->17->16
+    from intelligent_ocr_spark.operators.audio import _ima_decode_block
+
+    block = (100).to_bytes(2, "little", signed=True) + bytes([20, 0])
+    block += bytes([0xC3, 0x00, 0x00, 0x00])
+    (out,) = _ima_decode_block(block, 1)
+    assert out == [100, 143, 93, 99, 105, 110, 115, 119, 123]
+
+
+def test_ima_expand_clamps():
+    from intelligent_ocr_spark.operators.audio import _ima_expand_nibble
+
+    pred, idx = _ima_expand_nibble(0x7, 32000, 88)  # max positive diff
+    assert pred == 32767 and idx == 88  # clamp both ways
+    pred, idx = _ima_expand_nibble(0xF, -32000, 88)
+    assert pred == -32768
+    _, idx = _ima_expand_nibble(0x0, 0, 0)
+    assert idx == 0  # index floor
+
+
+def test_ima_roundtrip_constant_exact_and_sine_close():
+    x = np.full((67, 2), -20000 / 32768.0)
+    samples, rate, ch, bits = decode_wav(encode_wav(x, 8000, bits="ima"))
+    assert bits == 4 and ch == 2
+    np.testing.assert_array_equal(samples, x)  # fact chunk trims pad
+    t = np.linspace(0, 4 * np.pi, 200)
+    sine = (0.5 * np.sin(t))[:, None]
+    dec, *_ = decode_wav(encode_wav(sine, 8000, bits="ima"))
+    # after the inherent index-0 cold start the quantizer tracks closely
+    assert np.max(np.abs(dec[16:, 0] - sine[16:, 0])) < 0.02
+
+
+def test_ima_stats_through_operator(spark):
+    x = np.full((50, 1), 8192 / 32768.0)
+    row = _stats_of(encode_wav(x, 8000, bits="ima"), spark)
+    assert row.bits == 4 and row.n_frames == 50
+    assert row.rms == 0.25 and row.peak == 0.25 and row.zero_cross_rate == 0.0
+
+
+def test_ima_bad_block_align_rejected():
+    payload = encode_wav(np.zeros((40, 1)), 8000, bits="ima")
+    # corrupt block_align to a non-conforming value
+    bad = payload[:32] + (7).to_bytes(2, "little") + payload[34:]
+    assert decode_wav(bad) is None
