@@ -3605,6 +3605,78 @@ def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_av_stats",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 4 AS nf,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 24
+                                  ELSE 30 END AS DOUBLE) AS fps,
+             32 + (doc_id * 5) % 160 AS an,
+             CAST(256 + (doc_id * 813) % 30000 AS DOUBLE) / 32768 AS s
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           CAST(nf AS INT) AS n_frames,
+           fps,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(nf AS DOUBLE) / fps AS v_duration_s,
+           CAST(8000 AS INT) AS a_rate,
+           CAST(1 AS INT) AS a_channels,
+           CAST(an AS BIGINT) AS a_frames,
+           CAST(an AS DOUBLE) / 8000 AS a_duration_s,
+           s AS a_rms,
+           s AS a_peak
+    FROM p ORDER BY doc_id
+    """,
+)
+def q_mm_av_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint audio/video container stats, oracle-checked: every doc is
+    an AVI with both a ``vids`` MJPEG stream (``1 + doc_id % 4`` frames,
+    fps cycling 10/24/30) and an ``auds`` PCM16 stream (a dyadic square
+    wave of closed-form length and amplitude in a ``01wb`` chunk) —
+    the decode must demux BOTH streams, expand the video frames, run
+    the WAVEFORMAT codec core on the audio bytes, and report exact
+    per-stream durations and levels for the hash to land."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.video import (
+        decode_av_stats,
+        encode_avi_mjpeg,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nf = 1 + i % 4
+                fps = [10, 24, 30][i % 3]
+                an = 32 + (i * 5) % 160
+                amp = (256 + (i * 813) % 30000) / 32768.0
+                frames = []
+                for k in range(nf):
+                    g = np.linspace((i + k) % 50, 200 + (i + k) % 55, 256)
+                    frames.append(
+                        np.repeat(
+                            g.reshape(16, 16).astype(np.uint8)[:, :, None], 3, axis=2
+                        )
+                    )
+                pat = np.array([amp, amp, -amp, -amp], dtype=np.float64)
+                aud = np.tile(pat, an // 4 + 1)[:an][:, None]
+                media = encode_avi_mjpeg(frames, fps=fps, audio=(aud, 8000))
+                out.append({"doc_id": i, "media": media})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return decode_av_stats(media).orderBy("doc_id")
+
+
+@_q(
     "pipeline_multimodal_dedup",
     """
     SELECT doc_id,
@@ -4327,16 +4399,17 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 56 names (all
+    # which as of the round-5 final commit is these 57 names (all
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: thirteen queries (`dedup_incremental`,
+    # NOTE: fourteen queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
     # `mm_audio_adpcm`, `mm_audio_segments`, `mm_video_frames`,
-    # `pipeline_multimodal_dedup`) were REGISTERED late in round 5
+    # `mm_av_stats`, `pipeline_multimodal_dedup`) were REGISTERED
+    # late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only
     # entries above they sit in the tail this round — all are oracled,
@@ -4345,9 +4418,10 @@ _SKIPPED_LAST_ROUND = [
     # equivalence property; png/gif/jpeg have 39, WAV/G.711/VAD 33 and
     # AVI 10 known-answer codec tests), parity-verified in r5's sweep,
     # and listed below so round 6's driver covers them:
-    #   ['prep_dsir_weights', 'extract_synthetic_pages',
-    #    'extract_dual_insert', 'extract_pixmap_pages',
-    #    'source_warc_extract', 'warc_revisit_dedup', 'q1_pricing_summary',
+    #   ['x3_dual_insert_variants', 'prep_dsir_weights',
+    #    'extract_synthetic_pages', 'extract_dual_insert',
+    #    'extract_pixmap_pages', 'source_warc_extract',
+    #    'warc_revisit_dedup', 'q1_pricing_summary',
     #    'f1_existing_text_probe', 'f4_confidence_filter',
     #    'x11_hash_bucketing', 'j2_resume_antijoin',
     #    'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
@@ -4367,9 +4441,8 @@ _SKIPPED_LAST_ROUND = [
     #    'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
     #    'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
     #    'mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
-    #    'mm_audio_segments', 'mm_video_frames',
-    #    'pipeline_multimodal_dedup', 'sim_ivf_topk',
-    #    'x3_dual_insert_variants']
+    #    'mm_audio_segments', 'mm_video_frames', 'mm_av_stats',
+    #    'pipeline_multimodal_dedup', 'sim_ivf_topk']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",

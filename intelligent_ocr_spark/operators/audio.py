@@ -40,6 +40,7 @@ __all__ = [
     "AUDIO_META_SCHEMA",
     "AUDIO_SEGMENT_SCHEMA",
     "decode_wav",
+    "decode_fmt_data",
     "encode_wav",
     "decode_audio_stats",
     "segment_audio",
@@ -262,7 +263,17 @@ def decode_wav(payload: bytes):
             data = body
         elif cid == b"fact" and len(body) >= 4:
             fact_frames = int.from_bytes(body[0:4], "little")
-    if fmt is None or data is None or len(fmt) < 16:
+    if fmt is None or data is None:
+        return None
+    return decode_fmt_data(fmt, data, fact_frames)
+
+
+def decode_fmt_data(fmt: bytes, data: bytes, fact_frames: int | None = None):
+    """WAVEFORMAT(EX) header bytes + raw sample data → (samples, rate,
+    channels, bits) — the codec core shared by :func:`decode_wav` and
+    the AVI ``auds`` stream path (an AVI audio ``strf`` IS this same
+    structure)."""
+    if len(fmt) < 16:
         return None
     tag = int.from_bytes(fmt[0:2], "little")
     n_channels = int.from_bytes(fmt[2:4], "little")

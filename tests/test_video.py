@@ -153,3 +153,51 @@ def test_sample_video_frames(spark):
         assert r.is_blank is True  # sampled frames 0/2/4 are uniform
     assert len(by_doc[1]) == 1 and by_doc[1][0].frame_idx is None
     assert len(by_doc[2]) == 1 and by_doc[2][0].frame_idx is None
+
+
+# ------------------------------------------------------------- A/V (auds)
+
+
+def _square(n, amp):
+    pat = np.array([amp, amp, -amp, -amp], dtype=np.float64)
+    return np.tile(pat, n // 4 + 1)[:n]
+
+
+def test_avi_audio_stream_roundtrip():
+    frames = [_uniform(16, 16, 80)] * 3
+    aud = _square(40, 0.25)[:, None]
+    payload = encode_avi_mjpeg(frames, fps=10, audio=(aud, 8000))
+    decoded, meta = decode_avi(payload)
+    assert len(decoded) == 3 and meta["n_chunks"] == 3  # wb not a frame
+    samples, rate, ch, bits = meta["audio"]
+    assert (rate, ch, bits) == (8000, 1, 16)
+    np.testing.assert_array_equal(samples, aud)
+
+
+def test_avi_without_audio_has_none():
+    payload = encode_avi_mjpeg([_uniform(16, 16, 90)], fps=10)
+    _, meta = decode_avi(payload)
+    assert meta["audio"] is None
+
+
+def test_decode_av_stats_exact(spark):
+    from intelligent_ocr_spark.operators.video import decode_av_stats
+
+    frames = [_gradient(16, 16, k) for k in range(4)]
+    aud = np.column_stack([_square(100, 0.5)] * 2)
+    good = encode_avi_mjpeg(frames, fps=10, audio=(aud, 16000))
+    silent = encode_avi_mjpeg(frames[:2], fps=24)
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(silent)), (2, bytearray(b"junk"))],
+        "doc_id long, media binary",
+    )
+    rows = {r.doc_id: r for r in decode_av_stats(df).collect()}
+    r0 = rows[0]
+    assert (r0.n_frames, r0.fps, r0.width, r0.height) == (4, 10.0, 16, 16)
+    assert r0.v_duration_s == 4 / 10.0
+    assert (r0.a_rate, r0.a_channels, r0.a_frames) == (16000, 2, 100)
+    assert r0.a_duration_s == 100 / 16000
+    assert r0.a_rms == 0.5 and r0.a_peak == 0.5
+    r1 = rows[1]
+    assert r1.n_frames == 2 and r1.a_rate is None and r1.a_rms is None
+    assert rows[2].n_frames is None
