@@ -3605,6 +3605,73 @@ def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_media_type",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN 'unknown'
+                WHEN doc_id % 7 = 0 THEN 'image/png'
+                WHEN doc_id % 7 = 1 THEN 'image/gif'
+                WHEN doc_id % 7 = 2 THEN 'image/bmp'
+                WHEN doc_id % 7 = 3 THEN 'image/x-portable-pixmap'
+                WHEN doc_id % 7 = 4 THEN 'image/jpeg'
+                WHEN doc_id % 7 = 5 THEN 'audio/wav'
+                ELSE 'video/avi' END AS media_type
+    FROM documents WHERE doc_id < 140 ORDER BY doc_id
+    """,
+)
+def q_mm_media_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte media-type sniff as a pure JVM column expression,
+    oracle-checked over REAL payloads from every encoder twin (PNG,
+    GIF, BMP, netpbm, JPEG, WAV, AVI) plus non-media bytes — the
+    content-type census a crawl pipeline runs before routing media to
+    decoders, with zero Python in the plan."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.audio import encode_wav
+    from intelligent_ocr_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        media_type_col,
+    )
+    from intelligent_ocr_spark.operators.video import encode_avi_mjpeg
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 140).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                arr = np.full((8, 8, 3), 30 + i % 200, dtype=np.uint8)
+                if i % 11 == 0:
+                    media = b"\x00<not media>" + bytes([i % 251]) * 16
+                elif i % 7 == 0:
+                    media = encode_png(arr)
+                elif i % 7 == 1:
+                    media = encode_gif(arr)
+                elif i % 7 == 2:
+                    media = encode_bmp(arr)
+                elif i % 7 == 3:
+                    media = b"P6\n8 8\n255\n" + bytes(arr.tobytes())
+                elif i % 7 == 4:
+                    media = encode_jpeg(arr)
+                elif i % 7 == 5:
+                    media = encode_wav(np.zeros((16, 1)), 8000, bits=16)
+                else:
+                    media = encode_avi_mjpeg([arr], fps=10)
+                out.append({"doc_id": i, "media": media})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return media.select(
+        "doc_id", media_type_col("media").alias("media_type")
+    ).orderBy("doc_id")
+
+
+@_q(
     "mm_av_stats",
     """
     WITH p AS (
@@ -4399,17 +4466,17 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 57 names (all
+    # which as of the round-5 final commit is these 58 names (all
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: fourteen queries (`dedup_incremental`,
+    # NOTE: fifteen queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
     # `mm_audio_adpcm`, `mm_audio_segments`, `mm_video_frames`,
-    # `mm_av_stats`, `pipeline_multimodal_dedup`) were REGISTERED
-    # late in round 5
+    # `mm_av_stats`, `mm_media_type`, `pipeline_multimodal_dedup`)
+    # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only
     # entries above they sit in the tail this round — all are oracled,
@@ -4418,7 +4485,7 @@ _SKIPPED_LAST_ROUND = [
     # equivalence property; png/gif/jpeg have 39, WAV/G.711/VAD 33 and
     # AVI 10 known-answer codec tests), parity-verified in r5's sweep,
     # and listed below so round 6's driver covers them:
-    #   ['x3_dual_insert_variants', 'prep_dsir_weights',
+    #   ['sim_ivf_topk', 'x3_dual_insert_variants', 'prep_dsir_weights',
     #    'extract_synthetic_pages', 'extract_dual_insert',
     #    'extract_pixmap_pages', 'source_warc_extract',
     #    'warc_revisit_dedup', 'q1_pricing_summary',
@@ -4441,8 +4508,8 @@ _SKIPPED_LAST_ROUND = [
     #    'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
     #    'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
     #    'mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
-    #    'mm_audio_segments', 'mm_video_frames', 'mm_av_stats',
-    #    'pipeline_multimodal_dedup', 'sim_ivf_topk']
+    #    'mm_audio_segments', 'mm_video_frames', 'mm_media_type',
+    #    'mm_av_stats', 'pipeline_multimodal_dedup']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",

@@ -197,3 +197,40 @@ def test_media_stat_operators_zero_shuffle(spark, tmp_path):
         plan = _plan(op(media))
         assert "Exchange" not in plan, (op.__name__, plan)
         assert "MapInPandas" in plan, (op.__name__, plan)
+
+
+def test_media_type_sniff_is_jvm_only(spark, pages_parquet):
+    """media_type_col must compile to a pure JVM projection — magic-byte
+    sniffing over a 100 TB media column cannot afford a Python worker
+    round-trip per row."""
+    from intelligent_ocr_spark.operators.multimodal import media_type_col
+
+    df = spark.read.parquet(pages_parquet).selectExpr(
+        "cast(html as binary) media"
+    )
+    plan = _plan(df.select(media_type_col("media").alias("t")))
+    assert "Python" not in plan and "MapInPandas" not in plan, plan
+    # '*(n)' node prefix = WholeStageCodegen span in the compact string
+    assert "*(" in plan, plan
+
+
+def test_media_type_sniff_values(spark):
+    from intelligent_ocr_spark.operators.audio import encode_wav
+    from intelligent_ocr_spark.operators.multimodal import (
+        encode_png,
+        media_type_col,
+    )
+    import numpy as np
+
+    rows = [
+        (1, bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))),
+        (2, bytearray(encode_wav(np.zeros((4, 1)), 8000, bits=16))),
+        (3, bytearray(b"zzzz")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {
+        r.doc_id: r.t
+        for r in df.select("doc_id", media_type_col("media").alias("t")).collect()
+    }
+    assert got == {1: "image/png", 2: "audio/wav", 3: "unknown", 4: "empty"}
