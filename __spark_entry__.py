@@ -3605,6 +3605,58 @@ def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_image_near_dups",
+    """
+    SELECT doc_id AS doc_a, doc_id + 40 AS doc_b, CAST(0 AS INT) AS hamming
+    FROM documents WHERE doc_id < 40
+    UNION ALL
+    SELECT doc_id, doc_id + 80, CAST(0 AS INT)
+    FROM documents WHERE doc_id < 40
+    UNION ALL
+    SELECT doc_id + 40, doc_id + 80, CAST(0 AS INT)
+    FROM documents WHERE doc_id < 40
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_mm_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dedup, oracle-checked end to end: docs
+    come in 40 groups of three, each group a seeded noise PNG plus two
+    uniform-brightness replicas (+7 / −9, clipping-free range) — dHash
+    compares integer channel-sums that all shift equally, so replica
+    hashes are PROVABLY bit-identical and every within-group pair
+    surfaces at Hamming 0 through the banded join, while distinct noise
+    bases sit ~32 bits apart and never pair. The oracle enumerates the
+    3×40 expected pairs in closed form; decode, hashing, banding and
+    the distance filter are all on the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.imagehash import image_near_dups
+    from intelligent_ocr_spark.operators.multimodal import encode_png
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                g, r = i % 40, i // 40
+                rng = np.random.default_rng(g)
+                w = 16 + (g * 3) % 17
+                h = 16 + (g * 5) % 17
+                base = rng.integers(40, 190, size=(h, w, 3), dtype=np.uint8)
+                img = (base.astype(np.int16) + [0, 7, -9][r]).astype(np.uint8)
+                out.append({"doc_id": i, "media": encode_png(img)})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return image_near_dups(media, method="dhash", max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@_q(
     "mm_media_type",
     """
     SELECT doc_id,
@@ -4466,16 +4518,17 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 58 names (all
+    # which as of the round-5 final commit is these 59 names (all
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: fifteen queries (`dedup_incremental`,
+    # NOTE: sixteen queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
     # `mm_audio_adpcm`, `mm_audio_segments`, `mm_video_frames`,
-    # `mm_av_stats`, `mm_media_type`, `pipeline_multimodal_dedup`)
+    # `mm_av_stats`, `mm_media_type`, `mm_image_near_dups`,
+    # `pipeline_multimodal_dedup`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only
@@ -4485,7 +4538,8 @@ _SKIPPED_LAST_ROUND = [
     # equivalence property; png/gif/jpeg have 39, WAV/G.711/VAD 33 and
     # AVI 10 known-answer codec tests), parity-verified in r5's sweep,
     # and listed below so round 6's driver covers them:
-    #   ['sim_ivf_topk', 'x3_dual_insert_variants', 'prep_dsir_weights',
+    #   ['pipeline_multimodal_dedup', 'sim_ivf_topk',
+    #    'x3_dual_insert_variants', 'prep_dsir_weights',
     #    'extract_synthetic_pages', 'extract_dual_insert',
     #    'extract_pixmap_pages', 'source_warc_extract',
     #    'warc_revisit_dedup', 'q1_pricing_summary',
@@ -4508,8 +4562,8 @@ _SKIPPED_LAST_ROUND = [
     #    'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
     #    'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
     #    'mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
-    #    'mm_audio_segments', 'mm_video_frames', 'mm_media_type',
-    #    'mm_av_stats', 'pipeline_multimodal_dedup']
+    #    'mm_audio_segments', 'mm_video_frames', 'mm_image_near_dups',
+    #    'mm_media_type', 'mm_av_stats']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",
