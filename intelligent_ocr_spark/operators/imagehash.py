@@ -45,10 +45,13 @@ from intelligent_ocr_spark.util import ensure_parallelism
 
 __all__ = [
     "IMAGE_HASH_SCHEMA",
+    "VIDEO_HASH_SCHEMA",
     "dhash64",
     "phash64",
     "image_hashes",
     "image_near_dups",
+    "video_frame_hashes",
+    "video_near_dups",
 ]
 
 IMAGE_HASH_SCHEMA = T.StructType(
@@ -192,4 +195,134 @@ def image_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+VIDEO_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("c0", T.LongType(), True),
+        T.StructField("c1", T.LongType(), True),
+        T.StructField("c2", T.LongType(), True),
+        T.StructField("c3", T.LongType(), True),
+        T.StructField("phex", T.StringType(), True),
+    ]
+)
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    every_n: int = 2,
+    method: str = "dhash",
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """binary AVI → one perceptual-hash row per sampled keyframe (every
+    ``every_n``-th decoded frame): the video extension of
+    ``image_hashes``. Demux + decode + hash fuse into the standard
+    zero-exchange ``mapInPandas`` media stage (1 row → n keyframes);
+    non-AVI / undecodable media → one quarantined row (NULL
+    ``frame_idx``) so drops stay visible, exactly like
+    ``video.sample_video_frames``.
+
+    Reference parity note: the reference pipeline has no video dedup —
+    this is part of the training-data tier SURVEY.md §6 adds on top
+    (LAION-style near-dedup lifted from images to video keyframes).
+    """
+    from intelligent_ocr_spark.operators.video import decode_avi
+
+    fn = {"dhash": dhash64, "phash": phash64}[method]
+    pruned = ensure_parallelism(df.select(id_col, media_col))
+    cols = [f.name for f in VIDEO_HASH_SCHEMA.fields]
+
+    def op(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                decoded = decode_avi(bytes(payload)) if payload is not None else None
+                if decoded is None or not decoded[0]:
+                    out.append(dict.fromkeys(cols) | {"doc_id": doc_id})
+                    continue
+                frames, _meta = decoded
+                for idx in range(0, len(frames), every_n):
+                    v = fn(frames[idx])
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            **{f"c{k}": (v >> (16 * k)) & 0xFFFF for k in range(4)},
+                            "phex": f"{v:016x}",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return pruned.mapInPandas(op, VIDEO_HASH_SCHEMA)
+
+
+def video_near_dups(
+    df: DataFrame,
+    every_n: int = 2,
+    method: str = "dhash",
+    max_hamming: int = 3,
+    min_frame_pairs: int = 1,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs via keyframe perceptual hashes: two
+    videos pair when at least ``min_frame_pairs`` of their sampled
+    keyframe pairs sit within Hamming distance ``max_hamming``.
+    Re-encodes of the same clip (identical or brightness-shifted
+    pixels) collide exactly — MJPEG decode is deterministic, so a
+    byte-identical source frame decodes to byte-identical pixels and a
+    provably identical dHash.
+
+    Plan shape is ``image_near_dups`` lifted one level: keyframe hashes
+    band-block on the four 16-bit chunks (pigeonhole-exact recall at
+    the default threshold 3 — never an all-pairs join across videos),
+    the frame-level matches verify with JVM ``bit_count(xor)``, and a
+    final groupBy rolls frame matches up to video pairs with
+    ``n_frame_pairs`` / ``min_hamming`` evidence columns. At 100 TB the
+    only exchanges are the band shuffle and the rollup — both keyed on
+    short integers, both AQE-managed."""
+    hashed = video_frame_hashes(df, every_n, method, media_col, id_col).filter(
+        F.col("c0").isNotNull()
+    )
+    banded = hashed.select(
+        "doc_id",
+        "frame_idx",
+        *[f"c{k}" for k in range(4)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), F.col(f"c{k}").alias("chunk"))
+                    for k in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "frame_idx", "c0", "c1", "c2", "c3", "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.c{k}").bitwiseXOR(F.col(f"b.c{k}"))) for k in range(4)
+    )
+    frame_pairs = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.frame_idx").alias("frame_a"),
+            F.col("b.frame_idx").alias("frame_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return (
+        frame_pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_frame_pairs"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_frame_pairs") >= min_frame_pairs)
     )

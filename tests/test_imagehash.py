@@ -84,3 +84,69 @@ def test_null_media_dropped_from_pairs(spark):
         "doc_id long, media binary",
     )
     assert image_near_dups(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# video keyframe near-dedup (video_frame_hashes / video_near_dups)
+# ---------------------------------------------------------------------------
+
+from intelligent_ocr_spark.operators.imagehash import (  # noqa: E402
+    video_frame_hashes,
+    video_near_dups,
+)
+from intelligent_ocr_spark.operators.video import encode_avi_mjpeg  # noqa: E402
+
+
+def _clip(group, replica, n=4):
+    """4-frame clip: even frames are group-shared noise (identical bytes
+    across replicas), odd frames are replica-private noise."""
+    frames = []
+    for k in range(n):
+        if k % 2 == 0:
+            frames.append(_noise(1000 * group + k))
+        else:
+            frames.append(_noise(777 + 100 * group + 10 * replica + k))
+    return encode_avi_mjpeg(frames, fps=10)
+
+
+def test_video_frame_hashes_sampling_and_quarantine(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(_clip(0, 0))), (1, bytearray(b"not an avi at all"))],
+        "doc_id long, media binary",
+    )
+    rows = video_frame_hashes(df, every_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: frames 0 and 2 sampled, real hashes
+    assert sorted(r.frame_idx for r in by_doc[0]) == [0, 2]
+    assert all(r.phex is not None for r in by_doc[0])
+    # doc 1: one quarantined row, NULL frame_idx and hash
+    assert len(by_doc[1]) == 1
+    assert by_doc[1][0].frame_idx is None and by_doc[1][0].c0 is None
+
+
+def test_video_near_dups_replica_groups(spark):
+    # 3 groups x 2 replicas: the two sampled keyframes (0, 2) are
+    # byte-identical across replicas -> MJPEG decode is deterministic ->
+    # dhash identical -> each group pairs with n_frame_pairs=2 at
+    # hamming 0; odd (unsampled) frames differ so the clips are not
+    # byte-identical overall
+    rows = []
+    for g in range(3):
+        for r in range(2):
+            rows.append((g + 10 * r, bytearray(_clip(g, r))))
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {
+        (p.doc_a, p.doc_b): (p.n_frame_pairs, p.min_hamming)
+        for p in video_near_dups(df, every_n=2, max_hamming=3).collect()
+    }
+    assert got == {(g, g + 10): (2, 0) for g in range(3)}
+
+
+def test_video_near_dups_min_frame_pairs_gate(spark):
+    rows = [(r * 10, bytearray(_clip(0, r))) for r in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    # 2 matching keyframe pairs exist; requiring 3 filters the pair out
+    assert video_near_dups(df, every_n=2, min_frame_pairs=3).count() == 0
+    assert video_near_dups(df, every_n=2, min_frame_pairs=2).count() == 1
