@@ -39,11 +39,15 @@ from intelligent_ocr_spark.util import ensure_parallelism
 __all__ = [
     "AUDIO_META_SCHEMA",
     "AUDIO_SEGMENT_SCHEMA",
+    "AUDIO_RESAMPLE_SCHEMA",
     "decode_wav",
     "decode_fmt_data",
     "encode_wav",
     "decode_audio_stats",
     "segment_audio",
+    "resample_linear",
+    "resample_audio",
+    "resample_audio_stats",
 ]
 
 AUDIO_META_SCHEMA = T.StructType(
@@ -581,3 +585,117 @@ def decode_audio_stats(
             yield pd.DataFrame(out, columns=cols)
 
     return pruned.mapInPandas(op, AUDIO_META_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sr_in", T.IntegerType(), True),
+        T.StructField("sr_out", T.IntegerType(), True),
+        T.StructField("n_in", T.LongType(), True),
+        T.StructField("n_out", T.LongType(), True),
+        T.StructField("mean_out", T.DoubleType(), True),
+    ]
+)
+
+
+def resample_linear(samples: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resampling on the uniform output grid
+    ``t_j = j * sr_in / sr_out`` with ``n_out = (n_in - 1) * sr_out //
+    sr_in + 1`` — the last output sample sits on or before the last
+    input frame, never extrapolated. Per-channel, float64 end to end;
+    for a linear ramp input the outputs are EXACTLY the ramp evaluated
+    at ``t_j`` (up to one IEEE rounding per blend), which is what the
+    driver oracle's closed form relies on. Dyadic rate ratios (2:1,
+    1:2, 4:1, ...) incur no rounding at all."""
+    n = samples.shape[0]
+    if n < 2 or sr_in == sr_out:
+        return samples.copy()
+    n_out = (n - 1) * sr_out // sr_in + 1
+    pos = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    i0 = np.minimum(pos.astype(np.int64), n - 2)
+    frac = (pos - i0)[:, None]
+    return samples[i0] * (1.0 - frac) + samples[i0 + 1] * frac
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    bits: int = 16,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """binary WAV → binary WAV at ``target_rate``: decode → linear
+    resample → re-encode fused into one zero-exchange ``mapInPandas``
+    stage, the uniform-sample-rate normalization step an audio training
+    corpus runs before batching. Undecodable media → NULL media row
+    (quarantine stays visible); channel count is preserved."""
+    pruned = ensure_parallelism(df.select(id_col, media_col))
+
+    def op(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                decoded = (
+                    decode_wav(bytes(payload)) if payload is not None else None
+                )
+                if decoded is None:
+                    out.append({"doc_id": doc_id, "media": None})
+                    continue
+                samples, rate, _nc, _bits = decoded
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "media": encode_wav(
+                            resample_linear(samples, rate, target_rate),
+                            target_rate,
+                            bits=bits,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    return pruned.mapInPandas(op, f"{id_col} long, {media_col} binary")
+
+
+def resample_audio_stats(
+    df: DataFrame,
+    target_rate: int,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decode → resample → summarize in one zero-exchange stage:
+    (sr_in, sr_out, n_in, n_out, mean of the resampled channel-0
+    signal). With dyadic rate ratios and dyadic sample values every
+    arithmetic step is IEEE-exact, so the driver oracle states
+    ``mean_out`` in closed form with NO rounding tolerance — the
+    resampler's output grid and interpolation weights are pinned
+    bit-for-bit. Undecodable media → quarantined row (sr_in NULL)."""
+    pruned = ensure_parallelism(df.select(id_col, media_col))
+    cols = [f.name for f in AUDIO_RESAMPLE_SCHEMA.fields]
+
+    def op(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                decoded = (
+                    decode_wav(bytes(payload)) if payload is not None else None
+                )
+                if decoded is None:
+                    out.append(dict.fromkeys(cols) | {"doc_id": doc_id})
+                    continue
+                samples, rate, _nc, _bits = decoded
+                res = resample_linear(samples, rate, target_rate)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "sr_in": rate,
+                        "sr_out": target_rate,
+                        "n_in": samples.shape[0],
+                        "n_out": res.shape[0],
+                        "mean_out": float(np.mean(res[:, 0])) if res.size else None,
+                    }
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return pruned.mapInPandas(op, AUDIO_RESAMPLE_SCHEMA)

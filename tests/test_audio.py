@@ -339,3 +339,86 @@ def test_ima_bad_block_align_rejected():
     # corrupt block_align to a non-conforming value
     bad = payload[:32] + (7).to_bytes(2, "little") + payload[34:]
     assert decode_wav(bad) is None
+
+
+# ---------------------------------------------------------------------------
+# linear resampling
+# ---------------------------------------------------------------------------
+
+
+def test_resample_linear_known_answers():
+    from intelligent_ocr_spark.operators.audio import resample_linear
+
+    v = np.array([[0.0], [1.0]])
+    # 2x upsample: midpoint appears exactly
+    assert resample_linear(v, 8000, 16000).ravel().tolist() == [0.0, 0.5, 1.0]
+    # 2x downsample: every other frame, no interpolation
+    ramp = (np.arange(7, dtype=np.float64)[:, None] * 3 - 4) / 32768
+    down = resample_linear(ramp, 8000, 4000)
+    assert (down.ravel() * 32768).tolist() == [-4.0, 2.0, 8.0, 14.0]
+    # non-dyadic ratio still evaluates the ramp at j*sr_in/sr_out
+    up = resample_linear(ramp, 8000, 12000)
+    expect = np.arange(10) * (8000 / 12000) * 3 - 4
+    assert np.allclose(up.ravel() * 32768, expect, atol=1e-9)
+    # identity + degenerate inputs
+    assert resample_linear(ramp, 8000, 8000) is not ramp
+    assert resample_linear(ramp[:1], 8000, 16000).shape == (1, 1)
+    assert resample_linear(ramp[:0], 8000, 16000).shape == (0, 1)
+
+
+def test_resample_linear_multichannel_and_mean_exactness():
+    from intelligent_ocr_spark.operators.audio import resample_linear
+
+    n, c0, c1 = 57, -133.0, 4.0
+    left = c0 + c1 * np.arange(n)
+    stereo = np.stack([left, -left], axis=1) / 32768
+    out = resample_linear(stereo, 8000, 16000)
+    m = (n - 1) * 16000 // 8000 + 1
+    assert out.shape == (m, 2)
+    assert np.array_equal(out[:, 0], -out[:, 1])
+    # dyadic ratio + integer ramp => the mean equals the closed form
+    # BIT-EXACTLY (this is the driver-oracle contract)
+    closed = (c0 + c1 * (8000.0 / 16000) * (m - 1) / 2) / 32768
+    assert float(np.mean(out[:, 0])) == closed
+
+
+def test_resample_audio_reencodes_and_quarantines(spark):
+    from intelligent_ocr_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+        resample_audio,
+    )
+
+    ramp = (np.arange(9, dtype=np.float64)[:, None] * 2 - 8) / 32768
+    rows = [
+        (0, bytearray(encode_wav(ramp, 8000, bits=16))),
+        (1, bytearray(b"not a wav")),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r.doc_id: r.media for r in resample_audio(df, 16000).collect()}
+    assert got[1] is None and got[2] is None
+    samples, rate, nc, bits = decode_wav(bytes(got[0]))
+    assert (rate, nc, bits) == (16000, 1, 16)
+    assert samples.shape[0] == 17
+    # dyadic ramp values round-trip the int16 re-encode exactly
+    assert (samples.ravel() * 32768).tolist() == [
+        -8.0, -7.0, -6.0, -5.0, -4.0, -3.0, -2.0, -1.0, 0.0,
+        1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0,
+    ]
+
+
+def test_resample_audio_stats_operator(spark):
+    from intelligent_ocr_spark.operators.audio import (
+        encode_wav,
+        resample_audio_stats,
+    )
+
+    ramp = (np.arange(5, dtype=np.float64)[:, None] * 4) / 32768
+    rows = [(0, bytearray(encode_wav(ramp, 8000, bits=16))), (1, None)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r.doc_id: r for r in resample_audio_stats(df, 4000).collect()}
+    r0 = got[0]
+    assert (r0.sr_in, r0.sr_out, r0.n_in, r0.n_out) == (8000, 4000, 5, 3)
+    assert r0.mean_out == (0.0 + 8.0 + 16.0) / 3 / 32768
+    assert got[1].sr_in is None and got[1].n_out is None
