@@ -3657,6 +3657,305 @@ def q_mm_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_video_near_dups",
+    """
+    SELECT doc_id AS doc_a, doc_id + 20 AS doc_b,
+           CAST(2 AS BIGINT) AS n_frame_pairs, CAST(0 AS INT) AS min_hamming
+    FROM documents WHERE doc_id < 20
+    UNION ALL
+    SELECT doc_id, doc_id + 40, CAST(2 AS BIGINT), CAST(0 AS INT)
+    FROM documents WHERE doc_id < 20
+    UNION ALL
+    SELECT doc_id + 20, doc_id + 40, CAST(2 AS BIGINT), CAST(0 AS INT)
+    FROM documents WHERE doc_id < 20
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_mm_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dedup on decoded MJPEG keyframes, oracle-checked end
+    to end: docs come in 20 groups of three re-encodes of "the same
+    clip" — the two SAMPLED keyframes (frames 0 and 2 under every_n=2)
+    are byte-identical seeded noise across replicas, the unsampled odd
+    frames are replica-private — so each within-group pair must surface
+    with exactly ``n_frame_pairs = 2`` at ``min_hamming = 0`` (MJPEG
+    decode is deterministic: identical source pixels → identical JPEG
+    bytes → identical decoded pixels → provably identical dHash), while
+    distinct groups' noise frames sit ~32 bits apart and never pair.
+    The oracle enumerates the 3×20 expected video pairs in closed form;
+    demux, per-frame decode, keyframe sampling, banding, the Hamming
+    filter and the video-level rollup are all on the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.imagehash import video_near_dups
+    from intelligent_ocr_spark.operators.video import encode_avi_mjpeg
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                g, r = i % 20, i // 20
+                frames = []
+                for k in range(4):
+                    seed = 1000 * g + k if k % 2 == 0 else 7777 + 100 * g + 10 * r + k
+                    rng = np.random.default_rng(seed)
+                    w = 16 + (g * 3) % 17
+                    h = 16 + (g * 5) % 17
+                    frames.append(
+                        rng.integers(40, 190, size=(h, w, 3), dtype=np.uint8)
+                    )
+                out.append({"doc_id": i, "media": encode_avi_mjpeg(frames, fps=10)})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return video_near_dups(media, every_n=2, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+@_q(
+    "mm_media_metadata",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60)
+    SELECT * FROM (
+      SELECT doc_id, 'riff_info' AS source, 'title' AS key, 'INAM' AS raw_key,
+             'title-' || CAST(doc_id AS VARCHAR) AS value
+      FROM d WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, 'riff_info', 'software', 'ISFT', 'sparkocr'
+      FROM d WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, 'id3v2', 'encoder', 'TENC', 'enc-' || CAST(doc_id AS VARCHAR)
+      FROM d WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, 'png_text', 'Author', 'tEXt', 'auth-' || CAST(doc_id AS VARCHAR)
+      FROM d WHERE doc_id % 5 = 1
+      UNION ALL
+      SELECT doc_id, 'png_text', 'Comment', 'iTXt', 'café-' || CAST(doc_id AS VARCHAR)
+      FROM d WHERE doc_id % 5 = 1
+      UNION ALL
+      SELECT doc_id, 'jpeg_com', 'comment', 'COM', 'first-' || CAST(doc_id AS VARCHAR)
+      FROM d WHERE doc_id % 5 = 2
+      UNION ALL
+      SELECT doc_id, 'jpeg_com', 'comment1', 'COM', 'second-' || CAST(doc_id AS VARCHAR)
+      FROM d WHERE doc_id % 5 = 2
+      UNION ALL
+      SELECT doc_id, 'gif_comment', 'comment', '0xFE', 'gif-' || CAST(doc_id AS VARCHAR)
+      FROM d WHERE doc_id % 5 = 3
+      UNION ALL
+      SELECT doc_id, 'id3v2', 'title', 'TIT2', 'song-' || CAST(doc_id AS VARCHAR)
+      FROM d WHERE doc_id % 5 = 4
+      UNION ALL
+      SELECT doc_id, 'id3v2', 'artist', 'TPE1', 'artist-' || CAST(doc_id AS VARCHAR)
+      FROM d WHERE doc_id % 5 = 4
+      UNION ALL
+      SELECT doc_id, 'id3v1', 'title', 'title', 'v1-' || CAST(doc_id AS VARCHAR)
+      FROM d WHERE doc_id % 5 = 4
+      UNION ALL
+      SELECT doc_id, 'id3v1', 'track', 'track', '7' FROM d WHERE doc_id % 5 = 4
+      UNION ALL
+      SELECT doc_id, 'id3v1', 'genre', 'genre', '17' FROM d WHERE doc_id % 5 = 4
+    )
+    ORDER BY doc_id, source, raw_key, key, value
+    """,
+)
+def q_mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-media metadata census, oracle-checked end to end over
+    REAL spliced payloads from every builder twin: WAV carrying a RIFF
+    LIST/INFO block plus an embedded ``id3 `` ID3v2.3 chunk, PNG with
+    tEXt (latin-1) and uncompressed iTXt (UTF-8 — the é round-trips),
+    JPEG with two COM segments, GIF with a comment extension after the
+    global color table, and a standalone ID3v2.4 tag with an ID3v1.1
+    trailer (track-byte convention + numeric genre). The oracle states
+    every expected (source, key, raw_key, value) row in closed form;
+    extraction is the standard zero-exchange Scan→MapInPandas media
+    stage with a 1-row→n-tags fan-out."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.audio import encode_wav
+    from intelligent_ocr_spark.operators.metadata import (
+        encode_id3v1_tail,
+        encode_id3v2,
+        extract_media_metadata,
+        gif_with_comment,
+        jpeg_with_comment,
+        png_with_text,
+        with_riff_metadata,
+    )
+    from intelligent_ocr_spark.operators.multimodal import (
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                arr = np.full((8, 8, 3), 30 + i % 200, dtype=np.uint8)
+                if i % 5 == 0:
+                    media = with_riff_metadata(
+                        encode_wav(np.zeros((16, 1)), 8000, bits=16),
+                        info={"INAM": f"title-{i}", "ISFT": "sparkocr"},
+                        id3_tags={"TENC": f"enc-{i}"},
+                    )
+                elif i % 5 == 1:
+                    media = png_with_text(encode_png(arr), {"Author": f"auth-{i}"})
+                    media = png_with_text(media, {"Comment": f"café-{i}"}, itxt=True)
+                elif i % 5 == 2:
+                    media = jpeg_with_comment(
+                        encode_jpeg(arr), f"first-{i}", f"second-{i}"
+                    )
+                elif i % 5 == 3:
+                    media = gif_with_comment(encode_gif(arr), f"gif-{i}")
+                else:
+                    media = (
+                        encode_id3v2(
+                            {"TIT2": f"song-{i}", "TPE1": f"artist-{i}"}, version=4
+                        )
+                        + b"\x00" * 64
+                        + encode_id3v1_tail(title=f"v1-{i}", track=7, genre=17)
+                    )
+                out.append({"doc_id": i, "media": media})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return extract_media_metadata(media).orderBy(
+        "doc_id", "source", "raw_key", "key", "value"
+    )
+
+
+@_q(
+    "mm_exif_tags",
+    """
+    WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 48)
+    SELECT * FROM (
+      SELECT i AS doc_id, 'exif' AS source, 'make' AS key, '0x010f' AS raw_key,
+             'Cam-' || CAST(i AS VARCHAR) AS value FROM d
+      UNION ALL
+      SELECT i, 'exif', 'orientation', '0x0112', CAST(1 + i % 8 AS VARCHAR) FROM d
+      UNION ALL
+      SELECT i, 'exif', 'exposure_time', '0x829a',
+             '1/' || CAST(125 + i AS VARCHAR) FROM d
+      UNION ALL
+      SELECT i, 'exif_gps', 'gps_latitude_ref', '0x0001',
+             CASE WHEN i % 2 = 0 THEN 'N' ELSE 'S' END FROM d
+      UNION ALL
+      SELECT i, 'exif_gps', 'gps_latitude', '0x0002',
+             CAST(i AS VARCHAR) || '/1 ' || CAST((i * 2) % 60 AS VARCHAR)
+             || '/1 ' || CAST((i * 100) % 6000 AS VARCHAR) || '/100' FROM d
+    )
+    ORDER BY doc_id, source, raw_key, key, value
+    """,
+)
+def q_mm_exif_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exif provenance-tag census over real JPEGs carrying a full
+    APP1/TIFF structure — IFD0 string + SHORT + offset-indirect
+    RATIONAL values and a GPS IFD reached through the 0x8825 pointer,
+    alternating little- and big-endian TIFF byte orders per doc so both
+    paths are driver-verified. The oracle states every expected (source,
+    key, raw_key, value) row in closed form, including the canonical
+    rational rendering of latitudes."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.metadata import (
+        extract_media_metadata,
+        jpeg_with_exif,
+    )
+    from intelligent_ocr_spark.operators.multimodal import encode_jpeg
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 48).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                arr = np.full((8, 8, 3), 30 + i % 200, dtype=np.uint8)
+                media = jpeg_with_exif(
+                    encode_jpeg(arr),
+                    {
+                        0x010F: f"Cam-{i}",
+                        0x0112: 1 + i % 8,
+                        0x829A: (1, 125 + i),
+                    },
+                    {
+                        1: "N" if i % 2 == 0 else "S",
+                        2: [(i, 1), ((i * 2) % 60, 1), ((i * 100) % 6000, 100)],
+                    },
+                    byte_order="little" if i % 2 == 0 else "big",
+                )
+                out.append({"doc_id": i, "media": media})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    return extract_media_metadata(media).orderBy(
+        "doc_id", "source", "raw_key", "key", "value"
+    )
+
+
+@_q(
+    "mm_audio_resample",
+    """
+    WITH d AS (
+      SELECT doc_id AS i, 50 + doc_id AS n,
+             -CAST((doc_id * 7) % 500 AS DOUBLE) AS c0,
+             CAST(1 + doc_id % 9 AS DOUBLE) AS c1,
+             CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 4000 END AS so
+      FROM documents WHERE doc_id < 40)
+    SELECT i AS doc_id, CAST(8000 AS INTEGER) AS sr_in,
+           CAST(so AS INTEGER) AS sr_out, n AS n_in,
+           (n - 1) * so // 8000 + 1 AS n_out,
+           (c0 + c1 * (8000.0 / so)
+                * CAST((n - 1) * so // 8000 AS DOUBLE) / 2) / 32768 AS mean_out
+    FROM d ORDER BY doc_id
+    """,
+)
+def q_mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation audio resampling with a NO-TOLERANCE
+    closed-form oracle: each doc is an int16 WAV ramp (dyadic sample
+    values, so encode→decode is lossless), even docs upsample 8 kHz →
+    16 kHz and odd docs downsample to 4 kHz, and with dyadic rate
+    ratios every interpolation weight and the output mean are IEEE-
+    exact — the oracle states ``mean_out`` as the ramp's closed form
+    and the hashes must agree bit-for-bit, pinning the resampler's
+    output grid ``t_j = j·sr_in/sr_out`` and its blend arithmetic.
+    Decode→resample→summarize fuse into the standard zero-exchange
+    media stage; the even/odd split is a union of two such stages."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.audio import (
+        encode_wav,
+        resample_audio_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 50 + i
+                c0, c1 = -((i * 7) % 500), 1 + i % 9
+                ramp = (c0 + c1 * np.arange(n, dtype=np.float64))[:, None] / 32768
+                out.append({"doc_id": i, "media": encode_wav(ramp, 8000, bits=16)})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    up = resample_audio_stats(media.filter(F.col("doc_id") % 2 == 0), 16000)
+    down = resample_audio_stats(media.filter(F.col("doc_id") % 2 == 1), 4000)
+    return up.unionByName(down).orderBy("doc_id")
+
+
+@_q(
     "mm_media_type",
     """
     SELECT doc_id,
@@ -4522,13 +4821,14 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: sixteen queries (`dedup_incremental`,
+    # NOTE: twenty queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
     # `mm_audio_adpcm`, `mm_audio_segments`, `mm_video_frames`,
     # `mm_av_stats`, `mm_media_type`, `mm_image_near_dups`,
-    # `pipeline_multimodal_dedup`)
+    # `pipeline_multimodal_dedup`, `mm_video_near_dups`,
+    # `mm_media_metadata`, `mm_exif_tags`, `mm_audio_resample`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only
@@ -4536,10 +4836,12 @@ _SKIPPED_LAST_ROUND = [
     # pytest-pinned (known-answer/plan pins; DSIR has a full
     # pure-Python differential; incremental-near has an in-corpus-LSH
     # equivalence property; png/gif/jpeg have 39, WAV/G.711/VAD 33 and
-    # AVI 10 known-answer codec tests), parity-verified in r5's sweep,
-    # and listed below so round 6's driver covers them:
-    #   ['pipeline_multimodal_dedup', 'sim_ivf_topk',
-    #    'x3_dual_insert_variants', 'prep_dsir_weights',
+    # AVI 10 known-answer codec tests; video near-dup, metadata/Exif
+    # and resample have 32 more), parity-verified in r5's sweep, and
+    # listed below so round 6's driver covers them:
+    #   ['mm_exif_tags', 'mm_audio_resample', 'mm_media_type',
+    #    'mm_av_stats', 'pipeline_multimodal_dedup',
+    #    'sim_ivf_topk', 'x3_dual_insert_variants', 'prep_dsir_weights',
     #    'extract_synthetic_pages', 'extract_dual_insert',
     #    'extract_pixmap_pages', 'source_warc_extract',
     #    'warc_revisit_dedup', 'q1_pricing_summary',
@@ -4563,7 +4865,7 @@ _SKIPPED_LAST_ROUND = [
     #    'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
     #    'mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
     #    'mm_audio_segments', 'mm_video_frames', 'mm_image_near_dups',
-    #    'mm_media_type', 'mm_av_stats']
+    #    'mm_video_near_dups', 'mm_media_metadata']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",
