@@ -63,6 +63,7 @@ __all__ = [
     "jpeg_with_exif",
     "gif_with_comment",
     "encode_exif",
+    "exif_thumbnail",
 ]
 
 MEDIA_METADATA_SCHEMA = T.StructType(
@@ -143,6 +144,13 @@ _GPS_KEYS = {
     0x0004: "gps_longitude",
     0x0005: "gps_altitude_ref",
     0x0006: "gps_altitude",
+}
+# IFD1 (thumbnail IFD) tags worth surfacing in a census; the offset tag
+# 0x0201 is layout, not metadata — exif_thumbnail() follows it instead.
+_THUMB_KEYS = {
+    0x0103: "compression",
+    0x0112: "orientation",
+    0x0202: "thumbnail_length",
 }
 # TIFF field type → byte size (the types Exif actually uses)
 _TIFF_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
@@ -354,10 +362,10 @@ def _parse_exif(app1: bytes) -> list[tuple[str, str, str, str]]:
         bo = {b"II": "little", b"MM": "big"}.get(t[:2])
         if bo is None or int.from_bytes(t[2:4], bo) != 42:
             return out
-        queue = [(int.from_bytes(t[4:8], bo), _EXIF_KEYS, "exif")]
+        queue = [(int.from_bytes(t[4:8], bo), _EXIF_KEYS, "exif", True)]
         seen: set[int] = set()
         while queue:
-            ifd, keys, source = queue.pop(0)
+            ifd, keys, source, is_ifd0 = queue.pop(0)
             if ifd in seen or len(seen) > 8:
                 continue
             seen.add(ifd)
@@ -370,16 +378,82 @@ def _parse_exif(app1: bytes) -> list[tuple[str, str, str, str]]:
                 typ = int.from_bytes(e[2:4], bo)
                 count = int.from_bytes(e[4:8], bo)
                 if tag == 0x8769:
-                    queue.append((int.from_bytes(e[8:12], bo), _EXIF_KEYS, "exif"))
+                    queue.append(
+                        (int.from_bytes(e[8:12], bo), _EXIF_KEYS, "exif", False)
+                    )
                 elif tag == 0x8825:
-                    queue.append((int.from_bytes(e[8:12], bo), _GPS_KEYS, "exif_gps"))
+                    queue.append(
+                        (int.from_bytes(e[8:12], bo), _GPS_KEYS, "exif_gps", False)
+                    )
                 elif tag in keys:
                     v = _tiff_value(t, bo, typ, count, e[8:12])
                     if v is not None:
                         out.append((source, keys[tag], f"0x{tag:04x}", v))
+            if is_ifd0:  # IFD0's next-IFD pointer chains to the thumbnail IFD
+                nxt = int.from_bytes(t[ifd + 2 + 12 * n : ifd + 6 + 12 * n], bo)
+                if nxt:
+                    queue.append((nxt, _THUMB_KEYS, "exif_thumb", False))
     except (IndexError, ValueError):
         pass
     return out
+
+
+def _tiff_thumbnail(t: bytes, bo: str) -> bytes | None:
+    """The IFD1 JPEG thumbnail bytes (tags 0x0201/0x0202), or None."""
+    try:
+        ifd = int.from_bytes(t[4:8], bo)
+        n = int.from_bytes(t[ifd : ifd + 2], bo)
+        ifd1 = int.from_bytes(t[ifd + 2 + 12 * n : ifd + 6 + 12 * n], bo)
+        if not ifd1:
+            return None
+        off = length = None
+        n1 = int.from_bytes(t[ifd1 : ifd1 + 2], bo)
+        for i in range(min(n1, 256)):
+            e = t[ifd1 + 2 + 12 * i : ifd1 + 14 + 12 * i]
+            if len(e) < 12:
+                return None
+            tag = int.from_bytes(e[0:2], bo)
+            if tag == 0x0201:
+                off = int.from_bytes(e[8:12], bo)
+            elif tag == 0x0202:
+                length = int.from_bytes(e[8:12], bo)
+        if off is None or not length:
+            return None
+        raw = t[off : off + length]
+        return raw if len(raw) == length else None
+    except (IndexError, ValueError):
+        return None
+
+
+def exif_thumbnail(payload: bytes) -> bytes | None:
+    """The embedded Exif IFD1 thumbnail (itself a JPEG) from a JPEG
+    payload's APP1 segment, or from a bare TIFF payload — None when
+    absent or malformed. The extracted bytes feed straight back into
+    the codec tier (``decode_jpeg``)."""
+    candidates: list[bytes] = []
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        candidates.append(payload)
+    elif payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload) and payload[pos] == 0xFF:
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker in (0xD9, 0xDA):
+                break
+            ln = int.from_bytes(payload[pos : pos + 2], "big")
+            if marker == 0xE1 and payload[pos + 2 : pos + 8] == b"Exif\x00\x00":
+                candidates.append(payload[pos + 8 : pos + ln])
+            pos += ln
+    for t in candidates:
+        bo = {b"II": "little", b"MM": "big"}.get(t[:2])
+        if bo is None:
+            continue
+        thumb = _tiff_thumbnail(t, bo)
+        if thumb is not None:
+            return thumb
+    return None
 
 
 def _parse_jpeg_comments(payload: bytes) -> list[tuple[str, str, str, str]]:
@@ -620,10 +694,13 @@ def encode_exif(
     tags: dict[int, object],
     gps: dict[int, object] | None = None,
     byte_order: str = "little",
+    thumbnail: bytes | None = None,
 ) -> bytes:
     """An APP1 Exif body (``Exif\\0\\0`` + TIFF) from {tag: value}
     dicts for IFD0 and (optionally) a GPS IFD reached through the
-    0x8825 pointer. Values wider than 4 bytes (ASCII strings,
+    0x8825 pointer, plus an optional IFD1 JPEG ``thumbnail`` chained
+    from IFD0's next-IFD offset (compression 6 + the 0x0201/0x0202
+    offset/length pair). Values wider than 4 bytes (ASCII strings,
     RATIONALs) go to a trailing data area with offset indirection —
     i.e. the real TIFF layout, not just the inline-SHORT subset the
     orientation twin writes. Entries are tag-sorted per spec."""
@@ -639,10 +716,16 @@ def encode_exif(
     ifd0_size = 2 + 12 * ifd0_n + 4
     gps_off = 8 + ifd0_size
     gps_size = (2 + 12 * len(gps_entries) + 4) if gps_entries else 0
-    data_off = gps_off + gps_size
-    data = bytearray()
+    ifd1_off = gps_off + gps_size
+    ifd1_size = (2 + 12 * 3 + 4) if thumbnail is not None else 0
+    data_off = ifd1_off + ifd1_size
+    # the thumbnail sits at the head of the data area so its offset is
+    # known before any IFD renders
+    data = bytearray(thumbnail or b"")
 
-    def render(entries: list[tuple[int, int, int, bytes]]) -> bytes:
+    def render(
+        entries: list[tuple[int, int, int, bytes]], next_off: int = 0
+    ) -> bytes:
         buf = bytearray(len(entries).to_bytes(2, bo))
         for tag, typ, count, vbytes in sorted(entries):
             if len(vbytes) <= 4:
@@ -660,14 +743,23 @@ def encode_exif(
                 + count.to_bytes(4, bo)
                 + field
             )
-        buf += (0).to_bytes(4, bo)  # no next IFD
+        buf += next_off.to_bytes(4, bo)
         return bytes(buf)
 
     if gps_entries:
         ifd0 = ifd0 + [(0x8825, 4, 1, gps_off.to_bytes(4, bo))]
-    out = bom + (42).to_bytes(2, bo) + (8).to_bytes(4, bo) + render(ifd0)
+    out = bom + (42).to_bytes(2, bo) + (8).to_bytes(4, bo)
+    out += render(ifd0, ifd1_off if thumbnail is not None else 0)
     if gps_entries:
         out += render(gps_entries)
+    if thumbnail is not None:
+        out += render(
+            [
+                (0x0103, 3, 1, (6).to_bytes(2, bo)),
+                (0x0201, 4, 1, data_off.to_bytes(4, bo)),
+                (0x0202, 4, 1, len(thumbnail).to_bytes(4, bo)),
+            ]
+        )
     return b"Exif\x00\x00" + out + bytes(data)
 
 
@@ -676,13 +768,14 @@ def jpeg_with_exif(
     tags: dict[int, object],
     gps: dict[int, object] | None = None,
     byte_order: str = "little",
+    thumbnail: bytes | None = None,
 ) -> bytes:
     """Insert an APP1 Exif segment right after SOI of an existing JPEG
     (the codec walk skips it; orientation-free tags don't change the
     decode)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
-    body = encode_exif(tags, gps, byte_order)
+    body = encode_exif(tags, gps, byte_order, thumbnail)
     seg = b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
     return payload[:2] + seg + payload[2:]
 

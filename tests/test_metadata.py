@@ -165,6 +165,34 @@ def test_exif_bare_tiff_and_malformed():
     parse_media_metadata(bytes(evil[6:]))
 
 
+@pytest.mark.parametrize("byte_order", ["little", "big"])
+def test_exif_ifd1_thumbnail_roundtrip(byte_order):
+    from intelligent_ocr_spark.operators.metadata import (
+        encode_exif,
+        exif_thumbnail,
+    )
+
+    big = np.full((16, 16, 3), 120, dtype=np.uint8)
+    thumb = encode_jpeg(np.full((4, 4, 3), 70, dtype=np.uint8))
+    jp = jpeg_with_exif(
+        encode_jpeg(big), _EXIF_TAGS, _EXIF_GPS, byte_order, thumbnail=thumb
+    )
+    # extraction returns the exact embedded bytes, which decode as JPEG
+    assert exif_thumbnail(jp) == thumb
+    dec = decode_jpeg(exif_thumbnail(jp))
+    assert dec is not None and dec[0].shape == (4, 4, 3)
+    # the IFD1 census rows surface alongside the IFD0/GPS ones
+    got = {(s, k): v for s, k, _r, v in parse_media_metadata(jp)}
+    assert got[("exif_thumb", "compression")] == "6"
+    assert got[("exif_thumb", "thumbnail_length")] == str(len(thumb))
+    assert got[("exif", "make")] == "CamCo"
+    # the host image still decodes, and absence returns None
+    assert decode_jpeg(jp) is not None
+    assert exif_thumbnail(jpeg_with_exif(encode_jpeg(big), _EXIF_TAGS)) is None
+    # bare TIFF payloads resolve the thumbnail too
+    assert exif_thumbnail(encode_exif({0x010F: "X"}, thumbnail=thumb)[6:]) == thumb
+
+
 def test_no_metadata_and_garbage_safe():
     assert parse_media_metadata(encode_png(_IMG)) == []
     assert parse_media_metadata(b"") == []
