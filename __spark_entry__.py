@@ -3901,6 +3901,103 @@ def q_mm_exif_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pipeline_media_census",
+    """
+    WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
+    c AS (SELECT i % 7 AS b, COUNT(*) AS n FROM d GROUP BY 1)
+    SELECT * FROM (
+      SELECT 'image/png' AS media_type, 'png_text' AS source,
+             'Author' AS key, n AS n_tags FROM c WHERE b = 0
+      UNION ALL
+      SELECT 'image/gif', 'gif_comment', 'comment', n FROM c WHERE b = 1
+      UNION ALL
+      SELECT 'audio/wav', 'riff_info', 'title', n FROM c WHERE b = 2
+      UNION ALL
+      SELECT 'image/jpeg', 'jpeg_com', 'comment', n FROM c WHERE b = 3
+      UNION ALL
+      SELECT 'image/jpeg', 'exif', 'make', n FROM c WHERE b = 4
+      UNION ALL
+      SELECT 'audio/wav', 'id3v2', 'encoder', n FROM c WHERE b = 5
+      UNION ALL
+      SELECT 'video/avi', 'riff_info', 'software', n FROM c WHERE b = 6
+    )
+    ORDER BY media_type, source, key
+    """,
+)
+def q_pipeline_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed provenance census: JVM magic-byte type sniff →
+    embedded-metadata extraction → per-(media_type, source, key) tag
+    counts, over a mixed corpus where every one of the seven media
+    branches carries a different tag family (PNG tEXt, GIF comment,
+    WAV INFO, JPEG COM, JPEG Exif, WAV-embedded ID3v2, AVI INFO). The
+    oracle derives branch populations from the documents table and
+    states the census in closed form. Plan shape: the sniff is a
+    codegen column on the same projection the metadata stage scans, so
+    the only exchanges are the doc_id-keyed type join and the census
+    groupBy — both on short keys, both AQE-managed; at production
+    scale the type column would be fused into the extraction stage's
+    output instead of re-joined."""
+    import numpy as np
+    import pandas as pd
+
+    from intelligent_ocr_spark.operators.audio import encode_wav
+    from intelligent_ocr_spark.operators.metadata import (
+        extract_media_metadata,
+        gif_with_comment,
+        jpeg_with_comment,
+        jpeg_with_exif,
+        png_with_text,
+        with_riff_metadata,
+    )
+    from intelligent_ocr_spark.operators.multimodal import (
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        media_type_col,
+    )
+    from intelligent_ocr_spark.operators.video import encode_avi_mjpeg
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 70).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                arr = np.full((8, 8, 3), 30 + i % 200, dtype=np.uint8)
+                wav = encode_wav(np.zeros((16, 1)), 8000, bits=16)
+                b = i % 7
+                if b == 0:
+                    media = png_with_text(encode_png(arr), {"Author": f"a{i}"})
+                elif b == 1:
+                    media = gif_with_comment(encode_gif(arr), f"g{i}")
+                elif b == 2:
+                    media = with_riff_metadata(wav, info={"INAM": f"t{i}"})
+                elif b == 3:
+                    media = jpeg_with_comment(encode_jpeg(arr), f"c{i}")
+                elif b == 4:
+                    media = jpeg_with_exif(encode_jpeg(arr), {0x010F: f"m{i}"})
+                elif b == 5:
+                    media = with_riff_metadata(wav, id3_tags={"TENC": f"e{i}"})
+                else:
+                    media = with_riff_metadata(
+                        encode_avi_mjpeg([arr], fps=10), info={"ISFT": f"s{i}"}
+                    )
+                out.append({"doc_id": i, "media": media})
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    typed = media.select("doc_id", media_type_col("media").alias("media_type"))
+    tags = extract_media_metadata(media)
+    return (
+        tags.join(typed, "doc_id")
+        .groupBy("media_type", "source", "key")
+        .agg(F.count(F.lit(1)).alias("n_tags"))
+        .orderBy("media_type", "source", "key")
+    )
+
+
+@_q(
     "mm_audio_resample",
     """
     WITH d AS (
@@ -4821,14 +4918,15 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: twenty queries (`dedup_incremental`,
+    # NOTE: twenty-one queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
     # `mm_audio_adpcm`, `mm_audio_segments`, `mm_video_frames`,
     # `mm_av_stats`, `mm_media_type`, `mm_image_near_dups`,
     # `pipeline_multimodal_dedup`, `mm_video_near_dups`,
-    # `mm_media_metadata`, `mm_exif_tags`, `mm_audio_resample`)
+    # `mm_media_metadata`, `mm_exif_tags`, `mm_audio_resample`,
+    # `pipeline_media_census`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only
@@ -4839,8 +4937,8 @@ _SKIPPED_LAST_ROUND = [
     # AVI 10 known-answer codec tests; video near-dup, metadata/Exif
     # and resample have 32 more), parity-verified in r5's sweep, and
     # listed below so round 6's driver covers them:
-    #   ['mm_exif_tags', 'mm_audio_resample', 'mm_media_type',
-    #    'mm_av_stats', 'pipeline_multimodal_dedup',
+    #   ['mm_exif_tags', 'pipeline_media_census', 'mm_audio_resample',
+    #    'mm_media_type', 'mm_av_stats', 'pipeline_multimodal_dedup',
     #    'sim_ivf_topk', 'x3_dual_insert_variants', 'prep_dsir_weights',
     #    'extract_synthetic_pages', 'extract_dual_insert',
     #    'extract_pixmap_pages', 'source_warc_extract',
