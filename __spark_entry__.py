@@ -3901,6 +3901,68 @@ def q_mm_exif_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "web_pagerank",
+    """
+    WITH RECURSIVE
+    raw AS (
+      SELECT doc_id % 40 AS src, (doc_id * 7 + 3) % 40 AS dst
+      FROM documents WHERE doc_id < 240
+      UNION ALL
+      SELECT doc_id % 40, (doc_id * 11 + 5) % 40
+      FROM documents WHERE doc_id < 240
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    -- NB: inside WITH RECURSIVE, DuckDB parses a top-level UNION in a
+    -- non-recursive CTE as the recursive-union form and SKIPS the dedup,
+    -- so spell the dedup explicitly (DISTINCT over UNION ALL).
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+    pr(it, node, r) AS (
+      SELECT 0, node, CAST(1000000000 AS BIGINT) FROM nodes
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT it, node, r FROM pr)
+        SELECT (SELECT max(it) FROM prev) + 1, n.node,
+               CAST(150000000 AS BIGINT) + (85 * COALESCE(c.s, 0)) // 100
+        FROM nodes n
+        LEFT JOIN (
+          SELECT e.dst, SUM(p.r // deg.d) AS s
+          FROM prev p JOIN e ON e.src = p.node JOIN deg ON deg.src = p.node
+          GROUP BY e.dst
+        ) c ON c.dst = n.node
+        WHERE (SELECT max(it) FROM prev) < 5
+      ) z
+    )
+    SELECT node, r AS rank_scaled FROM pr WHERE it = 5 ORDER BY node
+    """,
+)
+def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over a synthesized 40-domain link graph
+    (two deterministic out-links per document, deduped, self-loops
+    dropped), five damped power iterations in scaled int64 "nano-rank"
+    units — reproduced bit-for-bit by a DuckDB recursive CTE that
+    replays the identical integer arithmetic, so the driver hash check
+    pins the operator's exact semantics including integer-division
+    share splitting and dangling-mass leakage. Per-iteration plan is
+    one src equi-join + one dst aggregation + one node left join (see
+    operators/graph.py for the 100-TB shape discussion)."""
+    from intelligent_ocr_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    raw = d.select(
+        (F.col("doc_id") % 40).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 40).alias("dst"),
+    ).union(
+        d.select(
+            (F.col("doc_id") % 40).alias("src"),
+            ((F.col("doc_id") * 11 + 5) % 40).alias("dst"),
+        )
+    )
+    return pagerank(raw, n_iter=5).orderBy("node")
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
@@ -4918,7 +4980,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: twenty-one queries (`dedup_incremental`,
+    # NOTE: twenty-two queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -4926,7 +4988,7 @@ _SKIPPED_LAST_ROUND = [
     # `mm_av_stats`, `mm_media_type`, `mm_image_near_dups`,
     # `pipeline_multimodal_dedup`, `mm_video_near_dups`,
     # `mm_media_metadata`, `mm_exif_tags`, `mm_audio_resample`,
-    # `pipeline_media_census`)
+    # `pipeline_media_census`, `web_pagerank`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only

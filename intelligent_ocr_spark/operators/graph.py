@@ -1,0 +1,91 @@
+"""Link-graph analytics: integer-exact PageRank over a (src, dst)
+edge table — the domain-authority signal a web-corpus pipeline uses
+for source weighting and crawl prioritization (alongside the per-domain
+caps and robots gates in ``prep.py``/``web.py``).
+
+Floating-point PageRank is merge-order-dependent: a tree-reduced
+float sum differs in the last ulp between partitionings, which breaks
+exact cross-engine oracles and retry determinism. This implementation
+works entirely in scaled int64 ("nano-rank" units, the same
+integer-units trick as ``textstats.source_kl_drift``):
+
+* ranks start at ``scale`` (default 1e9) per node;
+* each iteration, a node's share is ``rank div out_degree`` (integer
+  division), its new rank ``((den-num)·scale) div den + (num·Σ
+  in-shares) div den`` with damping ``num/den`` (default 85/100);
+* dangling nodes (no out-edges) contribute nothing — their mass leaks,
+  the standard simplification, implemented identically in the DuckDB
+  oracle so the driver check stays bit-exact.
+
+Everything is int64 arithmetic over sums of int64, so the result is
+independent of partitioning, task order and merge shape — pinned by a
+partitioning-invariance test.
+
+Scale shape (the iterative-loop pattern shared with
+``dedup.near_dup_clusters`` and ``bpe.bpe_train``): the edge set joins
+its out-degree ONCE up front and is ``localCheckpoint``-ed; each
+iteration is then one equi-join on ``src`` (ranks are node-keyed, AQE
+reuses the partitioning) plus one ``dst``-keyed aggregation with
+map-side combine, and a left join back to the node list. A Zipf-head
+domain (everyone links to it) is a skewed AGG key, not a window — the
+partial aggregation collapses it map-side, and AQE's skew handling
+covers the join. ``n_iter`` is a fixed small constant (rank converges
+geometrically at the damping rate), so the driver loop holds no data,
+only the loop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(src, dst) edges → (node, rank_scaled) after ``n_iter`` exact
+    integer power iterations. Edges are deduplicated and self-loops
+    dropped; every node appearing on either side gets a row."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = ((damping_den - damping_num) * scale) // damping_den
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("r div out_deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} AS BIGINT) + "
+                    f"({damping_num} * coalesce(s, CAST(0 AS BIGINT)))"
+                    f" div {damping_den}"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

@@ -1,0 +1,70 @@
+"""Integer-exact PageRank (operators/graph.py): known answers, a
+pure-Python differential replay, and the partitioning-invariance
+property the integer-units design exists for."""
+
+import pytest
+
+from intelligent_ocr_spark.operators.graph import pagerank
+
+SCALE = 10**9
+BASE = (15 * SCALE) // 100
+
+
+def _py_pagerank(edges, n_iter=5, num=85, den=100, scale=SCALE):
+    """Reference replay of the exact integer semantics."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    deg = {}
+    for s, _ in e:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: scale for n in nodes}
+    base = ((den - num) * scale) // den
+    for _ in range(n_iter):
+        contrib = dict.fromkeys(nodes, 0)
+        for s, d in e:
+            contrib[d] += r[s] // deg[s]
+        r = {n: base + (num * contrib[n]) // den for n in nodes}
+    return r
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.rank_scaled for r in pagerank(df, **kw).collect()}
+
+
+def test_two_cycle_is_stationary(spark):
+    # A<->B: each node receives exactly its own emitted rank back, so
+    # rank stays at scale forever: 0.15e9 + 0.85e9 = 1e9
+    got = _run(spark, [(0, 1), (1, 0)], n_iter=3)
+    assert got == {0: SCALE, 1: SCALE}
+
+
+def test_chain_and_dangling_leak(spark):
+    # A -> B, B dangling: A never receives, B receives A's share
+    got = _run(spark, [(0, 1)], n_iter=2)
+    # iter1: r_A = base; r_B = base + 85% * scale
+    # iter2: r_B = base + 85% * r_A(iter1)
+    assert got[0] == BASE
+    assert got[1] == BASE + (85 * BASE) // 100
+
+
+def test_self_loops_and_dup_edges_ignored(spark):
+    got = _run(spark, [(0, 1), (0, 1), (1, 0), (7, 7)], n_iter=2)
+    assert got == {0: SCALE, 1: SCALE}  # node 7 only self-loops: no row
+
+
+def test_differential_vs_python_replay(spark):
+    edges = [(i % 13, (i * 7 + 3) % 13) for i in range(60)] + [
+        (i % 13, (i * 11 + 5) % 13) for i in range(60)
+    ]
+    want = _py_pagerank(edges, n_iter=5)
+    got = _run(spark, edges, n_iter=5)
+    assert got == want
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_partitioning_invariance(spark, parts):
+    edges = [(i % 9, (i * 5 + 2) % 9) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+    got = {r.node: r.rank_scaled for r in pagerank(df, n_iter=4).collect()}
+    assert got == _py_pagerank(edges, n_iter=4)
