@@ -3962,6 +3962,136 @@ def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(raw, n_iter=5).orderBy("node")
 
 
+# Shared deterministic page-with-anchors synthesis for the link queries:
+# url http://h{doc_id%40}.example/d/{doc_id}; html carries two absolute
+# anchors (the second with a port + query + fragment to exercise host
+# cutting) plus rotating negatives (relative path, single-quoted href,
+# mailto) that extract_links must skip. The DuckDB twin builds the
+# byte-identical strings with || so the regex sees the same input.
+_LINK_PAGES_SQL = """
+      SELECT 'http://h' || (doc_id % 40) || '.example/d/' || doc_id AS url,
+             '<html><p>t</p><a href="http://h' || ((doc_id * 7 + 3) % 40)
+             || '.example/p/' || doc_id
+             || '">x</a><a class="n" href="https://h'
+             || ((doc_id * 11 + 5) % 40) || '.example:81/q?x=1#f">y</a>'
+             || CASE WHEN doc_id % 3 = 0 THEN '<a href="/rel/skip">r</a>'
+                     ELSE '<a href=''http://squote.example/skip''>s</a>' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '<a href="mailto:a@b.example">m</a>' ELSE '' END
+             || '</html>' AS html
+      FROM documents WHERE doc_id < 240
+"""
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("http://h"), s(F.col("doc_id") % 40),
+        F.lit(".example/d/"), s(F.col("doc_id")),
+    )
+    html = F.concat(
+        F.lit('<html><p>t</p><a href="http://h'),
+        s((F.col("doc_id") * 7 + 3) % 40),
+        F.lit(".example/p/"), s(F.col("doc_id")),
+        F.lit('">x</a><a class="n" href="https://h'),
+        s((F.col("doc_id") * 11 + 5) % 40),
+        F.lit('.example:81/q?x=1#f">y</a>'),
+        F.when(F.col("doc_id") % 3 == 0, F.lit('<a href="/rel/skip">r</a>'))
+        .otherwise(F.lit("<a href='http://squote.example/skip'>s</a>")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit('<a href="mailto:a@b.example">m</a>')).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+@_q(
+    "web_extract_links",
+    f"""
+    WITH p AS ({_LINK_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+      FROM p
+    )
+    SELECT url AS src_url,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src_host,
+           href,
+           regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst_host
+    FROM x
+    WHERE regexp_matches(href, '^https?://')
+    ORDER BY src_url, href
+    """,
+)
+def q_web_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction over synthesized pages: absolute double-quoted
+    http(s) hrefs become (src_url, src_host, href, dst_host) edges;
+    relative/single-quoted/mailto anchors and ports/query/fragments in
+    the host parse are all exercised. The operator is a zero-exchange
+    projection + Generate (plan-pinned in tests/test_web.py); DuckDB
+    replays the identical RE2-safe regexes over byte-identical html."""
+    from intelligent_ocr_spark.operators.web import extract_links
+
+    return extract_links(_link_pages(spark, sf_dir)).orderBy("src_url", "href")
+
+
+@_q(
+    "pipeline_link_authority",
+    f"""
+    WITH RECURSIVE
+    p AS ({_LINK_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+      FROM p
+    ),
+    l AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src,
+             regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst
+      FROM x WHERE regexp_matches(href, '^https?://')
+    ),
+    e AS (SELECT DISTINCT src, dst FROM l WHERE src <> dst),
+    -- DISTINCT over UNION ALL: see web_pagerank's note on DuckDB's
+    -- recursive-union parse of top-level UNION inside WITH RECURSIVE
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+    pr(it, node, r) AS (
+      SELECT 0, node, CAST(1000000000 AS BIGINT) FROM nodes
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT it, node, r FROM pr)
+        SELECT (SELECT max(it) FROM prev) + 1, n.node,
+               CAST(150000000 AS BIGINT) + (85 * COALESCE(c.s, 0)) // 100
+        FROM nodes n
+        LEFT JOIN (
+          SELECT e.dst, SUM(p.r // deg.d) AS s
+          FROM prev p JOIN e ON e.src = p.node JOIN deg ON deg.src = p.node
+          GROUP BY e.dst
+        ) c ON c.dst = n.node
+        WHERE (SELECT max(it) FROM prev) < 5
+      ) z
+    )
+    SELECT node, r AS rank_scaled FROM pr WHERE it = 5 ORDER BY node
+    """,
+)
+def q_pipeline_link_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end link-authority pipeline: synthesized pages → anchor
+    extraction → distinct cross-host edges → five integer-exact
+    PageRank iterations. Composes extract_links + host_edges +
+    graph.pagerank; the oracle replays the whole chain (regex edge
+    derivation feeding the recursive-CTE power iteration) so the
+    driver hash pins the composition, not just the stages."""
+    from intelligent_ocr_spark.operators.graph import pagerank
+    from intelligent_ocr_spark.operators.web import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    return pagerank(edges, n_iter=5).orderBy("node")
+
+
 @_q(
     "pipeline_media_census",
     """
@@ -4980,7 +5110,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: twenty-two queries (`dedup_incremental`,
+    # NOTE: twenty-four queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -4988,7 +5118,8 @@ _SKIPPED_LAST_ROUND = [
     # `mm_av_stats`, `mm_media_type`, `mm_image_near_dups`,
     # `pipeline_multimodal_dedup`, `mm_video_near_dups`,
     # `mm_media_metadata`, `mm_exif_tags`, `mm_audio_resample`,
-    # `pipeline_media_census`, `web_pagerank`)
+    # `pipeline_media_census`, `web_pagerank`, `web_extract_links`,
+    # `pipeline_link_authority`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only

@@ -1,4 +1,5 @@
-"""Crawl-compliance operators: robots.txt evaluation at corpus scale.
+"""Crawl-compliance and link-graph operators: robots.txt evaluation
+and anchor extraction at corpus scale.
 
 RFC 9309 (Robots Exclusion Protocol — public spec) evaluation as a
 relational plan: parse every host's robots.txt into its ``*``-group
@@ -26,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["robots_star_rules", "robots_allowed"]
+__all__ = ["robots_star_rules", "robots_allowed", "extract_links", "host_edges"]
 
 
 def robots_star_rules(robots: DataFrame, host_col: str = "host",
@@ -109,4 +110,59 @@ def robots_allowed(pages: DataFrame, robots: DataFrame,
             ((F.col("best.m") == 0) | (F.col("best.al") == 1)).alias("allowed"),
         )
         .orderBy("url")
+    )
+
+
+def extract_links(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(url, html) → one row per outgoing anchor: (src_url, src_host,
+    href, dst_host). The edge-extraction pass every link-graph /
+    crawl-frontier pipeline runs over raw pages (reference scope: the
+    repo's extractor consumes pages; authority signals over their link
+    structure are the web-corpus extension).
+
+    Scope (documented): double-quoted ``href`` attributes carrying an
+    ABSOLUTE http(s) URL. Relative, fragment, ``mailto:`` and
+    single-quoted hrefs are skipped — relative resolution needs a base
+    tracked per page and is out of scope for the authority signal,
+    which only consumes cross-host edges anyway. ``dst_host`` is the
+    authority component, cut at the first of ``/ : ? #`` (ports
+    dropped, same as ``robots_allowed``'s host parse).
+
+    Scale shape: a pure projection + ``Generate`` (explode) — zero
+    exchanges, whole-stage codegen end to end (plan-pinned); the regex
+    is RE2-safe (no backtracking constructs). Dedup/aggregation is the
+    caller's choice (see ``host_edges``), so the extraction itself
+    never shuffles.
+    """
+    href = F.explode(
+        F.expr(
+            f"regexp_extract_all({html_col}, '<a\\\\s[^>]*href=\"([^\"]*)\"', 1)"
+        )
+    ).alias("href")
+    out = (
+        pages.select(
+            F.col(url_col).alias("src_url"),
+            F.regexp_extract(
+                F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1
+            ).alias("src_host"),
+            href,
+        )
+        .filter(F.col("href").rlike(r"^https?://"))
+        .withColumn(
+            "dst_host",
+            F.regexp_extract("href", r"^https?://([^/:?#]+)", 1),
+        )
+    )
+    return out
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """Distinct cross-host (src, dst) edges from ``extract_links``
+    output — the input shape ``graph.pagerank`` expects. One distinct
+    (= one exchange on the edge key); self-links dropped."""
+    return (
+        links.filter(F.col("src_host") != F.col("dst_host"))
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
     )

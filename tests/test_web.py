@@ -72,3 +72,69 @@ def test_robots_tie_prefers_allow(spark):
     # /a/b appears as BOTH Allow and Disallow at equal length: RFC 9309
     # §2.2.2 resolves the tie to Allow
     assert row["allowed"] is True
+
+
+# ---------------------------------------------------------------- links
+
+LINK_PAGES = [
+    (
+        "http://a.example/d/1",
+        '<html><a href="http://b.example/x">b</a>'
+        '<a class="z" href="https://c.example:8080/y?q=1#f">c</a>'
+        "<a href='http://squote.example/skip'>sq</a>"
+        '<a href="/rel/skip">r</a><a href="mailto:x@y.example">m</a></html>',
+    ),
+    (
+        "http://b.example/d/2",
+        '<a href="http://a.example/z">a</a>'
+        '<a href="http://b.example/self">self</a>',
+    ),
+    ("http://c.example/d/3", "no links at all"),
+]
+
+
+def test_extract_links_scope(spark):
+    """Absolute double-quoted http(s) hrefs only; hosts cut at /:?#;
+    relative / mailto / single-quoted anchors skipped; linkless pages
+    emit nothing."""
+    from intelligent_ocr_spark.operators.web import extract_links
+
+    pages = spark.createDataFrame(LINK_PAGES, "url string, html string")
+    got = sorted(tuple(r) for r in extract_links(pages).collect())
+    assert got == [
+        ("http://a.example/d/1", "a.example", "http://b.example/x", "b.example"),
+        (
+            "http://a.example/d/1",
+            "a.example",
+            "https://c.example:8080/y?q=1#f",
+            "c.example",
+        ),
+        ("http://b.example/d/2", "b.example", "http://a.example/z", "a.example"),
+        ("http://b.example/d/2", "b.example", "http://b.example/self", "b.example"),
+    ]
+
+
+def test_extract_links_zero_exchange_plan(spark):
+    """The extraction itself is a projection + Generate: no shuffle."""
+    from intelligent_ocr_spark.operators.web import extract_links
+
+    pages = spark.createDataFrame(LINK_PAGES, "url string, html string")
+    plan = extract_links(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_host_edges_dedup_and_self_loop(spark):
+    """host_edges: distinct cross-host pairs; b→b self-link dropped."""
+    from intelligent_ocr_spark.operators.web import extract_links, host_edges
+
+    pages = spark.createDataFrame(
+        LINK_PAGES + LINK_PAGES, "url string, html string"  # dup input rows
+    )
+    got = sorted(
+        tuple(r) for r in host_edges(extract_links(pages)).collect()
+    )
+    assert got == [
+        ("a.example", "b.example"),
+        ("a.example", "c.example"),
+        ("b.example", "a.example"),
+    ]
