@@ -4093,6 +4093,44 @@ def q_pipeline_link_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sketch_hll_registers",
+    """
+    WITH h AS (
+      SELECT ('0x' || substr(md5('u' || (doc_id % 997)), 1, 2))::UBIGINT
+               AS bucket,
+             ('0x' || substr(md5('u' || (doc_id % 997)), 3, 14))::UBIGINT AS v
+      FROM documents
+    ),
+    r AS (
+      SELECT bucket,
+             MAX(CASE WHEN v = 0 THEN 57
+                      ELSE 56 - length(bin(v)) + 1 END) AS rho
+      FROM h GROUP BY 1
+    )
+    SELECT CAST(t.range AS BIGINT) AS bucket,
+           CAST(COALESCE(r.rho, 0) AS BIGINT) AS rho
+    FROM range(256) t LEFT JOIN r ON r.bucket = t.range
+    ORDER BY bucket
+    """,
+)
+def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (p=8, md5 hash layout) over a keyed
+    projection of documents with deliberate duplicates (doc_id mod 997)
+    — the distinct-count sketch whose 256 integer registers the DuckDB
+    twin reproduces bit-for-bit (bucket = first 2 md5 hex chars, rho =
+    leading-zeros+1 of the 56-bit suffix via minimal-binary string
+    length). One map-side-combined 256-key aggregation + a broadcast
+    empty-bucket fill; estimate/merge properties are pytest-pinned in
+    tests/test_sketch.py."""
+    from intelligent_ocr_spark.operators.sketch import hll_registers
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 997).cast("string")).alias("k")
+    )
+    return hll_registers(d, "k", p=8).orderBy("bucket")
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
@@ -5110,7 +5148,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: twenty-four queries (`dedup_incremental`,
+    # NOTE: twenty-five queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -5119,7 +5157,7 @@ _SKIPPED_LAST_ROUND = [
     # `pipeline_multimodal_dedup`, `mm_video_near_dups`,
     # `mm_media_metadata`, `mm_exif_tags`, `mm_audio_resample`,
     # `pipeline_media_census`, `web_pagerank`, `web_extract_links`,
-    # `pipeline_link_authority`)
+    # `pipeline_link_authority`, `sketch_hll_registers`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only
