@@ -4131,6 +4131,45 @@ def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "index_inverted",
+    """
+    WITH t0 AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents WHERE doc_id < 400
+    ),
+    tt AS (SELECT DISTINCT term, doc_id FROM t0 WHERE term <> ''),
+    d AS (SELECT term, COUNT(*) AS df FROM tt GROUP BY 1),
+    r AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM tt
+    ),
+    p AS (
+      SELECT term, COUNT(*) AS n_postings,
+             string_agg(doc_id, '|' ORDER BY doc_id) AS postings
+      FROM r WHERE rn <= 16 GROUP BY 1
+    )
+    SELECT p.term, d.df, p.n_postings, p.postings, d.df > 16 AS truncated
+    FROM p JOIN d USING (term)
+    ORDER BY term
+    """,
+)
+def q_index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over 400 documents: per term the exact document
+    frequency (groupBy — map-side combine, never a window) and the 16
+    smallest doc ids as a |-joined posting list via the salted two-level
+    top-k tournament (functions/freq.topk_per_key — no unsplittable
+    Zipf-head window; see operators/index.py). The DuckDB twin uses the
+    plain single ranking window, pinning that the tournament computes
+    identical postings."""
+    from intelligent_ocr_spark.operators.index import inverted_index
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return inverted_index(d, max_postings=16).orderBy("term")
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
@@ -5148,7 +5187,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: twenty-five queries (`dedup_incremental`,
+    # NOTE: twenty-six queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -5157,7 +5196,7 @@ _SKIPPED_LAST_ROUND = [
     # `pipeline_multimodal_dedup`, `mm_video_near_dups`,
     # `mm_media_metadata`, `mm_exif_tags`, `mm_audio_resample`,
     # `pipeline_media_census`, `web_pagerank`, `web_extract_links`,
-    # `pipeline_link_authority`, `sketch_hll_registers`)
+    # `pipeline_link_authority`, `sketch_hll_registers`, `index_inverted`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only

@@ -37,7 +37,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_key_aggs", "freq_salt_expr"]
+__all__ = ["with_key_aggs", "freq_salt_expr", "topk_per_key"]
 
 #: default breadth of the broadcast head table — generous vs the ~100
 #: tokens that dominate natural-language corpora, tiny vs driver memory
@@ -106,3 +106,42 @@ def with_key_aggs(
     drop = ["_hh_n"] + [f"_hh_{n}" for n, (fn, src) in aggs.items()
                         if not (fn is F.count and src is None)]
     return out.drop(*drop)
+
+
+def topk_per_key(
+    rows: DataFrame,
+    key: str,
+    order_col: str,
+    k: int,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """The ``k`` smallest ``order_col`` rows per ``key``, exact and
+    heavy-hitter-safe: a tournament instead of one ranking window.
+
+    ``row_number() over (partition by key order by o)`` has the same
+    scale flaw as the frequency window — the Zipf-head key is one
+    unsplittable sort. But the global k smallest of a key are each
+    among the k smallest of ANY subset containing them, so rank twice:
+
+    1. within ``(key, crc32(order_col) % salt_buckets)`` — every
+       partition holds ~``rows(key)/salt_buckets``; keep rank ≤ k;
+    2. within ``key`` over the ≤ ``k·salt_buckets`` survivors — a
+       bounded partition regardless of input skew.
+
+    Exactness requires ``order_col`` values be DISTINCT within a key
+    (dedupe first — posting lists, min-hash candidates etc. already
+    are); ties would make both row_numbers nondeterministic.
+    """
+    salt = F.pmod(F.crc32(F.col(order_col).cast("string")), F.lit(salt_buckets))
+    w1 = Window.partitionBy(F.col(key), salt).orderBy(order_col)
+    survivors = (
+        rows.withColumn("_tk_r1", F.row_number().over(w1))
+        .filter(F.col("_tk_r1") <= k)
+        .drop("_tk_r1")
+    )
+    w2 = Window.partitionBy(key).orderBy(order_col)
+    return (
+        survivors.withColumn("_tk_r2", F.row_number().over(w2))
+        .filter(F.col("_tk_r2") <= k)
+        .drop("_tk_r2")
+    )

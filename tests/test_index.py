@@ -1,0 +1,77 @@
+"""Inverted index (operators/index.py) and the salted top-k tournament
+(functions/freq.topk_per_key): exactness vs a single-window ground
+truth on skewed data, cap/truncation semantics, plan shape."""
+
+from pyspark.sql import Window, functions as F
+
+from intelligent_ocr_spark.functions.freq import topk_per_key
+from intelligent_ocr_spark.operators.index import inverted_index
+
+
+def _skewed(spark):
+    # key 'hot' on every row, plus a long tail — doc ids unique per key
+    return spark.range(2000).select(
+        F.when(F.col("id") % 4 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 97).cast("string")))
+        .alias("key"),
+        F.col("id").alias("o"),
+    ).distinct()
+
+
+def test_topk_matches_single_window(spark):
+    rows = _skewed(spark)
+    got = sorted(map(tuple, topk_per_key(rows, "key", "o", 7, salt_buckets=8).collect()))
+    w = Window.partitionBy("key").orderBy("o")
+    want = sorted(
+        map(
+            tuple,
+            rows.withColumn("rn", F.row_number().over(w))
+            .filter("rn <= 7")
+            .drop("rn")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 7
+
+
+def test_topk_small_buckets_edge(spark):
+    """k larger than a salt bucket's share still exact (survivor pool
+    keeps k per bucket, not k total)."""
+    rows = spark.createDataFrame(
+        [("a", i) for i in range(30)], "key string, o long"
+    )
+    got = sorted(r.o for r in topk_per_key(rows, "key", "o", 25, salt_buckets=4).collect())
+    assert got == list(range(25))
+
+
+def test_inverted_index_small_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog sat sat"),   # repeated token collapses
+            (3, "THE Cat!"),          # case/punct fold
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.term: r for r in inverted_index(docs, max_postings=2).collect()}
+    assert rows["the"].df == 3 and rows["the"].postings == "1|2"
+    assert rows["the"].n_postings == 2 and rows["the"].truncated
+    assert rows["cat"].df == 2 and rows["cat"].postings == "1|3"
+    assert not rows["cat"].truncated
+    assert rows["dog"].postings == "2"
+    assert rows["sat"].df == 2 and rows["sat"].postings == "1|2"
+
+
+def test_inverted_index_plan_no_corpus_window(spark):
+    """Every window in the plan carries the salt or is over the capped
+    survivor pool; the df side is a groupBy (partial agg present)."""
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("a b c the").alias("text")
+    )
+    plan = (
+        inverted_index(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
