@@ -80,32 +80,37 @@ def exact_dup_groups(
     """Exact duplicate groups: md5(text) with >1 member.
 
     Returns (content_hash, n_docs exact, doc_ids = the ``sample_cap``
-    SMALLEST ids sorted). The sample is bounded BEFORE collection — rows
-    are ranked with a window (disk-spillable sort) and only rank ≤ cap
-    reaches collect_list — so a boilerplate page duplicated 10⁷ times
-    costs one spill-safe sort, never a multi-hundred-MB array in an agg
-    buffer or an output row. One hash shuffle on content_hash; the window
-    and the final aggregation reuse the same partitioning (no second
-    exchange).
+    SMALLEST ids sorted). The sample is bounded BEFORE collection — only
+    rank ≤ cap reaches collect_list — and the rank window is kept PURE
+    (no ``count(*)`` sharing its frame) so Spark's rank-limit pushdown
+    (``WindowGroupLimit``, plan-pinned) truncates every map partition to
+    ``cap`` candidates per hash before the exchange: a boilerplate page
+    duplicated 10⁷ times ships ``cap × n_partitions`` rows, never one
+    task-sized sort. The exact totals come from a separate map-side-
+    combined groupBy (duplicate-hash rows are vocab-sized) joined back
+    on ``content_hash`` — both sides arrive hash-partitioned on the join
+    key. Same totals-vs-rank split as ``prep.domain_caps``.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("content_hash")
-    ranked = (
-        df.select(
-            F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
-            F.col(id_col).alias("_id"),
-        )
-        .withColumn("n_docs", F.count("*").over(w))
-        .withColumn("_rn", F.row_number().over(w.orderBy("_id")))
+    hashes = df.select(
+        F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
+        F.col(id_col).alias("_id"),
     )
-    return (
-        ranked.filter((F.col("n_docs") > 1) & (F.col("_rn") <= sample_cap))
+    totals = (
+        hashes.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+    w = Window.partitionBy("content_hash").orderBy("_id")
+    sampled = (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sample_cap)
         .groupBy("content_hash")
-        .agg(
-            F.first("n_docs").alias("n_docs"),
-            F.array_sort(F.collect_list("_id")).alias("doc_ids"),
-        )
+        .agg(F.array_sort(F.collect_list("_id")).alias("doc_ids"))
+    )
+    return totals.join(sampled, "content_hash").select(
+        "content_hash", "n_docs", "doc_ids"
     )
 
 

@@ -93,18 +93,21 @@ def test_ngram_jaccard_single_pass_df_count(spark):
     assert n_exchanges <= 7, plan
 
 
-def test_exact_dup_groups_single_exchange(spark):
-    """The bounded-sample rewrite (window rank + agg) must reuse ONE
-    content_hash exchange — the window and the final aggregation share the
-    partitioning; a second hash exchange is a regression."""
+def test_exact_dup_groups_pushdown_plan(spark):
+    """The totals-vs-rank split: the sample's rank window must be PURE so
+    WindowGroupLimit truncates each map partition to cap rows per hash
+    BEFORE the exchange (a count(*) sharing the frame disables it, and a
+    10^7-duplicate hash then lands whole on one task); exact totals come
+    from a separate map-side-combined groupBy. Budget: 2 content_hash
+    exchanges (one per side), both reused by the join."""
     from intelligent_ocr_spark.operators.dedup import exact_dup_groups
 
     docs = spark.createDataFrame(
         [(i, f"t{i % 10}") for i in range(100)], "doc_id long, text string"
     )
     plan = _plan(exact_dup_groups(docs))
-    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
-    assert "Window" in plan
+    assert "WindowGroupLimit" in plan, plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2, plan
 
 
 def test_salted_asof_carry_no_nested_loop(spark):
