@@ -4169,6 +4169,132 @@ def q_index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, max_postings=16).orderBy("term")
 
 
+# Anchor-text synthesis: three rotating multi-token anchor phrases so
+# per-host term profiles have real frequency structure. Byte-identical
+# strings in both engines (|| twin below).
+_ANCHOR_PAGES_SQL = """
+      SELECT 'http://h' || (doc_id % 40) || '.example/d/' || doc_id AS url,
+             '<p>b</p><a href="http://h' || ((doc_id * 7 + 3) % 40)
+             || '.example/p/' || doc_id || '">'
+             || CASE doc_id % 3 WHEN 0 THEN 'spark engine guide'
+                                WHEN 1 THEN 'engine docs' ELSE 'tutorial' END
+             || '</a><a class="n" href="http://h' || ((doc_id * 11 + 5) % 40)
+             || '.example/q">'
+             || CASE doc_id % 2 WHEN 0 THEN 'data guide' ELSE 'spark faq' END
+             || '</a><a href="http://skip.example/n"><b>nested</b></a>' AS html
+      FROM documents WHERE doc_id < 240
+"""
+
+
+def _anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("http://h"), s(F.col("doc_id") % 40),
+        F.lit(".example/d/"), s(F.col("doc_id")),
+    )
+    html = F.concat(
+        F.lit('<p>b</p><a href="http://h'),
+        s((F.col("doc_id") * 7 + 3) % 40),
+        F.lit(".example/p/"), s(F.col("doc_id")), F.lit('">'),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("spark engine guide"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("engine docs"))
+        .otherwise(F.lit("tutorial")),
+        F.lit('</a><a class="n" href="http://h'),
+        s((F.col("doc_id") * 11 + 5) % 40),
+        F.lit('.example/q">'),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("data guide"))
+        .otherwise(F.lit("spark faq")),
+        F.lit('</a><a href="http://skip.example/n"><b>nested</b></a>'),
+    )
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+_ANCHOR_RE_SQL = '<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+@_q(
+    "web_anchor_texts",
+    f"""
+    WITH p AS ({_ANCHOR_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html, '{_ANCHOR_RE_SQL}', 1)) AS href,
+             unnest(regexp_extract_all(html, '{_ANCHOR_RE_SQL}', 2)) AS anchor
+      FROM p
+    )
+    SELECT url AS src_url, href, anchor,
+           regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst_host
+    FROM x
+    WHERE regexp_matches(href, '^https?://')
+    ORDER BY src_url, href
+    """,
+)
+def q_web_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text capture: plain-run anchors become (src_url, href,
+    anchor, dst_host); the nested-tag anchor is skipped by the plain-run
+    scope. Two positionally-aligned regexp_extract_all calls zipped —
+    DuckDB aligns the same two calls with parallel unnest. Zero-exchange
+    projection + Generate (plan-pinned in tests/test_web.py)."""
+    from intelligent_ocr_spark.operators.web import extract_anchor_texts
+
+    return extract_anchor_texts(_anchor_pages(spark, sf_dir)).orderBy(
+        "src_url", "href"
+    )
+
+
+@_q(
+    "web_anchor_profile",
+    f"""
+    WITH p AS ({_ANCHOR_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html, '{_ANCHOR_RE_SQL}', 1)) AS href,
+             unnest(regexp_extract_all(html, '{_ANCHOR_RE_SQL}', 2)) AS anchor
+      FROM p
+    ),
+    a AS (
+      SELECT regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst_host,
+             anchor
+      FROM x WHERE regexp_matches(href, '^https?://')
+    ),
+    t AS (
+      SELECT dst_host,
+             unnest(string_split_regex(lower(anchor), '[^a-z0-9]+')) AS term
+      FROM a
+    ),
+    c AS (
+      SELECT dst_host, term, COUNT(*) AS n
+      FROM t WHERE term <> '' GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT dst_host, term, n,
+             row_number() OVER (
+               PARTITION BY dst_host ORDER BY n DESC, term
+             ) AS rank
+      FROM c
+    )
+    SELECT dst_host, term, n, rank FROM r
+    WHERE rank <= 4 ORDER BY dst_host, rank
+    """,
+)
+def q_web_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target-host anchor-term profile: top-4 anchor tokens per
+    dst_host with exact counts, rank by (count desc, term). Counting is
+    a map-side-combined groupBy; the per-host cut is the salted top-k
+    tournament over an encoded (count, term) order key — the DuckDB
+    twin's plain ranking window pins tournament equivalence on a second
+    operator family (after index_inverted)."""
+    from intelligent_ocr_spark.operators.web import (
+        extract_anchor_texts,
+        host_anchor_profile,
+    )
+
+    return host_anchor_profile(
+        extract_anchor_texts(_anchor_pages(spark, sf_dir)), k=4
+    ).orderBy("dst_host", "rank")
+
+
 @_q(
     "pipeline_media_census",
     """
@@ -5187,7 +5313,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: twenty-six queries (`dedup_incremental`,
+    # NOTE: twenty-eight queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -5196,7 +5322,8 @@ _SKIPPED_LAST_ROUND = [
     # `pipeline_multimodal_dedup`, `mm_video_near_dups`,
     # `mm_media_metadata`, `mm_exif_tags`, `mm_audio_resample`,
     # `pipeline_media_census`, `web_pagerank`, `web_extract_links`,
-    # `pipeline_link_authority`, `sketch_hll_registers`, `index_inverted`)
+    # `pipeline_link_authority`, `sketch_hll_registers`, `index_inverted`,
+    # `web_anchor_texts`, `web_anchor_profile`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only

@@ -27,7 +27,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["robots_star_rules", "robots_allowed", "extract_links", "host_edges"]
+__all__ = [
+    "robots_star_rules",
+    "robots_allowed",
+    "extract_links",
+    "host_edges",
+    "extract_anchor_texts",
+    "host_anchor_profile",
+]
 
 
 def robots_star_rules(robots: DataFrame, host_col: str = "host",
@@ -165,4 +172,77 @@ def host_edges(links: DataFrame) -> DataFrame:
         links.filter(F.col("src_host") != F.col("dst_host"))
         .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
         .distinct()
+    )
+
+
+_ANCHOR_RE = '<a\\\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """(url, html) → (src_url, href, dst_host, anchor) per anchor whose
+    TEXT is a plain run (no nested tags) and whose href is an absolute
+    http(s) URL — the anchor-text signal retrieval pipelines aggregate
+    per target page/host (public practice since anchor-text indexing in
+    early web search; used today to mine query→document training
+    pairs).
+
+    Same zero-exchange projection + Generate shape as ``extract_links``
+    (plan-pinned): the two capture groups come from two
+    ``regexp_extract_all`` calls over the SAME pattern, positionally
+    aligned by ``arrays_zip`` — the DuckDB twin aligns the same two
+    calls with parallel ``unnest``.
+    """
+    pair = F.explode(
+        F.arrays_zip(
+            F.expr(f"regexp_extract_all({html_col}, '{_ANCHOR_RE}', 1)").alias("href"),
+            F.expr(f"regexp_extract_all({html_col}, '{_ANCHOR_RE}', 2)").alias("anchor"),
+        )
+    ).alias("p")
+    return (
+        pages.select(F.col(url_col).alias("src_url"), pair)
+        .select(
+            "src_url",
+            F.col("p.href").alias("href"),
+            F.col("p.anchor").alias("anchor"),
+        )
+        .filter(F.col("href").rlike(r"^https?://"))
+        .withColumn(
+            "dst_host", F.regexp_extract("href", r"^https?://([^/:?#]+)", 1)
+        )
+    )
+
+
+def host_anchor_profile(anchors: DataFrame, k: int = 8) -> DataFrame:
+    """Per-target-host anchor-term profile: the ``k`` most frequent
+    anchor tokens per ``dst_host`` (ties broken by term), with exact
+    counts. Term counting is a map-side-combined groupBy; the per-host
+    top-k uses the salted tournament (``topk_per_key`` on the ranked
+    tuple), so a host receiving links from half the web never becomes
+    one window task."""
+    from ..functions.freq import topk_per_key
+    from ..functions.textstats import tokens
+
+    counts = (
+        anchors.select(
+            "dst_host", F.explode(tokens(F.col("anchor"))).alias("term")
+        )
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # rank by (-n, term): encode as a single orderable string so the
+    # tournament's order column is unique within a host
+    ranked = counts.withColumn(
+        "_ord",
+        F.concat(
+            F.lpad((F.lit(10**9) - F.col("n")).cast("string"), 10, "0"),
+            F.lit("|"),
+            F.col("term"),
+        ),
+    )
+    out = topk_per_key(ranked, "dst_host", "_ord", k)
+    w = Window.partitionBy("dst_host").orderBy("_ord")
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("dst_host", "term", "n", "rank")
     )

@@ -138,3 +138,58 @@ def test_host_edges_dedup_and_self_loop(spark):
         ("a.example", "c.example"),
         ("b.example", "a.example"),
     ]
+
+
+def test_extract_anchor_texts(spark):
+    """Plain-run anchor text captured alongside href; nested-tag and
+    relative anchors skipped; zero-exchange plan."""
+    from intelligent_ocr_spark.operators.web import extract_anchor_texts
+
+    rows = [
+        (
+            "http://a.example/1",
+            '<a href="http://b.example/x">spark engine docs</a>'
+            '<a class="z" href="http://b.example/y">spark tutorial</a>'
+            '<a href="http://c.example/z"><b>nested skipped</b></a>'
+            '<a href="/rel">relative skipped</a>',
+        ),
+        ("http://d.example/2", '<a href="http://b.example/w">engine internals</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = sorted(tuple(r) for r in extract_anchor_texts(df).collect())
+    assert got == [
+        ("http://a.example/1", "http://b.example/x", "spark engine docs", "b.example"),
+        ("http://a.example/1", "http://b.example/y", "spark tutorial", "b.example"),
+        ("http://d.example/2", "http://b.example/w", "engine internals", "b.example"),
+    ]
+    plan = extract_anchor_texts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_host_anchor_profile_topk(spark):
+    """Counts exact, rank by (count desc, term asc), capped at k."""
+    from intelligent_ocr_spark.operators.web import (
+        extract_anchor_texts,
+        host_anchor_profile,
+    )
+
+    rows = [
+        (
+            "http://a.example/1",
+            '<a href="http://b.example/x">spark engine docs</a>'
+            '<a href="http://b.example/y">spark tutorial</a>',
+        ),
+        ("http://d.example/2", '<a href="http://b.example/w">engine internals</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = [
+        tuple(r)
+        for r in host_anchor_profile(extract_anchor_texts(df), k=3)
+        .orderBy("dst_host", "rank")
+        .collect()
+    ]
+    assert got == [
+        ("b.example", "engine", 2, 1),
+        ("b.example", "spark", 2, 2),
+        ("b.example", "docs", 1, 3),
+    ]
