@@ -75,3 +75,34 @@ def test_inverted_index_plan_no_corpus_window(spark):
         .toString()
     )
     assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_topk_tournament_bounds_hot_key_partitions(spark):
+    """Skew stress: one key carries 10⁶ rows. The tournament's first
+    window partitions by (key, crc32(order) % B), so no partition may
+    exceed a generous bound around hot_rows / B — and the second window
+    sees at most k·B survivors per key. Result still exact."""
+    from intelligent_ocr_spark.functions.freq import (
+        DEFAULT_SALT_BUCKETS,
+        topk_per_key,
+    )
+
+    n_hot = 1_000_000
+    rows = spark.range(n_hot + 5_000).select(
+        F.when(F.col("id") < n_hot, F.lit("hot"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 200).cast("string")))
+        .alias("key"),
+        F.col("id").alias("o"),
+    )
+    got = sorted(
+        r.o for r in topk_per_key(rows, "key", "o", 16).filter("key = 'hot'").collect()
+    )
+    assert got == list(range(16))
+    # boundedness under the actual first-stage partition key
+    salted = rows.withColumn(
+        "salt", F.pmod(F.crc32(F.col("o").cast("string")), F.lit(DEFAULT_SALT_BUCKETS))
+    )
+    max_group = (
+        salted.groupBy("key", "salt").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_group <= 4 * n_hot // DEFAULT_SALT_BUCKETS, max_group
