@@ -4169,6 +4169,87 @@ def q_index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, max_postings=16).orderBy("term")
 
 
+@_q(
+    "pipeline_crawl_frontier",
+    f"""
+    WITH RECURSIVE
+    p AS ({_LINK_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+      FROM p
+    ),
+    l AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src,
+             href,
+             regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst
+      FROM x WHERE regexp_matches(href, '^https?://')
+    ),
+    cand AS (SELECT DISTINCT href, dst AS dst_host FROM l),
+    e AS (SELECT DISTINCT src, dst FROM l WHERE src <> dst),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+    pr(it, node, r) AS (
+      SELECT 0, node, CAST(1000000000 AS BIGINT) FROM nodes
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT it, node, r FROM pr)
+        SELECT (SELECT max(it) FROM prev) + 1, n.node,
+               CAST(150000000 AS BIGINT) + (85 * COALESCE(c.s, 0)) // 100
+        FROM nodes n
+        LEFT JOIN (
+          SELECT e.dst, SUM(p.r // deg.d) AS s
+          FROM prev p JOIN e ON e.src = p.node JOIN deg ON deg.src = p.node
+          GROUP BY e.dst
+        ) c ON c.dst = n.node
+        WHERE (SELECT max(it) FROM prev) < 5
+      ) z
+    ),
+    auth AS (SELECT node, r AS rank_scaled FROM pr WHERE it = 5),
+    sched AS (
+      SELECT dst_host, href,
+             row_number() OVER (
+               PARTITION BY dst_host ORDER BY md5(href), href
+             ) AS slot
+      FROM cand
+    )
+    SELECT s.dst_host, a.rank_scaled, s.href, CAST(s.slot AS BIGINT) AS slot
+    FROM sched s JOIN auth a ON a.node = s.dst_host
+    WHERE s.slot <= 3
+    ORDER BY a.rank_scaled DESC, s.dst_host, s.slot
+    """,
+)
+def q_pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier scheduling: candidate URLs from anchor extraction,
+    host authority from five integer-exact PageRank iterations over the
+    same link graph, a per-host politeness quota of 3 slots picked in
+    content-addressed md5 order (crawl-order-unbiased, retry-stable —
+    the domain_caps idiom, pure rank window so WindowGroupLimit bounds
+    hot hosts), and the fetch order (authority desc, host, slot). The
+    oracle replays candidates, the recursive-CTE power iteration, and
+    the quota window end to end."""
+    from intelligent_ocr_spark.operators.graph import pagerank
+    from intelligent_ocr_spark.operators.web import extract_links, host_edges
+
+    links = extract_links(_link_pages(spark, sf_dir))
+    cand = links.select("href", "dst_host").distinct()
+    auth = pagerank(host_edges(links), n_iter=5)
+    w = W.partitionBy("dst_host").orderBy(
+        F.md5(F.encode("href", "UTF-8")), "href"
+    )
+    sched = (
+        cand.withColumn("slot", F.row_number().over(w).cast("long"))
+        .filter(F.col("slot") <= 3)
+    )
+    return (
+        sched.join(auth, sched["dst_host"] == auth["node"])
+        .select("dst_host", "rank_scaled", "href", "slot")
+        .orderBy(F.col("rank_scaled").desc(), "dst_host", "slot")
+    )
+
+
 # Anchor-text synthesis: three rotating multi-token anchor phrases so
 # per-host term profiles have real frequency structure. Byte-identical
 # strings in both engines (|| twin below).
@@ -5313,7 +5394,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: twenty-eight queries (`dedup_incremental`,
+    # NOTE: twenty-nine queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -5323,7 +5404,7 @@ _SKIPPED_LAST_ROUND = [
     # `mm_media_metadata`, `mm_exif_tags`, `mm_audio_resample`,
     # `pipeline_media_census`, `web_pagerank`, `web_extract_links`,
     # `pipeline_link_authority`, `sketch_hll_registers`, `index_inverted`,
-    # `web_anchor_texts`, `web_anchor_profile`)
+    # `web_anchor_texts`, `web_anchor_profile`, `pipeline_crawl_frontier`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only
