@@ -4377,6 +4377,83 @@ def q_web_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "web_sitemap_entries",
+    """
+    WITH s AS (
+      SELECT 'h' || (doc_id % 17) || '.example' AS host,
+             CASE WHEN doc_id % 6 = 0 THEN
+               '<sitemapindex><sitemap><loc>http://h' || (doc_id % 17)
+               || '.example/s' || doc_id || 'a.xml</loc><lastmod>2024-0'
+               || (doc_id % 9 + 1) || '-01</lastmod></sitemap><sitemap><loc>'
+               || 'http://h' || (doc_id % 17) || '.example/s' || doc_id
+               || 'b.xml</loc></sitemap></sitemapindex>'
+             ELSE
+               '<?xml version="1.0"?><urlset><url><loc> http://h'
+               || (doc_id % 17) || '.example/p/' || doc_id
+               || ' </loc><lastmod>2024-0' || (doc_id % 9 + 1)
+               || '-15</lastmod></url><url><loc>http://h' || (doc_id % 17)
+               || '.example/q/' || doc_id || '</loc></url></urlset>'
+             END AS sitemap_xml
+      FROM documents WHERE doc_id < 120
+    ),
+    u AS (
+      SELECT host, 'url' AS kind,
+             unnest(regexp_extract_all(sitemap_xml,
+                    '<url>([\\s\\S]*?)</url>', 1)) AS block
+      FROM s
+      UNION ALL
+      SELECT host, 'sitemap',
+             unnest(regexp_extract_all(sitemap_xml,
+                    '<sitemap>([\\s\\S]*?)</sitemap>', 1))
+      FROM s
+    )
+    SELECT host, kind,
+           regexp_extract(block, '<loc>\\s*([^<]*?)\\s*</loc>', 1) AS loc,
+           nullif(regexp_extract(block,
+                  '<lastmod>\\s*([^<]*?)\\s*</lastmod>', 1), '') AS lastmod
+    FROM u
+    WHERE regexp_extract(block, '<loc>\\s*([^<]*?)\\s*</loc>', 1) <> ''
+    ORDER BY host, kind, loc
+    """,
+)
+def q_web_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (sitemaps.org spec): synthesized urlset files
+    (two <url> entries, first with <lastmod>, loc whitespace-trimmed)
+    and sitemapindex files (two <sitemap> children) flatten to
+    (host, kind, loc, lastmod) rows — the frontier's page-fetch and
+    child-sitemap queues from one zero-exchange pass
+    (operators/web.py::parse_sitemaps, plan-pinned)."""
+    from intelligent_ocr_spark.operators.web import parse_sitemaps
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("h"), s(F.col("doc_id") % 17), F.lit(".example"))
+    hexpr = s(F.col("doc_id") % 17)
+    idx_xml = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>http://h"), hexpr,
+        F.lit(".example/s"), s(F.col("doc_id")),
+        F.lit("a.xml</loc><lastmod>2024-0"), s(F.col("doc_id") % 9 + 1),
+        F.lit("-01</lastmod></sitemap><sitemap><loc>http://h"), hexpr,
+        F.lit(".example/s"), s(F.col("doc_id")),
+        F.lit("b.xml</loc></sitemap></sitemapindex>"),
+    )
+    url_xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> http://h'), hexpr,
+        F.lit(".example/p/"), s(F.col("doc_id")),
+        F.lit(" </loc><lastmod>2024-0"), s(F.col("doc_id") % 9 + 1),
+        F.lit("-15</lastmod></url><url><loc>http://h"), hexpr,
+        F.lit(".example/q/"), s(F.col("doc_id")),
+        F.lit("</loc></url></urlset>"),
+    )
+    sm = d.select(
+        host.alias("host"),
+        F.when(F.col("doc_id") % 6 == 0, idx_xml).otherwise(url_xml)
+        .alias("sitemap_xml"),
+    )
+    return parse_sitemaps(sm).orderBy("host", "kind", "loc")
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
@@ -5394,7 +5471,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: twenty-nine queries (`dedup_incremental`,
+    # NOTE: thirty queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -5404,7 +5481,8 @@ _SKIPPED_LAST_ROUND = [
     # `mm_media_metadata`, `mm_exif_tags`, `mm_audio_resample`,
     # `pipeline_media_census`, `web_pagerank`, `web_extract_links`,
     # `pipeline_link_authority`, `sketch_hll_registers`, `index_inverted`,
-    # `web_anchor_texts`, `web_anchor_profile`, `pipeline_crawl_frontier`)
+    # `web_anchor_texts`, `web_anchor_profile`, `pipeline_crawl_frontier`,
+    # `web_sitemap_entries`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only

@@ -34,6 +34,7 @@ __all__ = [
     "host_edges",
     "extract_anchor_texts",
     "host_anchor_profile",
+    "parse_sitemaps",
 ]
 
 
@@ -246,3 +247,49 @@ def host_anchor_profile(anchors: DataFrame, k: int = 8) -> DataFrame:
         out.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("dst_host", "term", "n", "rank")
     )
+
+
+def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
+                   xml_col: str = "sitemap_xml") -> DataFrame:
+    """Sitemap parsing (sitemaps.org protocol, public spec): each
+    ``<url>`` entry of a urlset and each ``<sitemap>`` entry of a
+    sitemapindex becomes a row (host, kind, loc, lastmod) — ``kind``
+    is ``'url'`` or ``'sitemap'`` so the crawl frontier can enqueue
+    page fetches and child-sitemap fetches from one pass. ``loc`` is
+    whitespace-trimmed per the spec; absent ``<lastmod>`` → NULL.
+
+    Scope (documented): the two entry kinds' ``<loc>``/``<lastmod>``
+    children; other optional tags (changefreq, priority) and XML
+    namespaces/CDATA are ignored — corpus-side frontier building only
+    needs locations and staleness.
+
+    Scale shape: same zero-exchange projection + Generate as
+    ``extract_links`` — entry blocks via non-greedy
+    ``regexp_extract_all`` (RE2-safe), fields via ``regexp_extract``
+    on the exploded block. A sitemap file is ≤ 50k entries by spec,
+    so the per-row fan-out is bounded.
+    """
+    def _entries(tag: str, kind: str) -> DataFrame:
+        block = F.explode(
+            F.expr(
+                f"regexp_extract_all({xml_col},"
+                f" '<{tag}>([\\\\s\\\\S]*?)</{tag}>', 1)"
+            )
+        ).alias("block")
+        return (
+            sitemaps.select(F.col(host_col).alias("host"), block)
+            .select(
+                "host",
+                F.lit(kind).alias("kind"),
+                F.regexp_extract("block", r"<loc>\s*([^<]*?)\s*</loc>", 1).alias("loc"),
+                F.nullif(
+                    F.regexp_extract(
+                        "block", r"<lastmod>\s*([^<]*?)\s*</lastmod>", 1
+                    ),
+                    F.lit(""),
+                ).alias("lastmod"),
+            )
+            .filter(F.col("loc") != "")
+        )
+
+    return _entries("url", "url").unionAll(_entries("sitemap", "sitemap"))

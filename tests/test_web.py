@@ -193,3 +193,35 @@ def test_host_anchor_profile_topk(spark):
         ("b.example", "spark", 2, 2),
         ("b.example", "docs", 1, 3),
     ]
+
+
+def test_parse_sitemaps(spark):
+    """urlset and sitemapindex entries, loc trimming, optional lastmod,
+    zero-exchange plan."""
+    from intelligent_ocr_spark.operators.web import parse_sitemaps
+
+    rows = [
+        (
+            "a.example",
+            '<?xml version="1.0"?><urlset><url><loc> http://a.example/p1 </loc>'
+            "<lastmod>2024-01-02</lastmod></url>"
+            "<url><loc>http://a.example/p2</loc></url></urlset>",
+        ),
+        (
+            "b.example",
+            "<sitemapindex><sitemap><loc>http://b.example/s1.xml</loc>"
+            "<lastmod>2024-02-03</lastmod></sitemap>"
+            "<sitemap><loc>http://b.example/s2.xml</loc></sitemap></sitemapindex>",
+        ),
+    ]
+    df = spark.createDataFrame(rows, "host string, sitemap_xml string")
+    out = parse_sitemaps(df)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        ("a.example", "url", "http://a.example/p1", "2024-01-02"),
+        ("a.example", "url", "http://a.example/p2", None),
+        ("b.example", "sitemap", "http://b.example/s1.xml", "2024-02-03"),
+        ("b.example", "sitemap", "http://b.example/s2.xml", None),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
