@@ -4454,6 +4454,49 @@ def q_web_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_cocitation",
+    f"""
+    WITH p AS ({_LINK_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+      FROM p
+    ),
+    l AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src,
+             regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst
+      FROM x WHERE regexp_matches(href, '^https?://')
+    ),
+    e AS (SELECT DISTINCT src AS pv, dst AS node FROM l WHERE src <> dst),
+    deg AS (SELECT pv, COUNT(*) AS d FROM e GROUP BY 1),
+    kept AS (
+      SELECT e.pv, e.node FROM e JOIN deg USING (pv) WHERE deg.d <= 64
+    )
+    SELECT a.node AS node_a, b.node AS node_b,
+           COUNT(*) AS n_common
+    FROM kept a JOIN kept b ON a.pv = b.pv AND a.node < b.node
+    GROUP BY 1, 2
+    ORDER BY node_a, node_b
+    """,
+)
+def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation host similarity over the link-graph synthesis: pairs
+    of hosts linked from the same source host with exact shared-source
+    counts. Hub sources above degree 64 are excluded up front (the
+    stop-shingle cap idiom — broadcast anti-join), so the pair fan-out
+    is degree-bounded; see operators/graph.py::cocitation_pairs."""
+    from intelligent_ocr_spark.operators.graph import cocitation_pairs
+    from intelligent_ocr_spark.operators.web import extract_links
+
+    links = extract_links(_link_pages(spark, sf_dir))
+    edges = links.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return cocitation_pairs(edges, max_degree=64).orderBy("node_a", "node_b")
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
@@ -5471,7 +5514,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: thirty queries (`dedup_incremental`,
+    # NOTE: thirty-one queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -5482,7 +5525,7 @@ _SKIPPED_LAST_ROUND = [
     # `pipeline_media_census`, `web_pagerank`, `web_extract_links`,
     # `pipeline_link_authority`, `sketch_hll_registers`, `index_inverted`,
     # `web_anchor_texts`, `web_anchor_profile`, `pipeline_crawl_frontier`,
-    # `web_sitemap_entries`)
+    # `web_sitemap_entries`, `graph_cocitation`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "cocitation_pairs"]
 
 
 def pagerank(
@@ -89,3 +89,49 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    by: str = "src",
+    max_degree: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Co-citation similarity: pairs of nodes linked FROM the same
+    pivot (``by='src'`` — classic co-citation of link targets) or
+    linking TO the same pivot (``by='dst'`` — bibliographic coupling
+    of link sources), with the exact count of shared pivots. The
+    host-similarity signal web pipelines derive from pure structure
+    (no content), e.g. to find mirror families or topical clusters.
+
+    Scale shape: the pair join fans out quadratically in the pivot's
+    degree, so pivots above ``max_degree`` are EXCLUDED first (the
+    stop-shingle / doc-freq cap idiom from ``dedup.ngram_jaccard`` —
+    a hub linking to everything asserts nothing about its targets'
+    similarity, exactly like "the" asserts nothing about documents).
+    Degree comes from one map-side-combined groupBy; the cap join is
+    a broadcast of the (tiny) over-cap pivot list; the self-join is an
+    equi-join on the pivot with ``a < b`` ordering so each unordered
+    pair appears once; the final count is one pair-keyed aggregation.
+    Output: (node_a, node_b, n_common) — node_a < node_b.
+    """
+    if by not in ("src", "dst"):
+        raise ValueError("by must be 'src' or 'dst'")
+    pivot, other = (src_col, dst_col) if by == "src" else (dst_col, src_col)
+    e = (
+        edges.select(F.col(pivot).alias("pivot"), F.col(other).alias("node"))
+        .filter(F.col("pivot") != F.col("node"))
+        .distinct()
+    )
+    deg = e.groupBy("pivot").agg(F.count(F.lit(1)).alias("d"))
+    hot = deg.filter(F.col("d") > max_degree).select("pivot")
+    kept = e.join(F.broadcast(hot), "pivot", "left_anti")
+    a = kept.select("pivot", F.col("node").alias("node_a"))
+    b = kept.select("pivot", F.col("node").alias("node_b"))
+    return (
+        a.join(b, "pivot")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )

@@ -68,3 +68,33 @@ def test_partitioning_invariance(spark, parts):
     df = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
     got = {r.node: r.rank_scaled for r in pagerank(df, n_iter=4).collect()}
     assert got == _py_pagerank(edges, n_iter=4)
+
+
+def test_cocitation_pairs_basic(spark):
+    from intelligent_ocr_spark.operators.graph import cocitation_pairs
+
+    edges = spark.createDataFrame(
+        [("s1", "a"), ("s1", "b"), ("s1", "c"),
+         ("s2", "a"), ("s2", "b"),
+         ("s3", "b"), ("s3", "b"),          # duplicate edge collapses
+         ("s4", "s4")],                     # self-loop dropped
+        "src string, dst string",
+    )
+    got = sorted(map(tuple, cocitation_pairs(edges).collect()))
+    assert got == [("a", "b", 2), ("a", "c", 1), ("b", "c", 1)]
+
+
+def test_cocitation_hub_cap_and_coupling(spark):
+    from intelligent_ocr_spark.operators.graph import cocitation_pairs
+
+    rows = [("hub", f"n{i}") for i in range(10)] + [
+        ("s1", "x"), ("s1", "y"),
+        ("a", "t"), ("b", "t"), ("c", "t"),
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    # hub excluded at max_degree=8: none of its n0..n9 pairs appear
+    got = sorted(map(tuple, cocitation_pairs(edges, max_degree=8).collect()))
+    assert got == [("x", "y", 1)]
+    # coupling: sources sharing a target
+    coup = sorted(map(tuple, cocitation_pairs(edges, by="dst").collect()))
+    assert ("a", "b", 1) in coup and ("a", "c", 1) in coup and ("b", "c", 1) in coup
