@@ -4497,6 +4497,76 @@ def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_trustrank",
+    f"""
+    WITH RECURSIVE
+    p AS ({_LINK_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+      FROM p
+    ),
+    l AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src,
+             regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst
+      FROM x WHERE regexp_matches(href, '^https?://')
+    ),
+    e AS (SELECT DISTINCT src, dst FROM l WHERE src <> dst),
+    nodes AS (
+      SELECT node,
+             CAST(regexp_extract(node, '^h([0-9]+)', 1) AS BIGINT) % 8 = 0
+               AS is_seed
+      FROM (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+    pr(it, node, r) AS (
+      SELECT 0, node,
+             CASE WHEN is_seed THEN CAST(1000000000 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END
+      FROM nodes
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT it, node, r FROM pr)
+        SELECT (SELECT max(it) FROM prev) + 1, n.node,
+               CASE WHEN n.is_seed THEN CAST(150000000 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END
+               + (85 * COALESCE(c.s, 0)) // 100
+        FROM nodes n
+        LEFT JOIN (
+          SELECT e.dst, SUM(p.r // deg.d) AS s
+          FROM prev p JOIN e ON e.src = p.node JOIN deg ON deg.src = p.node
+          GROUP BY e.dst
+        ) c ON c.dst = n.node
+        WHERE (SELECT max(it) FROM prev) < 5
+      ) z
+    )
+    SELECT node, r AS rank_scaled FROM pr WHERE it = 5 ORDER BY node
+    """,
+)
+def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (personalized PageRank, Gyöngyi et al. 2004): restart
+    mass lands only on the trusted seed hosts (host number ≡ 0 mod 8),
+    so authority flows outward from the seed set — the structural
+    quality/spam signal computed next to global web_pagerank. Same
+    integer-exact iteration plan; the seed flag joins the checkpointed
+    node list once (broadcast). The oracle replays the seeded restart
+    in the recursive CTE bit-for-bit."""
+    from intelligent_ocr_spark.operators.graph import pagerank
+    from intelligent_ocr_spark.operators.web import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    nodes = edges.selectExpr("src as node").union(
+        edges.selectExpr("dst as node")
+    ).distinct()
+    seeds = nodes.filter(
+        F.regexp_extract("node", r"^h([0-9]+)", 1).cast("long") % 8 == 0
+    )
+    return pagerank(edges, n_iter=5, seeds=seeds).orderBy("node")
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
@@ -5514,7 +5584,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: thirty-one queries (`dedup_incremental`,
+    # NOTE: thirty-two queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -5525,7 +5595,7 @@ _SKIPPED_LAST_ROUND = [
     # `pipeline_media_census`, `web_pagerank`, `web_extract_links`,
     # `pipeline_link_authority`, `sketch_hll_registers`, `index_inverted`,
     # `web_anchor_texts`, `web_anchor_profile`, `pipeline_crawl_frontier`,
-    # `web_sitemap_entries`, `graph_cocitation`)
+    # `web_sitemap_entries`, `graph_cocitation`, `graph_trustrank`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only

@@ -50,10 +50,22 @@ def pagerank(
     scale: int = 10**9,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst) edges → (node, rank_scaled) after ``n_iter`` exact
     integer power iterations. Edges are deduplicated and self-loops
-    dropped; every node appearing on either side gets a row."""
+    dropped; every node appearing on either side gets a row.
+
+    ``seeds`` (a one-column ``node`` DataFrame) switches to
+    PERSONALIZED PageRank — TrustRank (Gyöngyi et al. 2004, public):
+    the restart mass lands only on seed nodes (initial rank ``scale``
+    on seeds, 0 elsewhere; per iteration the ``(1-d)·scale`` base term
+    applies to seeds only), so authority flows outward from a trusted
+    set — the structural spam/quality signal web pipelines compute
+    next to global PageRank. The seed flag is joined ONCE into the
+    checkpointed node list (broadcast — seed lists are small), so the
+    iteration plan is unchanged: join + map-side-combined agg + left
+    join, all integer arithmetic."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -65,10 +77,24 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if seeds is not None:
+        seed_flag = seeds.select(
+            F.col("node"), F.lit(True).alias("_is_seed")
+        ).distinct()
+        nodes = nodes.join(F.broadcast(seed_flag), "node", "left").select(
+            "node", F.coalesce("_is_seed", F.lit(False)).alias("is_seed")
+        )
+    else:
+        nodes = nodes.select("node", F.lit(True).alias("is_seed"))
+    nodes = nodes.localCheckpoint(eager=True)
     base = ((damping_den - damping_num) * scale) // damping_den
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(scale)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
     for _ in range(n_iter):
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
@@ -80,11 +106,13 @@ def pagerank(
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .select(
                 "node",
-                F.expr(
-                    f"CAST({base} AS BIGINT) + "
-                    f"({damping_num} * coalesce(s, CAST(0 AS BIGINT)))"
-                    f" div {damping_den}"
-                ).alias("r"),
+                (
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damping_num} * coalesce(s, CAST(0 AS BIGINT)))"
+                        f" div {damping_den}"
+                    )
+                ).cast("long").alias("r"),
             )
             .localCheckpoint(eager=True)
         )

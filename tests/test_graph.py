@@ -98,3 +98,50 @@ def test_cocitation_hub_cap_and_coupling(spark):
     # coupling: sources sharing a target
     coup = sorted(map(tuple, cocitation_pairs(edges, by="dst").collect()))
     assert ("a", "b", 1) in coup and ("a", "c", 1) in coup and ("b", "c", 1) in coup
+
+
+def test_trustrank_all_seeds_equals_pagerank(spark):
+    """seeds = every node must reproduce global PageRank exactly."""
+    from intelligent_ocr_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3 + 1) % 7) for i in range(25)], "src long, dst long"
+    )
+    allnodes = edges.selectExpr("src as node").union(
+        edges.selectExpr("dst as node")
+    ).distinct()
+    a = sorted(map(tuple, pagerank(edges, n_iter=4).collect()))
+    b = sorted(map(tuple, pagerank(edges, n_iter=4, seeds=allnodes).collect()))
+    assert a == b
+
+
+def test_trustrank_seed_restart_only(spark):
+    """Restart mass lands on seeds only: a node with no in-links and
+    not in the seed set holds rank 0; a seed with no in-links holds
+    exactly the base term after the first iteration."""
+    from pyspark.sql import functions as F
+
+    from intelligent_ocr_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("seed", "mid"), ("mid", "leaf"), ("spam", "leaf")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("seed",)], "node string")
+    got = {r.node: r.rank_scaled for r in pagerank(edges, n_iter=3, seeds=seeds).collect()}
+    base = (15 * 10**9) // 100
+    assert got["spam"] == 0
+    assert got["seed"] == base
+    # mid receives only seed's damped share: d*(base after it.1 = scale)
+    # replay the integer arithmetic by hand for 3 iterations
+    r = {"seed": 10**9, "mid": 0, "leaf": 0, "spam": 0}
+    for _ in range(3):
+        share = {n: r[n] // 1 for n in r}  # out_deg is 1 for all srcs
+        nxt = {
+            "seed": base,
+            "mid": 85 * share["seed"] // 100,
+            "leaf": (85 * (share["mid"] + share["spam"])) // 100,
+            "spam": 0,
+        }
+        r = nxt
+    assert got == r
