@@ -4567,6 +4567,72 @@ def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pipeline_weighted_sample",
+    """
+    WITH c AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(n_docs) * 1e6) AS BIGINT) AS w_micro
+      FROM c
+    ), t AS (SELECT sum(w_micro) AS w_total FROM w),
+    alloc AS (
+      SELECT lang, n_docs,
+             CAST(floor((200 * w_micro) / w_total) AS BIGINT) AS expected_docs
+      FROM w CROSS JOIN t
+    ),
+    s AS (
+      SELECT d.lang
+      FROM documents d JOIN alloc a USING (lang)
+      WHERE CAST(('0x' || substr(md5('ws0|' || CAST(d.doc_id AS VARCHAR)),
+                                 1, 8))::UBIGINT AS HUGEINT) * a.n_docs
+            < CAST(a.expected_docs AS HUGEINT) * 4294967296
+    )
+    SELECT a.lang, a.n_docs, a.expected_docs,
+           CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM alloc a LEFT JOIN (
+      SELECT lang, count(*) AS n_sampled FROM s GROUP BY lang
+    ) k USING (lang)
+    ORDER BY lang
+    """,
+)
+def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized temperature-balanced sample: the α=0.5 allocation
+    (lang_sample_weights, 200-draw budget) drives a per-language
+    content-addressed hash threshold — keep iff h32·n_docs <
+    expected·2^32, both products in decimal(38)/HUGEINT so the
+    boundary is integer-exact in both engines (no double wavering).
+    Deterministic across partitionings/retries; per-lang realized
+    counts land at the allocation up to hash noise. Broadcast
+    |langs|-row allocation join + projection filter
+    (functions/textstats.py::weighted_lang_sample)."""
+    from intelligent_ocr_spark.functions.textstats import (
+        lang_sample_weights,
+        weighted_lang_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    alloc = lang_sample_weights(d, budget=200).select(
+        "lang", "n_docs", "expected_docs"
+    )
+    counts = (
+        weighted_lang_sample(d, budget=200)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        alloc.join(counts, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "expected_docs",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
@@ -5584,7 +5650,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: thirty-two queries (`dedup_incremental`,
+    # NOTE: thirty-three queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -5595,7 +5661,8 @@ _SKIPPED_LAST_ROUND = [
     # `pipeline_media_census`, `web_pagerank`, `web_extract_links`,
     # `pipeline_link_authority`, `sketch_hll_registers`, `index_inverted`,
     # `web_anchor_texts`, `web_anchor_profile`, `pipeline_crawl_frontier`,
-    # `web_sitemap_entries`, `graph_cocitation`, `graph_trustrank`)
+    # `web_sitemap_entries`, `graph_cocitation`, `graph_trustrank`,
+    # `pipeline_weighted_sample`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only

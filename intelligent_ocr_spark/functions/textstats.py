@@ -547,3 +547,51 @@ def source_overlap(df, source_col: str = "source", text_col: str = "text",
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def weighted_lang_sample(
+    df, lang_col: str = "lang", id_col: str = "doc_id",
+    budget: int = 100_000, salt: str = "ws0",
+):
+    """Materialize the α=0.5 temperature-balanced sample that
+    :func:`lang_sample_weights` allocates: each document is kept with
+    probability ``expected_docs(lang) / n_docs(lang)``, decided by a
+    content-addressed hash threshold so the draw is deterministic
+    across engines, partitionings, and retries (the
+    ``deterministic_sample`` contract, but with a per-language rate).
+
+    The threshold test is INTEGER-EXACT: keep iff
+    ``h32 · n_docs < expected_docs · 2^32`` where ``h32`` is the first
+    8 md5 hex chars of ``salt|id``. Both products run in decimal(38)
+    (HUGEINT in the DuckDB twin) — no float rounding at any corpus
+    size, where ``h32/2^32 < frac`` in doubles would waver on the
+    boundary.
+
+    Shape: the allocation table is |langs| rows → broadcast join;
+    the filter is a projection. Returns the sampled (id, lang) rows.
+    """
+    alloc = lang_sample_weights(df, lang_col, budget).select(
+        "lang", "n_docs", "expected_docs"
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(salt), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+        .join(F.broadcast(alloc), "lang")
+        .filter(
+            h32 * F.col("n_docs").cast("decimal(38,0)")
+            < F.col("expected_docs").cast("decimal(38,0)") * F.lit(2**32).cast("decimal(38,0)")
+        )
+        .select("doc_id", "lang")
+    )

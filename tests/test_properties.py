@@ -67,3 +67,37 @@ def test_extract_deterministic(a, b):
     r1 = extract_record("u://x", TS, html, "", "en")
     r2 = extract_record("u://x", TS, html, "", "en")
     assert r1 == r2
+
+
+def test_weighted_sample_deterministic_and_rate(spark):
+    """weighted_lang_sample: identical rows at different partitionings;
+    realized per-lang rate within binomial noise of the allocation."""
+    from pyspark.sql import functions as F
+
+    from intelligent_ocr_spark.functions.textstats import (
+        lang_sample_weights,
+        weighted_lang_sample,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 7, F.lit("en"))
+        .when(F.col("id") % 10 < 9, F.lit("zh"))
+        .otherwise(F.lit("fr"))
+        .alias("lang"),
+    )
+    a = sorted(map(tuple, weighted_lang_sample(df, budget=800).collect()))
+    b = sorted(
+        map(tuple, weighted_lang_sample(df.repartition(13), budget=800).collect())
+    )
+    assert a == b and len(a) > 0
+    alloc = {
+        r.lang: r.expected_docs
+        for r in lang_sample_weights(df, budget=800).collect()
+    }
+    got = {}
+    for doc_id, lang in a:
+        got[lang] = got.get(lang, 0) + 1
+    for lang, exp in alloc.items():
+        # 5 sigma of binomial(n, exp/n): sigma <= sqrt(exp)
+        assert abs(got.get(lang, 0) - exp) <= 5 * max(4, exp) ** 0.5, (lang, got, exp)
