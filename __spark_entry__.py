@@ -4633,6 +4633,50 @@ def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "prep_leakage_split",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, 'h' || (doc_id % 97) AS host FROM documents
+    ),
+    s AS (
+      SELECT *,
+             CASE WHEN CAST(('0x' || substr(md5('sp0|' || host), 1, 8))::UBIGINT
+                       AS HUGEINT) * 10 < CAST(1 AS HUGEINT) * 4294967296
+                  THEN 'val' ELSE 'train' END AS split
+      FROM d
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM s GROUP BY 1, 2 ORDER BY split, lang
+    """,
+)
+def q_prep_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: the split key is the HOST (one
+    tenth of hosts to val via the integer-exact md5 threshold), so
+    same-site boilerplate and lightly-edited mirrors can never straddle
+    the boundary. Assignment is a zero-exchange projection
+    (operators/prep.py::leakage_safe_split); per-(split, lang) doc and
+    host counts summarize the draw."""
+    from intelligent_ocr_spark.operators.prep import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string")).alias("host"),
+    )
+    return (
+        leakage_safe_split(d, group_col="host")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
@@ -5650,7 +5694,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: thirty-three queries (`dedup_incremental`,
+    # NOTE: thirty-four queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -5662,7 +5706,7 @@ _SKIPPED_LAST_ROUND = [
     # `pipeline_link_authority`, `sketch_hll_registers`, `index_inverted`,
     # `web_anchor_texts`, `web_anchor_profile`, `pipeline_crawl_frontier`,
     # `web_sitemap_entries`, `graph_cocitation`, `graph_trustrank`,
-    # `pipeline_weighted_sample`)
+    # `pipeline_weighted_sample`, `prep_leakage_split`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only

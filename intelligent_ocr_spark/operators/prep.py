@@ -15,6 +15,7 @@ __all__ = [
     "chunk_documents",
     "domain_caps",
     "dsir_importance_weights",
+    "leakage_safe_split",
     "pack_sequences",
     "pii_signals",
     "shard_assign",
@@ -355,4 +356,49 @@ def dsir_importance_weights(
             (F.sum(F.col("n") * F.col("cn")) / F.lit(1e9)).alias("weight"),
         )
         .orderBy("doc_id")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str = "host",
+    val_num: int = 1,
+    val_den: int = 10,
+    salt: str = "sp0",
+) -> DataFrame:
+    """Train/validation assignment that cannot leak near-duplicates
+    across the boundary: the split key is the GROUP (host/domain/
+    source), not the document, so every page of a host lands on one
+    side — the standard defence against same-site boilerplate and
+    lightly-edited mirrors inflating validation scores.
+
+    A group goes to ``val`` iff ``h32(salt|group) · val_den <
+    val_num · 2^32`` (first 8 md5 hex chars; the integer-exact
+    threshold of ``weighted_lang_sample``), i.e. a ``val_num/val_den``
+    expected share of GROUPS. Deterministic across engines,
+    partitionings, retries, and reruns; changing ``salt`` redraws.
+
+    Shape: a pure projection (md5 + compare, JVM codegen) — zero
+    exchanges; whatever aggregation follows dictates the shuffle.
+    """
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(salt), F.col(group_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return df.withColumn(
+        "split",
+        F.when(
+            h32 * F.lit(val_den).cast("decimal(38,0)")
+            < F.lit(val_num).cast("decimal(38,0)") * F.lit(2**32).cast("decimal(38,0)"),
+            F.lit("val"),
+        ).otherwise(F.lit("train")),
     )

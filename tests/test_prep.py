@@ -231,3 +231,24 @@ def test_dsir_importance_weights_differential(spark):
     # the paper's point: the curated-looking held-out doc scores far above
     # the spam-looking one
     assert got[18][1] > 0 > got[19][1]
+
+
+def test_leakage_safe_split_group_atomic(spark):
+    """Every group lands on exactly one side; share of val groups near
+    val_num/val_den; deterministic under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from intelligent_ocr_spark.operators.prep import leakage_safe_split
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), (F.col("id") % 400).cast("string")).alias("host"),
+    )
+    out = leakage_safe_split(df, group_col="host", val_num=1, val_den=4)
+    sides = out.groupBy("host").agg(F.countDistinct("split").alias("k"))
+    assert sides.filter("k > 1").count() == 0
+    vals = out.filter("split = 'val'").select("host").distinct().count()
+    assert abs(vals - 100) < 40  # 5 sigma of binomial(400, .25)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, leakage_safe_split(df.repartition(11), "host", 1, 4).collect()))
+    assert a == b
