@@ -4677,6 +4677,112 @@ def q_prep_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pipeline_host_profile",
+    f"""
+    WITH RECURSIVE
+    p AS ({_LINK_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+      FROM p
+    ),
+    l AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src,
+             regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst
+      FROM x WHERE regexp_matches(href, '^https?://')
+    ),
+    e AS (SELECT DISTINCT src, dst FROM l WHERE src <> dst),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+    pr(it, node, r) AS (
+      SELECT 0, node, CAST(1000000000 AS BIGINT) FROM nodes
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT it, node, r FROM pr)
+        SELECT (SELECT max(it) FROM prev) + 1, n.node,
+               CAST(150000000 AS BIGINT) + (85 * COALESCE(c.s, 0)) // 100
+        FROM nodes n
+        LEFT JOIN (
+          SELECT e.dst, SUM(p.r // deg.d) AS s
+          FROM prev p JOIN e ON e.src = p.node JOIN deg ON deg.src = p.node
+          GROUP BY e.dst
+        ) c ON c.dst = n.node
+        WHERE (SELECT max(it) FROM prev) < 5
+      ) z
+    ),
+    auth AS (SELECT node, r AS rank_scaled FROM pr WHERE it = 5),
+    d AS (
+      SELECT doc_id, 'h' || (doc_id % 40) || '.example' AS host,
+             CASE WHEN doc_id % 7 = 0 THEN 'boilerplate page'
+                  ELSE text END AS t
+      FROM documents WHERE doc_id < 240
+    ),
+    hc AS (SELECT md5(t) AS h, COUNT(*) AS c FROM d GROUP BY 1),
+    m AS (
+      SELECT d.host, COUNT(*) AS n_docs,
+             COUNT(*) FILTER (WHERE hc.c > 1) AS n_dup_docs
+      FROM d JOIN hc ON md5(d.t) = hc.h
+      GROUP BY 1
+    )
+    SELECT m.host, CAST(m.n_docs AS BIGINT) AS n_docs,
+           CAST(m.n_dup_docs AS BIGINT) AS n_dup_docs,
+           (m.n_dup_docs * 1000000) // m.n_docs AS dup_ppm,
+           a.rank_scaled
+    FROM m JOIN auth a ON a.node = m.host
+    ORDER BY host
+    """,
+)
+def q_pipeline_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host quality profile — the seed-list curation artifact: per host,
+    document count, exact-duplicate document count (every 7th doc
+    collapses to a shared boilerplate page; dup marking via a
+    map-side-combined hash-count groupBy joined back, the HH-safe
+    idiom), duplication rate in integer ppm, and link authority from
+    five integer-exact PageRank iterations over the same synthesis.
+    Composes content signals with graph signals across one join key."""
+    from intelligent_ocr_spark.operators.graph import pagerank
+    from intelligent_ocr_spark.operators.web import extract_links, host_edges
+
+    auth = pagerank(host_edges(extract_links(_link_pages(spark, sf_dir))), n_iter=5)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 240)
+        .select(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 40).cast("string"),
+                F.lit(".example"),
+            ).alias("host"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("boilerplate page"))
+            .otherwise(F.col("text"))
+            .alias("t"),
+        )
+        .withColumn("h", F.md5(F.col("t").cast("binary")))
+    )
+    hc = d.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    m = (
+        d.join(hc, "h")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("c") > 1, 1)).alias("n_dup_docs"),
+        )
+    )
+    return (
+        m.join(auth, m["host"] == auth["node"])
+        .select(
+            "host",
+            "n_docs",
+            "n_dup_docs",
+            F.expr("(n_dup_docs * 1000000) div n_docs").alias("dup_ppm"),
+            "rank_scaled",
+        )
+        .orderBy("host")
+    )
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
@@ -5694,7 +5800,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: thirty-four queries (`dedup_incremental`,
+    # NOTE: thirty-five queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -5706,7 +5812,8 @@ _SKIPPED_LAST_ROUND = [
     # `pipeline_link_authority`, `sketch_hll_registers`, `index_inverted`,
     # `web_anchor_texts`, `web_anchor_profile`, `pipeline_crawl_frontier`,
     # `web_sitemap_entries`, `graph_cocitation`, `graph_trustrank`,
-    # `pipeline_weighted_sample`, `prep_leakage_split`)
+    # `pipeline_weighted_sample`, `prep_leakage_split`,
+    # `pipeline_host_profile`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only
