@@ -4783,6 +4783,97 @@ def q_pipeline_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_pagerank_scaled",
+    """
+    WITH RECURSIVE
+    raw AS (
+      SELECT doc_id % 509 AS src, (doc_id * 7 + 3) % 509 AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id % 509, (doc_id * 11 + 5) % 509
+      FROM documents
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+    pr(it, node, r) AS (
+      SELECT 0, node, CAST(1000000000 AS BIGINT) FROM nodes
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT it, node, r FROM pr)
+        SELECT (SELECT max(it) FROM prev) + 1, n.node,
+               CAST(150000000 AS BIGINT) + (85 * COALESCE(c.s, 0)) // 100
+        FROM nodes n
+        LEFT JOIN (
+          SELECT e.dst, SUM(p.r // deg.d) AS s
+          FROM prev p JOIN e ON e.src = p.node JOIN deg ON deg.src = p.node
+          GROUP BY e.dst
+        ) c ON c.dst = n.node
+        WHERE (SELECT max(it) FROM prev) < 5
+      ) z
+    )
+    SELECT node, r AS rank_scaled FROM pr WHERE it = 5 ORDER BY node
+    """,
+)
+def q_graph_pagerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank whose edge count scales with the table (two
+    deterministic out-links per document over 509 node buckets, no row
+    cap) — the bench-trendable twin of web_pagerank: per-sf wall time
+    reflects the join+agg iteration cost, not a fixed 240-doc
+    synthesis."""
+    from intelligent_ocr_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select(
+        (F.col("doc_id") % 509).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 509).alias("dst"),
+    ).union(
+        d.select(
+            (F.col("doc_id") % 509).alias("src"),
+            ((F.col("doc_id") * 11 + 5) % 509).alias("dst"),
+        )
+    )
+    return pagerank(raw, n_iter=5).orderBy("node")
+
+
+@_q(
+    "index_inverted_full",
+    """
+    WITH t0 AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tt AS (SELECT DISTINCT term, doc_id FROM t0 WHERE term <> ''),
+    d AS (SELECT term, COUNT(*) AS df FROM tt GROUP BY 1),
+    r AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM tt
+    ),
+    p AS (
+      SELECT term, COUNT(*) AS n_postings,
+             string_agg(doc_id, '|' ORDER BY doc_id) AS postings
+      FROM r WHERE rn <= 16 GROUP BY 1
+    )
+    SELECT p.term, d.df, p.n_postings, p.postings, d.df > 16 AS truncated
+    FROM p JOIN d USING (term)
+    ORDER BY term
+    """,
+)
+def q_index_inverted_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the WHOLE documents table (the bench-
+    trendable twin of index_inverted — token explode, df groupBy and
+    the salted tournament all scale with the corpus)."""
+    from intelligent_ocr_spark.operators.index import inverted_index
+
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), max_postings=16
+    ).orderBy("term")
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
@@ -5800,7 +5891,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: thirty-five queries (`dedup_incremental`,
+    # NOTE: thirty-seven queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -5813,7 +5904,8 @@ _SKIPPED_LAST_ROUND = [
     # `web_anchor_texts`, `web_anchor_profile`, `pipeline_crawl_frontier`,
     # `web_sitemap_entries`, `graph_cocitation`, `graph_trustrank`,
     # `pipeline_weighted_sample`, `prep_leakage_split`,
-    # `pipeline_host_profile`)
+    # `pipeline_host_profile`, `graph_pagerank_scaled`,
+    # `index_inverted_full`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only

@@ -59,6 +59,10 @@ HEADLINE_QUERIES = [
     "web_domain_caps",
     "prep_pack_partitioned",
     "text_unigram_logprob",
+    # round-5 web/graph/index tier (sf-scaling variants)
+    "graph_pagerank_scaled",
+    "index_inverted_full",
+    "sketch_hll_registers",
 ]
 
 
