@@ -122,7 +122,8 @@ def robots_allowed(pages: DataFrame, robots: DataFrame,
 
 
 def extract_links(pages: DataFrame, url_col: str = "url",
-                  html_col: str = "html") -> DataFrame:
+                  html_col: str = "html",
+                  keep: list[str] | None = None) -> DataFrame:
     """(url, html) → one row per outgoing anchor: (src_url, src_host,
     href, dst_host). The edge-extraction pass every link-graph /
     crawl-frontier pipeline runs over raw pages (reference scope: the
@@ -141,7 +142,9 @@ def extract_links(pages: DataFrame, url_col: str = "url",
     exchanges, whole-stage codegen end to end (plan-pinned); the regex
     is RE2-safe (no backtracking constructs). Dedup/aggregation is the
     caller's choice (see ``host_edges``), so the extraction itself
-    never shuffles.
+    never shuffles. ``keep`` names extra input columns to carry through
+    (e.g. the event timestamp for streaming windows — a pass-through
+    column beats a stream-stream self-join).
     """
     href = F.explode(
         F.expr(
@@ -155,6 +158,7 @@ def extract_links(pages: DataFrame, url_col: str = "url",
                 F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1
             ).alias("src_host"),
             href,
+            *[F.col(c) for c in (keep or [])],
         )
         .filter(F.col("href").rlike(r"^https?://"))
         .withColumn(
