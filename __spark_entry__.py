@@ -4874,6 +4874,57 @@ def q_index_inverted_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_degree_stats",
+    f"""
+    WITH p AS ({_LINK_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+      FROM p
+    ),
+    l AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src,
+             regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst
+      FROM x WHERE regexp_matches(href, '^https?://')
+    ),
+    e AS (SELECT DISTINCT src, dst FROM l WHERE src <> dst),
+    od AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+    id_ AS (SELECT dst AS node, COUNT(*) AS deg FROM e GROUP BY 1)
+    SELECT dir, deg, CAST(COUNT(*) AS BIGINT) AS n_hosts
+    FROM (
+      SELECT 'out' AS dir, deg FROM od
+      UNION ALL
+      SELECT 'in', deg FROM id_
+    )
+    GROUP BY dir, deg
+    ORDER BY dir, deg
+    """,
+)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the host link graph (the power-law census
+    every web-graph paper opens with): per direction, how many hosts
+    have each in/out-degree. Two map-side-combined groupBys over the
+    deduplicated edge set — degree keys are tiny, the distribution
+    rows tinier."""
+    from intelligent_ocr_spark.operators.web import extract_links, host_edges
+
+    e = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    od = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).select(F.lit("out").alias("dir"), "deg")
+    ind = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).select(F.lit("in").alias("dir"), "deg")
+    return (
+        od.unionAll(ind)
+        .groupBy("dir", "deg")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+        .orderBy("dir", "deg")
+    )
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
@@ -5891,7 +5942,7 @@ _SKIPPED_LAST_ROUND = [
     # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: thirty-seven queries (`dedup_incremental`,
+    # NOTE: thirty-eight queries (`dedup_incremental`,
     # `dedup_incremental_near`, `prep_dsir_weights`,
     # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
     # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
@@ -5905,7 +5956,7 @@ _SKIPPED_LAST_ROUND = [
     # `web_sitemap_entries`, `graph_cocitation`, `graph_trustrank`,
     # `pipeline_weighted_sample`, `prep_leakage_split`,
     # `pipeline_host_profile`, `graph_pagerank_scaled`,
-    # `index_inverted_full`)
+    # `index_inverted_full`, `graph_degree_stats`)
     # were REGISTERED late in round 5
     # after the cap was already exactly full (changed ∪ skipped-last =
     # 50); per the same slot-yield rationale as the WARC rows-only
