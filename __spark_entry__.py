@@ -5938,62 +5938,60 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 59 names (all
-    # driver-green in r5's own full `tools_parity.py` sweeps; NOTE the
-    # stable-remainder rotation index depends on registry SIZE, so this
-    # list must be regenerated after the round's LAST registration).
-    # NOTE: thirty-eight queries (`dedup_incremental`,
-    # `dedup_incremental_near`, `prep_dsir_weights`,
-    # `pipeline_near_dedup`, `mm_decode_png_gif`, `mm_decode_jpeg`,
-    # `mm_decode_exif`, `mm_audio_stats`, `mm_audio_g711`,
-    # `mm_audio_adpcm`, `mm_audio_segments`, `mm_video_frames`,
-    # `mm_av_stats`, `mm_media_type`, `mm_image_near_dups`,
-    # `pipeline_multimodal_dedup`, `mm_video_near_dups`,
-    # `mm_media_metadata`, `mm_exif_tags`, `mm_audio_resample`,
-    # `pipeline_media_census`, `web_pagerank`, `web_extract_links`,
-    # `pipeline_link_authority`, `sketch_hll_registers`, `index_inverted`,
-    # `web_anchor_texts`, `web_anchor_profile`, `pipeline_crawl_frontier`,
-    # `web_sitemap_entries`, `graph_cocitation`, `graph_trustrank`,
-    # `pipeline_weighted_sample`, `prep_leakage_split`,
-    # `pipeline_host_profile`, `graph_pagerank_scaled`,
-    # `index_inverted_full`, `graph_degree_stats`)
-    # were REGISTERED late in round 5
-    # after the cap was already exactly full (changed ∪ skipped-last =
-    # 50); per the same slot-yield rationale as the WARC rows-only
-    # entries above they sit in the tail this round — all are oracled,
-    # pytest-pinned (known-answer/plan pins; DSIR has a full
-    # pure-Python differential; incremental-near has an in-corpus-LSH
-    # equivalence property; png/gif/jpeg have 39, WAV/G.711/VAD 33 and
-    # AVI 10 known-answer codec tests; video near-dup, metadata/Exif
-    # and resample have 32 more), parity-verified in r5's sweep, and
-    # listed below so round 6's driver covers them:
-    #   ['mm_exif_tags', 'pipeline_media_census', 'mm_audio_resample',
-    #    'mm_media_type', 'mm_av_stats', 'pipeline_multimodal_dedup',
-    #    'sim_ivf_topk', 'x3_dual_insert_variants', 'prep_dsir_weights',
-    #    'extract_synthetic_pages', 'extract_dual_insert',
-    #    'extract_pixmap_pages', 'source_warc_extract',
-    #    'warc_revisit_dedup', 'q1_pricing_summary',
-    #    'f1_existing_text_probe', 'f4_confidence_filter',
-    #    'x11_hash_bucketing', 'j2_resume_antijoin',
-    #    'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
-    #    'k3_txt_export', 'u3_union_passthrough', 'u1_intersect_nations',
-    #    'a1_lineage_counters', 'q6_forecast_revenue',
-    #    'q12_priority_returns', 'q18_large_volume', 'q4_priority_exists',
-    #    'q13_customer_distribution', 'q16_distinct_suppliers',
-    #    'q19_disjunctive_predicates', 'q17_small_quantity_revenue',
-    #    'q21_sole_returning_supplier', 'q22_above_avg_balance',
-    #    'q3_shipping_priority', 'q5_local_supplier_volume',
-    #    'url_canonicalize', 'dedup_simhash',
-    #    'text_benchmark_contamination', 'sample_stratified_counts',
-    #    'prep_chunk_documents', 'dedup_incremental',
-    #    'dedup_incremental_near', 'prep_pii_signals',
-    #    'text_source_overlap', 'text_source_drift',
-    #    'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
-    #    'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
-    #    'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
-    #    'mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
-    #    'mm_audio_segments', 'mm_video_frames', 'mm_image_near_dups',
-    #    'mm_video_near_dups', 'mm_media_metadata']
+    # which as of the round-5 final commit is these 81 names (all
+    # green in r5's own full `tools_parity.py` sweeps — 124 oracled ok,
+    # 0 failed, 4 rows-only; NOTE the stable-remainder rotation index
+    # depends on registry SIZE, so this list must be regenerated after
+    # the round's LAST registration).
+    # NOTE: thirty-eight of them were REGISTERED in round 5 after the
+    # cap was already exactly full (changed ∪ skipped-last = 50); per
+    # the same slot-yield rationale as the WARC rows-only entries above
+    # they sit in the tail this round — all oracled and pytest-pinned
+    # (known-answer vectors, plan pins, Hypothesis properties), and all
+    # parity-verified this round.
+    # COVERAGE MATH FOR ROUND 6: with 131 registered queries and a
+    # 50-row driver cap, "every query gets a driver row within one
+    # round" is arithmetically impossible (2 × 50 < 131). Priority
+    # order for round 6's first 50: (1) anything changed in round 6,
+    # (2) the late-r5 registrations in the tail below that have NEVER
+    # had a driver correctness row, (3) rotate the remainder. Queries
+    # left past the cap MUST be covered by an in-repo full
+    # tools_parity.py sweep each round.
+    #   ['mm_exif_tags', 'web_pagerank', 'web_extract_links',
+    #   'pipeline_link_authority', 'sketch_hll_registers',
+    #   'index_inverted', 'pipeline_crawl_frontier', 'web_anchor_texts',
+    #   'web_anchor_profile', 'web_sitemap_entries', 'graph_cocitation',
+    #   'graph_trustrank', 'pipeline_weighted_sample',
+    #   'prep_leakage_split', 'pipeline_host_profile',
+    #   'graph_pagerank_scaled', 'index_inverted_full',
+    #   'graph_degree_stats', 'pipeline_media_census',
+    #   'mm_audio_resample', 'mm_media_type', 'mm_av_stats',
+    #   'pipeline_multimodal_dedup', 'sim_ivf_topk',
+    #   'x3_dual_insert_variants', 'prep_dsir_weights',
+    #   'extract_synthetic_pages', 'extract_dual_insert',
+    #   'extract_pixmap_pages', 'source_warc_extract',
+    #   'warc_revisit_dedup', 'q1_pricing_summary',
+    #   'f1_existing_text_probe', 'f4_confidence_filter',
+    #   'x11_hash_bucketing', 'j2_resume_antijoin',
+    #   'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
+    #   'k3_txt_export', 'u3_union_passthrough', 'u1_intersect_nations',
+    #   'a1_lineage_counters', 'q6_forecast_revenue',
+    #   'q12_priority_returns', 'q18_large_volume', 'q4_priority_exists',
+    #   'q13_customer_distribution', 'q16_distinct_suppliers',
+    #   'q19_disjunctive_predicates', 'q17_small_quantity_revenue',
+    #   'q21_sole_returning_supplier', 'q22_above_avg_balance',
+    #   'q3_shipping_priority', 'q5_local_supplier_volume',
+    #   'url_canonicalize', 'dedup_simhash',
+    #   'text_benchmark_contamination', 'sample_stratified_counts',
+    #   'prep_chunk_documents', 'dedup_incremental',
+    #   'dedup_incremental_near', 'prep_pii_signals',
+    #   'text_source_overlap', 'text_source_drift',
+    #   'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
+    #   'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
+    #   'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
+    #   'mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
+    #   'mm_audio_segments', 'mm_video_frames', 'mm_image_near_dups',
+    #   'mm_video_near_dups', 'mm_media_metadata']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",
