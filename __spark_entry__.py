@@ -4250,6 +4250,47 @@ def q_pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "web_extract_links_resolved",
+    f"""
+    WITH p AS ({_LINK_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href0
+      FROM p
+    ),
+    r AS (
+      SELECT url,
+             CASE WHEN regexp_matches(href0, '^/([^/]|$)')
+                  THEN regexp_extract(url,
+                         '^([a-z][a-z0-9+.-]*://[^/?#]+)', 1) || href0
+                  ELSE href0 END AS href
+      FROM x
+    )
+    SELECT url AS src_url,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src_host,
+           href,
+           regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst_host
+    FROM r
+    WHERE regexp_matches(href, '^https?://')
+    ORDER BY src_url, href
+    """,
+)
+def q_web_extract_links_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction with ROOT-relative resolution on: every third
+    page's '/rel/skip' anchor — a skip under the absolute-only scope —
+    now resolves against the page's scheme+authority and appears as a
+    same-host edge, the frontier-discovery behavior real crawls need
+    (intra-site links dominate). Protocol-relative and path-relative
+    hrefs remain out of scope. Same zero-exchange plan."""
+    from intelligent_ocr_spark.operators.web import extract_links
+
+    return extract_links(
+        _link_pages(spark, sf_dir), resolve_root_relative=True
+    ).orderBy("src_url", "href")
+
+
 # Anchor-text synthesis: three rotating multi-token anchor phrases so
 # per-host term profiles have real frequency structure. Byte-identical
 # strings in both engines (|| twin below).

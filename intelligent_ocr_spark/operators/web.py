@@ -123,7 +123,8 @@ def robots_allowed(pages: DataFrame, robots: DataFrame,
 
 def extract_links(pages: DataFrame, url_col: str = "url",
                   html_col: str = "html",
-                  keep: list[str] | None = None) -> DataFrame:
+                  keep: list[str] | None = None,
+                  resolve_root_relative: bool = False) -> DataFrame:
     """(url, html) → one row per outgoing anchor: (src_url, src_host,
     href, dst_host). The edge-extraction pass every link-graph /
     crawl-frontier pipeline runs over raw pages (reference scope: the
@@ -145,28 +146,48 @@ def extract_links(pages: DataFrame, url_col: str = "url",
     never shuffles. ``keep`` names extra input columns to carry through
     (e.g. the event timestamp for streaming windows — a pass-through
     column beats a stream-stream self-join).
+
+    ``resolve_root_relative=True`` additionally resolves ROOT-relative
+    hrefs (``/path…``, the dominant intra-site link form in real
+    crawls) against the page's scheme+host — frontier discovery needs
+    them even though they never contribute cross-host authority edges.
+    Path-relative (``a/b``), protocol-relative (``//host``) and
+    fragment hrefs stay out of scope (they need a tracked ``<base>``).
     """
     href = F.explode(
         F.expr(
             f"regexp_extract_all({html_col}, '<a\\\\s[^>]*href=\"([^\"]*)\"', 1)"
         )
     ).alias("href")
-    out = (
-        pages.select(
-            F.col(url_col).alias("src_url"),
-            F.regexp_extract(
-                F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1
-            ).alias("src_host"),
-            href,
-            *[F.col(c) for c in (keep or [])],
+    out = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.regexp_extract(
+            F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1
+        ).alias("src_host"),
+        href,
+        *[F.col(c) for c in (keep or [])],
+    )
+    if resolve_root_relative:
+        # '/path…' (but not protocol-relative '//host') → scheme+
+        # authority+path; the authority KEEPS the port (unlike the
+        # dst_host signal column, which strips it)
+        base = F.regexp_extract(
+            F.col("src_url"), r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1
         )
-        .filter(F.col("href").rlike(r"^https?://"))
+        out = out.withColumn(
+            "href",
+            F.when(
+                F.col("href").rlike(r"^/([^/]|$)"),
+                F.concat(base, F.col("href")),
+            ).otherwise(F.col("href")),
+        )
+    return (
+        out.filter(F.col("href").rlike(r"^https?://"))
         .withColumn(
             "dst_host",
             F.regexp_extract("href", r"^https?://([^/:?#]+)", 1),
         )
     )
-    return out
 
 
 def host_edges(links: DataFrame) -> DataFrame:

@@ -225,3 +225,27 @@ def test_parse_sitemaps(spark):
     ]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_extract_links_root_relative_resolution(spark):
+    """resolve_root_relative: '/path' joins scheme+host; '//host' and
+    'a/b' path-relative stay out of scope; absolute links unchanged."""
+    from intelligent_ocr_spark.operators.web import extract_links
+
+    rows = [
+        (
+            "https://a.example:8443/d/1",
+            '<a href="/rel/p?x=1">r</a><a href="http://b.example/x">b</a>'
+            '<a href="//proto.example/skip">p</a><a href="path/rel">pr</a>'
+            '<a href="/">root</a>',
+        ),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = sorted(r.href for r in extract_links(df, resolve_root_relative=True).collect())
+    assert got == [
+        "http://b.example/x",
+        "https://a.example:8443/",
+        "https://a.example:8443/rel/p?x=1",
+    ]
+    # off by default: only the absolute link survives
+    assert [r.href for r in extract_links(df).collect()] == ["http://b.example/x"]
