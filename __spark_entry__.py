@@ -4966,6 +4966,113 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_spam_mass",
+    f"""
+    WITH RECURSIVE
+    p AS ({_LINK_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+      FROM p
+    ),
+    l AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src,
+             regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst
+      FROM x WHERE regexp_matches(href, '^https?://')
+    ),
+    e AS (SELECT DISTINCT src, dst FROM l WHERE src <> dst),
+    nodes AS (
+      SELECT node,
+             CAST(regexp_extract(node, '^h([0-9]+)', 1) AS BIGINT) % 8 = 0
+               AS is_seed
+      FROM (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+    pr(it, node, r) AS (
+      SELECT 0, node, CAST(1000000000 AS BIGINT) FROM nodes
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT it, node, r FROM pr)
+        SELECT (SELECT max(it) FROM prev) + 1, n.node,
+               CAST(150000000 AS BIGINT) + (85 * COALESCE(c.s, 0)) // 100
+        FROM nodes n
+        LEFT JOIN (
+          SELECT e.dst, SUM(p.r // deg.d) AS s
+          FROM prev p JOIN e ON e.src = p.node JOIN deg ON deg.src = p.node
+          GROUP BY e.dst
+        ) c ON c.dst = n.node
+        WHERE (SELECT max(it) FROM prev) < 5
+      ) z
+    ),
+    -- trust run: restart mass scaled to the whole graph's —
+    -- 40 nodes / 5 seeds → per-seed scale 8e9, base (15*8e9)//100
+    tr(it, node, r) AS (
+      SELECT 0, node,
+             CASE WHEN is_seed THEN CAST(8000000000 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END
+      FROM nodes
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT it, node, r FROM tr)
+        SELECT (SELECT max(it) FROM prev) + 1, n.node,
+               CASE WHEN n.is_seed THEN CAST(1200000000 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END
+               + (85 * COALESCE(c.s, 0)) // 100
+        FROM nodes n
+        LEFT JOIN (
+          SELECT e.dst, SUM(p.r // deg.d) AS s
+          FROM prev p JOIN e ON e.src = p.node JOIN deg ON deg.src = p.node
+          GROUP BY e.dst
+        ) c ON c.dst = n.node
+        WHERE (SELECT max(it) FROM prev) < 5
+      ) z
+    )
+    SELECT g.node, g.r AS pr_scaled, t.r AS tr_scaled,
+           ((g.r - t.r) * 1000000) // g.r AS spam_mass_ppm
+    FROM (SELECT node, r FROM pr WHERE it = 5) g
+    JOIN (SELECT node, r FROM tr WHERE it = 5) t USING (node)
+    ORDER BY node
+    """,
+)
+def q_graph_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spam mass (Gyöngyi et al. 2004): the fraction of a host's
+    PageRank NOT explainable by trusted seeds — global PR next to a
+    TrustRank run whose total restart mass matches (per-seed scale ×
+    n_nodes/n_seeds = 8e9 for the 40-host/5-seed synthesis), spam mass
+    in integer ppm (negative for over-trusted seeds, exact in both
+    engines). Two power-iteration chains over one localCheckpoint-ed
+    edge table; the oracle replays both recursive CTEs and the ppm
+    division bit-for-bit."""
+    from intelligent_ocr_spark.operators.graph import pagerank
+    from intelligent_ocr_spark.operators.web import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    nodes = edges.selectExpr("src as node").union(
+        edges.selectExpr("dst as node")
+    ).distinct()
+    seeds = nodes.filter(
+        F.regexp_extract("node", r"^h([0-9]+)", 1).cast("long") % 8 == 0
+    )
+    pr = pagerank(edges, n_iter=5).withColumnRenamed("rank_scaled", "pr_scaled")
+    tr = pagerank(
+        edges, n_iter=5, seeds=seeds, scale=8 * 10**9
+    ).withColumnRenamed("rank_scaled", "tr_scaled")
+    return (
+        pr.join(tr, "node")
+        .select(
+            "node",
+            "pr_scaled",
+            "tr_scaled",
+            F.expr("((pr_scaled - tr_scaled) * 1000000) div pr_scaled")
+            .alias("spam_mass_ppm"),
+        )
+        .orderBy("node")
+    )
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
