@@ -5073,6 +5073,102 @@ def q_graph_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "web_sitemap_recursive",
+    """
+    WITH idx AS (
+      SELECT 'h' || (doc_id % 11) || '.example' AS host,
+             '<sitemapindex><sitemap><loc>http://h' || (doc_id % 11)
+             || '.example/s' || doc_id || '.xml</loc></sitemap>'
+             || '</sitemapindex>' AS sitemap_xml
+      FROM documents WHERE doc_id < 66
+    ),
+    child AS (
+      SELECT 'http://h' || (doc_id % 11) || '.example/s' || doc_id
+               || '.xml' AS loc,
+             '<urlset><url><loc>http://h' || (doc_id % 11)
+             || '.example/p/' || doc_id || '</loc></url><url><loc>'
+             || 'http://h' || (doc_id % 11) || '.example/q/' || doc_id
+             || '</loc></url></urlset>' AS sitemap_xml
+      FROM documents WHERE doc_id < 66
+    ),
+    lvl1 AS (
+      SELECT host, 'sitemap' AS kind,
+             unnest(regexp_extract_all(sitemap_xml,
+                    '<sitemap>([\\s\\S]*?)</sitemap>', 1)) AS block
+      FROM idx
+    ),
+    refs AS (
+      SELECT host,
+             regexp_extract(block, '<loc>\\s*([^<]*?)\\s*</loc>', 1) AS loc
+      FROM lvl1
+      WHERE regexp_extract(block, '<loc>\\s*([^<]*?)\\s*</loc>', 1) <> ''
+    ),
+    lvl2 AS (
+      SELECT r.host,
+             unnest(regexp_extract_all(c.sitemap_xml,
+                    '<url>([\\s\\S]*?)</url>', 1)) AS block
+      FROM refs r JOIN child c ON c.loc = r.loc
+    )
+    SELECT host,
+           regexp_extract(block, '<loc>\\s*([^<]*?)\\s*</loc>', 1) AS loc,
+           CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n_host_urls
+    FROM lvl2
+    WHERE regexp_extract(block, '<loc>\\s*([^<]*?)\\s*</loc>', 1) <> ''
+    ORDER BY host, loc
+    """,
+)
+def q_web_sitemap_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-index recursion, one level: parse index files to child
+    sitemap locs, equi-join the fetched child bodies on loc (the shape
+    a crawl's fetch step produces), parse the children to page URLs,
+    and count per host. Both parse levels are the same zero-exchange
+    parse_sitemaps operator; the only exchanges are the loc join and
+    the per-host count."""
+    from intelligent_ocr_spark.operators.web import parse_sitemaps
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 66)
+    s = lambda c: c.cast("string")  # noqa: E731
+    hexpr = s(F.col("doc_id") % 11)
+    idx = d.select(
+        F.concat(F.lit("h"), hexpr, F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>http://h"), hexpr,
+            F.lit(".example/s"), s(F.col("doc_id")),
+            F.lit(".xml</loc></sitemap></sitemapindex>"),
+        ).alias("sitemap_xml"),
+    )
+    child = d.select(
+        F.concat(
+            F.lit("http://h"), hexpr, F.lit(".example/s"),
+            s(F.col("doc_id")), F.lit(".xml"),
+        ).alias("cloc"),
+        F.concat(
+            F.lit("<urlset><url><loc>http://h"), hexpr,
+            F.lit(".example/p/"), s(F.col("doc_id")),
+            F.lit("</loc></url><url><loc>http://h"), hexpr,
+            F.lit(".example/q/"), s(F.col("doc_id")),
+            F.lit("</loc></url></urlset>"),
+        ).alias("sitemap_xml"),
+    )
+    refs = (
+        parse_sitemaps(idx)
+        .filter(F.col("kind") == "sitemap")
+        .select("host", F.col("loc").alias("cloc"))
+    )
+    lvl2 = parse_sitemaps(
+        refs.join(child, "cloc").select("host", "sitemap_xml")
+    ).filter(F.col("kind") == "url")
+    return (
+        lvl2.withColumn(
+            "n_host_urls",
+            F.count(F.lit(1)).over(W.partitionBy("host")),
+        )
+        .select("host", "loc", "n_host_urls")
+        .orderBy("host", "loc")
+    )
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
