@@ -6182,20 +6182,19 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 81 names (all
-    # green in r5's own full `tools_parity.py` sweeps — 124 oracled ok,
-    # 0 failed, 4 rows-only; NOTE the stable-remainder rotation index
-    # depends on registry SIZE, so this list must be regenerated after
-    # the round's LAST registration).
-    # NOTE: thirty-eight of them were REGISTERED in round 5 after the
-    # cap was already exactly full (changed ∪ skipped-last = 50); per
-    # the same slot-yield rationale as the WARC rows-only entries above
+    # which as of the round-5 final commit is these 84 names (all
+    # green in r5's own full `tools_parity.py` sweeps; NOTE the
+    # stable-remainder rotation index depends on registry SIZE, so this
+    # list must be regenerated after the round's LAST registration).
+    # NOTE: forty-two of them were REGISTERED in round 5 after the cap
+    # was already exactly full (changed ∪ skipped-last = 50); per the
+    # same slot-yield rationale as the WARC rows-only entries above
     # they sit in the tail this round — all oracled and pytest-pinned
     # (known-answer vectors, plan pins, Hypothesis properties), and all
     # parity-verified this round.
-    # COVERAGE MATH FOR ROUND 6: with 131 registered queries and a
+    # COVERAGE MATH FOR ROUND 6: with 134 registered queries and a
     # 50-row driver cap, "every query gets a driver row within one
-    # round" is arithmetically impossible (2 × 50 < 131). Priority
+    # round" is arithmetically impossible (2 × 50 < 134). Priority
     # order for round 6's first 50: (1) anything changed in round 6,
     # (2) the late-r5 registrations in the tail below that have NEVER
     # had a driver correctness row, (3) rotate the remainder. Queries
@@ -6203,14 +6202,15 @@ _SKIPPED_LAST_ROUND = [
     # tools_parity.py sweep each round.
     #   ['mm_exif_tags', 'web_pagerank', 'web_extract_links',
     #   'pipeline_link_authority', 'sketch_hll_registers',
-    #   'index_inverted', 'pipeline_crawl_frontier', 'web_anchor_texts',
+    #   'index_inverted', 'pipeline_crawl_frontier',
+    #   'web_extract_links_resolved', 'web_anchor_texts',
     #   'web_anchor_profile', 'web_sitemap_entries', 'graph_cocitation',
     #   'graph_trustrank', 'pipeline_weighted_sample',
     #   'prep_leakage_split', 'pipeline_host_profile',
     #   'graph_pagerank_scaled', 'index_inverted_full',
-    #   'graph_degree_stats', 'pipeline_media_census',
-    #   'mm_audio_resample', 'mm_media_type', 'mm_av_stats',
-    #   'pipeline_multimodal_dedup', 'sim_ivf_topk',
+    #   'graph_degree_stats', 'graph_spam_mass', 'web_sitemap_recursive',
+    #   'pipeline_media_census', 'mm_audio_resample', 'mm_media_type',
+    #   'mm_av_stats', 'pipeline_multimodal_dedup', 'sim_ivf_topk',
     #   'x3_dual_insert_variants', 'prep_dsir_weights',
     #   'extract_synthetic_pages', 'extract_dual_insert',
     #   'extract_pixmap_pages', 'source_warc_extract',
