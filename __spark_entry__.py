@@ -5169,6 +5169,60 @@ def q_web_sitemap_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "index_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tt GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tt
+      WHERE term IN ('window', 'join', 'spark') GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(ln(1.0 + (s.n_docs - dfq.df + 0.5)
+                              / (dfq.df + 0.5)) * 1e6) AS BIGINT) AS idf_mu,
+             tf.tf, dl.dl, s.n_docs, s.sum_dl
+      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term)
+      CROSS JOIN stats s
+    ),
+    contrib AS (
+      SELECT doc_id,
+             (idf_mu * tf * 44 * sum_dl) //
+             (20 * sum_dl * tf + 6 * sum_dl + 18 * dl * n_docs) AS c
+      FROM scored
+    ),
+    ranked AS (
+      SELECT doc_id, SUM(c) AS score_mu FROM contrib GROUP BY 1
+      ORDER BY score_mu DESC, doc_id LIMIT 10
+    )
+    SELECT doc_id, score_mu,
+           row_number() OVER (ORDER BY score_mu DESC, doc_id) AS rank
+    FROM ranked ORDER BY rank
+    """,
+)
+def q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for the query {window, join, spark} —
+    integer-exact scoring: the avgdl normalization runs in exact
+    rationals (multiplied through by k1_den·b_den·Σdl, never a
+    merge-order-dependent double average), Lucene's non-negative idf
+    in the floor(1e6·ln) micro-unit idiom, contribution div summed per
+    doc, TakeOrderedAndProject top-k. k1=1.2 b=0.75 → constants
+    44/20/6/18 in both engines (operators/index.py::bm25_topk)."""
+    from intelligent_ocr_spark.operators.index import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["window", "join", "spark"], k=10
+    )
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),

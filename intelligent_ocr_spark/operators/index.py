@@ -24,13 +24,13 @@ terms whose df exceeded the cap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.freq import topk_per_key
 from ..functions.textstats import tokens
 
-__all__ = ["inverted_index"]
+__all__ = ["inverted_index", "bm25_topk"]
 
 
 def inverted_index(
@@ -72,5 +72,94 @@ def inverted_index(
             "n_postings",
             "postings",
             (F.col("df") > max_postings).alias("truncated"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_num: int = 6, k1_den: int = 5,   # k1 = 1.2
+    b_num: int = 3, b_den: int = 4,     # b  = 0.75
+) -> DataFrame:
+    """BM25 top-``k`` documents for a bag of query ``terms``
+    (Robertson/Spärck Jones, public). Score arithmetic is exact where
+    cross-engine floats bite:
+
+    * ``avgdl`` NEVER exists as a float — the classic hazard is that a
+      double ``avg(dl)`` is merge-order-dependent. The per-term
+      denominator ``tf + k1(1-b) + k1·b·dl/avgdl`` is multiplied
+      through by ``k1_den·b_den·S`` (S = exact int64 Σdl), giving the
+      all-integer form
+      ``D = k1_den·b_den·S·tf + k1_num·(b_den-b_num)·S + k1_num·b_num·dl·N``;
+    * the numerator is ``idf_µ · tf · (k1_num+k1_den) · b_den · S``
+      with idf in floor(1e6·ln(1 + (N-df+0.5)/(df+0.5))) micro-units —
+      the LUCENE non-negative idf form (the classic Robertson form
+      goes negative for df > N/2, and a negative numerator would also
+      split the engines: Spark ``div`` truncates toward zero while
+      DuckDB ``//`` floors). The ln-on-double + floor(1e6·) rounding
+      is the established ``tfidf_top_terms`` idiom;
+    * per-(doc, term) contribution = ``num div D`` (int64), summed per
+      doc, ranked by (score desc, doc_id). int64 headroom covers the
+      sandbox SFs; at 100-TB token counts rescale idf to kilo-units or
+      lift the two products to decimal(38) (documented seam).
+
+    Shape: token explode → two map-side-combined groupBys (dl, tf);
+    corpus N/S are one broadcast scalar row; query-term df is a
+    broadcast |terms|-row table; the final top-k is an orderBy+limit —
+    ``TakeOrderedAndProject``, never a global sort materialization.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_mu",
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * F.lit(1e6)
+            ).cast("long"),
+        )
+        .withColumn(
+            "contrib",
+            F.expr(
+                f"(idf_mu * tf * {(k1_num + k1_den) * b_den} * sum_dl) div "
+                f"({k1_den * b_den} * sum_dl * tf"
+                f" + {k1_num * (b_den - b_num)} * sum_dl"
+                f" + {k1_num * b_num} * dl * n_docs)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score_mu"))
+        .orderBy(F.col("score_mu").desc(), "doc_id")
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("score_mu").desc(), "doc_id"))
+            .cast("long"),
         )
     )

@@ -106,3 +106,26 @@ def test_topk_tournament_bounds_hot_key_partitions(spark):
         salted.groupBy("key", "salt").count().agg(F.max("count")).collect()[0][0]
     )
     assert max_group <= 4 * n_hot // DEFAULT_SALT_BUCKETS, max_group
+
+
+def test_bm25_ranking_sane(spark):
+    """Rarer query terms score higher; a doc matching both terms beats
+    single-term docs of equal length; scores non-negative (Lucene idf)."""
+    from intelligent_ocr_spark.operators.index import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common filler filler"),
+            (2, "common filler filler filler"),
+            (3, "rare common filler rare"),
+            (4, "filler filler filler filler"),
+        ]
+        + [(i, "common filler pad pad") for i in range(5, 15)],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["rare", "common"], k=5).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert rows[0].doc_id == 3          # two 'rare' hits + 'common'
+    assert by_doc[1].rank < by_doc[2].rank   # rare+common beats common-only
+    assert all(r.score_mu >= 0 for r in rows)
+    assert 4 not in by_doc              # no query term, no score
