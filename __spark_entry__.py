@@ -5223,6 +5223,83 @@ def q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_label_propagation",
+    f"""
+    WITH RECURSIVE
+    p AS ({_LINK_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+      FROM p
+    ),
+    l AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src,
+             regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst
+      FROM x WHERE regexp_matches(href, '^https?://')
+    ),
+    e AS (SELECT DISTINCT src, dst FROM l WHERE src <> dst),
+    nodes AS (
+      SELECT node,
+             CASE WHEN CAST(regexp_extract(node, '^h([0-9]+)', 1) AS BIGINT)
+                       % 8 = 0
+                  THEN 'L' || (CAST(regexp_extract(node, '^h([0-9]+)', 1)
+                                    AS BIGINT) % 3)
+             END AS seed_label
+      FROM (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))
+    ),
+    lp(it, node, label) AS (
+      SELECT 0, node, seed_label FROM nodes
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT it, node, label FROM lp)
+        SELECT (SELECT max(it) FROM prev) + 1, n.node,
+               COALESCE(n.seed_label, w.win_label, pv.label)
+        FROM nodes n
+        LEFT JOIN (
+          SELECT dst,
+                 arg_min(label,
+                         lpad(CAST(1000000000 - n AS VARCHAR), 10, '0')
+                         || label) AS win_label
+          FROM (
+            SELECT e.dst, p.label, COUNT(*) AS n
+            FROM prev p JOIN e ON e.src = p.node
+            WHERE p.label IS NOT NULL
+            GROUP BY 1, 2
+          ) GROUP BY dst
+        ) w ON w.dst = n.node
+        LEFT JOIN prev pv ON pv.node = n.node
+        WHERE (SELECT max(it) FROM prev) < 3
+      ) z
+    )
+    SELECT node, label FROM lp WHERE it = 3 ORDER BY node
+    """,
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation over the host graph: five seed hosts (number ≡
+    0 mod 8) carry labels L0/L1/L2; three rounds of adopt-the-majority-
+    in-neighbor-label with deterministic argmax (min_by over the
+    encoded (votes desc, label asc) key — arg_min of the same key in
+    DuckDB), seeds immutable, unlabeled nodes keep their previous
+    state. The semi-supervised host-classification baseline
+    (operators/graph.py::label_propagation); the oracle replays all
+    three rounds in a recursive CTE."""
+    from intelligent_ocr_spark.operators.graph import label_propagation
+    from intelligent_ocr_spark.operators.web import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    nodes = edges.selectExpr("src as node").union(
+        edges.selectExpr("dst as node")
+    ).distinct()
+    num = F.regexp_extract("node", r"^h([0-9]+)", 1).cast("long")
+    seeds = nodes.filter(num % 8 == 0).select(
+        "node", F.concat(F.lit("L"), (num % 3).cast("string")).alias("label")
+    )
+    return label_propagation(edges, seeds, n_iter=3).orderBy("node")
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "cocitation_pairs"]
+__all__ = ["pagerank", "cocitation_pairs", "label_propagation"]
 
 
 def pagerank(
@@ -163,3 +163,81 @@ def cocitation_pairs(
         .groupBy("node_a", "node_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Semi-supervised host classification by label propagation: seed
+    nodes carry fixed labels ((node, label) DataFrame); each round,
+    every non-seed node adopts the most common label among its
+    IN-neighbors' current labels, keeping its previous label when no
+    labeled neighbor exists. The standard graph-propagation baseline
+    for topic/language/spam host classification from a small curated
+    seed list.
+
+    DETERMINISM is the design constraint (retries, partitionings, and
+    the DuckDB oracle must agree): votes are integer counts, and the
+    winner is ``min_by(label, key)`` over an encoded sort key
+    ``lpad(10^9 - votes) || label`` — most votes first, ties broken by
+    the lexicographically smallest label. ``n_iter`` is a fixed small
+    constant, so the driver loop holds no data.
+
+    Scale shape per round: one equi-join of the edge table against the
+    current label set (src-keyed), one map-side-combined (dst, label)
+    count, one ``min_by`` argmax per node (group sizes are bounded by
+    the label alphabet, never corpus-sized), and a coalesce join back
+    to the node list. Same localCheckpoint discipline as ``pagerank``.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed = seeds.select("node", F.col("label").alias("seed_label")).distinct()
+    nodes = nodes.join(F.broadcast(seed), "node", "left").localCheckpoint(
+        eager=True
+    )
+    labels = nodes.select("node", F.col("seed_label").alias("label"))
+    for _ in range(n_iter):
+        votes = (
+            e.join(
+                labels.filter(F.col("label").isNotNull()),
+                e["src"] == labels["node"],
+            )
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        key = F.concat(
+            F.lpad((F.lit(10**9) - F.col("n")).cast("string"), 10, "0"),
+            F.col("label"),
+        )
+        winner = votes.groupBy("dst").agg(
+            F.min_by(F.col("label"), key).alias("win_label")
+        )
+        labels = (
+            nodes.join(winner, nodes["node"] == winner["dst"], "left")
+            .join(
+                labels.select(
+                    F.col("node").alias("pnode"), F.col("label").alias("prev")
+                ),
+                F.col("node") == F.col("pnode"),
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("seed_label", "win_label", "prev").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -145,3 +145,27 @@ def test_trustrank_seed_restart_only(spark):
         }
         r = nxt
     assert got == r
+
+
+def test_label_propagation_semantics(spark):
+    """Seeds immutable; majority wins; ties break to the smaller label;
+    unreached nodes stay NULL; deterministic under repartitioning."""
+    from intelligent_ocr_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "m"), ("b", "m"), ("c", "m"),   # m: 2×L0 vs 1×L1 → L0
+         ("a", "t"), ("c", "t"),               # t: 1×L0 vs 1×L1 → tie → L0
+         ("m", "far"), ("far", "unreach3")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame(
+        [("a", "L0"), ("b", "L0"), ("c", "L1")], "node string, label string"
+    )
+    got = {r.node: r.label for r in label_propagation(edges, seeds, n_iter=2).collect()}
+    assert got["m"] == "L0" and got["t"] == "L0"
+    assert got["a"] == "L0" and got["c"] == "L1"   # seeds keep labels
+    assert got["far"] == "L0"                       # 2 hops in 2 iters
+    assert got["unreach3"] is None                  # needs a 3rd round
+    b = {r.node: r.label for r in
+         label_propagation(edges.repartition(7), seeds, n_iter=2).collect()}
+    assert got == b
