@@ -5300,6 +5300,68 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_components",
+    f"""
+    WITH RECURSIVE
+    p AS ({_LINK_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+      FROM p
+    ),
+    l AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src,
+             regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst
+      FROM x WHERE regexp_matches(href, '^https?://')
+    ),
+    pr0 AS (
+      SELECT DISTINCT least(src, dst) AS doc_a, greatest(src, dst) AS doc_b
+      FROM l WHERE src <> dst
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pr0
+      UNION SELECT doc_b, doc_a FROM pr0
+    ),
+    cc AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON c.node = e.src
+    )
+    SELECT node, min(label) AS component_id
+    FROM cc GROUP BY node ORDER BY node
+    """,
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the UNDIRECTED host graph — mirror-family
+    / site-cluster detection from pure structure. Reuses the
+    large-star/small-star dedup component engine (O(log n) rounds
+    regardless of diameter) on host-string nodes; the oracle computes
+    the same components by recursive transitive closure with
+    lexicographic-min labels."""
+    from intelligent_ocr_spark.operators.dedup import near_dup_clusters
+    from intelligent_ocr_spark.operators.web import extract_links, host_edges
+
+    e = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    pairs = (
+        e.select(
+            F.least("src", "dst").alias("doc_a"),
+            F.greatest("src", "dst").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    return (
+        near_dup_clusters(pairs)
+        .select(
+            F.col("doc_id").alias("node"),
+            F.col("cluster_id").alias("component_id"),
+        )
+        .orderBy("node")
+    )
+
+
+@_q(
     "pipeline_media_census",
     """
     WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 70),
