@@ -6375,19 +6375,19 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 84 names (all
+    # which as of the round-5 final commit is these 87 names (all
     # green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: forty-two of them were REGISTERED in round 5 after the cap
+    # NOTE: forty-five of them were REGISTERED in round 5 after the cap
     # was already exactly full (changed ∪ skipped-last = 50); per the
     # same slot-yield rationale as the WARC rows-only entries above
     # they sit in the tail this round — all oracled and pytest-pinned
     # (known-answer vectors, plan pins, Hypothesis properties), and all
     # parity-verified this round.
-    # COVERAGE MATH FOR ROUND 6: with 134 registered queries and a
+    # COVERAGE MATH FOR ROUND 6: with 137 registered queries and a
     # 50-row driver cap, "every query gets a driver row within one
-    # round" is arithmetically impossible (2 × 50 < 134). Priority
+    # round" is arithmetically impossible (2 × 50 < 137). Priority
     # order for round 6's first 50: (1) anything changed in round 6,
     # (2) the late-r5 registrations in the tail below that have NEVER
     # had a driver correctness row, (3) rotate the remainder. Queries
@@ -6402,6 +6402,7 @@ _SKIPPED_LAST_ROUND = [
     #   'prep_leakage_split', 'pipeline_host_profile',
     #   'graph_pagerank_scaled', 'index_inverted_full',
     #   'graph_degree_stats', 'graph_spam_mass', 'web_sitemap_recursive',
+    #   'index_bm25_topk', 'graph_label_propagation', 'graph_components',
     #   'pipeline_media_census', 'mm_audio_resample', 'mm_media_type',
     #   'mm_av_stats', 'pipeline_multimodal_dedup', 'sim_ivf_topk',
     #   'x3_dual_insert_variants', 'prep_dsir_weights',
