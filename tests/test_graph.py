@@ -169,3 +169,77 @@ def test_label_propagation_semantics(spark):
     b = {r.node: r.label for r in
          label_propagation(edges.repartition(7), seeds, n_iter=2).collect()}
     assert got == b
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def _py_hits(edges, n_iter=3):
+    """Reference replay of the exact unnormalized integer semantics."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    hub = dict.fromkeys(nodes, 1)
+    auth = dict.fromkeys(nodes, 0)
+    for _ in range(n_iter):
+        auth = dict.fromkeys(nodes, 0)
+        for s, d in e:
+            auth[d] += hub[s]
+        hub = dict.fromkeys(nodes, 0)
+        for s, d in e:
+            hub[s] += auth[d]
+    return hub, auth
+
+
+def _run_hits(spark, edges, **kw):
+    from intelligent_ocr_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r.node: (int(r.hub), int(r.auth)) for r in hits(df, **kw).collect()
+    }
+
+
+def test_hits_one_iteration_by_hand(spark):
+    # 0->2, 1->2, 2->3: auth counts in-pointing hubs, hub sums new auths
+    got = _run_hits(spark, [("0", "2"), ("1", "2"), ("2", "3")], n_iter=1)
+    assert got == {
+        "0": (2, 0),  # hub = auth(2) = 2
+        "1": (2, 0),
+        "2": (1, 2),  # auth = hub0(0)+hub0(1) = 2; hub = auth(3) = 1
+        "3": (0, 1),
+    }
+
+
+def test_hits_separates_hub_and_authority_roles(spark):
+    # directory d links to a, b, c; nothing links to d
+    got = _run_hits(spark, [("d", "a"), ("d", "b"), ("d", "c")], n_iter=3)
+    assert got["d"][1] == 0 and got["d"][0] > 0          # pure hub
+    assert all(got[n][0] == 0 and got[n][1] > 0 for n in "abc")  # pure auth
+
+
+def test_hits_dup_edges_and_self_loops_ignored(spark):
+    got = _run_hits(
+        spark, [("a", "b"), ("a", "b"), ("x", "x"), ("b", "a")], n_iter=2
+    )
+    hub, auth = _py_hits([("a", "b"), ("b", "a")], n_iter=2)
+    assert got == {n: (hub[n], auth[n]) for n in hub}
+    assert "x" not in got
+
+
+def test_hits_differential_vs_python_replay(spark):
+    edges = [(f"n{i % 11}", f"n{(i * 7 + 3) % 11}") for i in range(50)] + [
+        (f"n{i % 11}", f"n{(i * 5 + 1) % 11}") for i in range(50)
+    ]
+    hub, auth = _py_hits(edges, n_iter=4)
+    got = _run_hits(spark, edges, n_iter=4)
+    assert got == {n: (hub[n], auth[n]) for n in hub}
+
+
+def test_hits_partitioning_invariance(spark):
+    from intelligent_ocr_spark.operators.graph import hits
+
+    edges = [(f"h{i % 9}", f"h{(i * 5 + 2) % 9}") for i in range(40)]
+    hub, auth = _py_hits(edges, n_iter=3)
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(7)
+    got = {r.node: (int(r.hub), int(r.auth)) for r in hits(df, n_iter=3).collect()}
+    assert got == {n: (hub[n], auth[n]) for n in hub}
