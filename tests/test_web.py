@@ -249,3 +249,52 @@ def test_extract_links_root_relative_resolution(spark):
     ]
     # off by default: only the absolute link survives
     assert [r.href for r in extract_links(df).collect()] == ["http://b.example/x"]
+
+
+def test_extract_links_base_resolved(spark):
+    """Full relative resolution honoring <base href>: path/proto/root/
+    query-relative hrefs resolve, fragments and foreign schemes drop,
+    an absolute <base> rebases BOTH path- and root-relative links, a
+    relative <base> is ignored; zero-exchange plan."""
+    from intelligent_ocr_spark.operators.web import extract_links_base_resolved
+
+    rows = [
+        (
+            "http://s.ex/dir/page.html",
+            '<html><a href="img/x.html">i</a><a href="../up.html">u</a>'
+            '<a href="//p.ex/q">p</a><a href="/root">r</a>'
+            '<a href="#f">f</a><a href="mailto:a@b">m</a>'
+            '<a href="http://abs.ex/z">a</a></html>',
+        ),
+        (
+            "http://s.ex/dir/base.html",
+            '<html><base href="http://cdn.ex/assets/deep/">'
+            '<a href="img/y.png">c</a><a href="/rooty">r</a></html>',
+        ),
+        (
+            "http://s.ex/dir/relbase.html",
+            '<html><base href="/ignored/">'
+            '<a href="still/rel.html">s</a></html>',
+        ),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = extract_links_base_resolved(df)
+    got = {(r.src_url, r.href): (r.resolved, r.dst_host) for r in out.collect()}
+    assert got == {
+        ("http://s.ex/dir/page.html", "img/x.html"):
+            ("http://s.ex/dir/img/x.html", "s.ex"),
+        ("http://s.ex/dir/page.html", "../up.html"):
+            ("http://s.ex/up.html", "s.ex"),
+        ("http://s.ex/dir/page.html", "//p.ex/q"): ("http://p.ex/q", "p.ex"),
+        ("http://s.ex/dir/page.html", "/root"): ("http://s.ex/root", "s.ex"),
+        ("http://s.ex/dir/page.html", "http://abs.ex/z"):
+            ("http://abs.ex/z", "abs.ex"),
+        ("http://s.ex/dir/base.html", "img/y.png"):
+            ("http://cdn.ex/assets/deep/img/y.png", "cdn.ex"),
+        ("http://s.ex/dir/base.html", "/rooty"):
+            ("http://cdn.ex/rooty", "cdn.ex"),
+        ("http://s.ex/dir/relbase.html", "still/rel.html"):
+            ("http://s.ex/dir/still/rel.html", "s.ex"),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
