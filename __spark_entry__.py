@@ -6313,6 +6313,233 @@ def q_prep_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "graph_hits",
+    f"""
+    WITH RECURSIVE
+    p AS ({_LINK_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+      FROM p
+    ),
+    l AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src,
+             regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst
+      FROM x WHERE regexp_matches(href, '^https?://')
+    ),
+    e AS (SELECT DISTINCT src, dst FROM l WHERE src <> dst),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    hs(it, node, hub, auth) AS (
+      SELECT 0, node, CAST(1 AS HUGEINT), CAST(0 AS HUGEINT) FROM nodes
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT it, node, hub, auth FROM hs),
+        na AS (
+          SELECT e.dst AS node, SUM(pr.hub) AS a
+          FROM prev pr JOIN e ON e.src = pr.node GROUP BY 1
+        ),
+        nh AS (
+          SELECT e.src AS node, SUM(na.a) AS h
+          FROM e JOIN na ON na.node = e.dst GROUP BY 1
+        )
+        SELECT (SELECT max(it) FROM prev) + 1, n.node,
+               CAST(COALESCE(nh.h, 0) AS HUGEINT),
+               CAST(COALESCE(na.a, 0) AS HUGEINT)
+        FROM nodes n
+        LEFT JOIN na ON na.node = n.node
+        LEFT JOIN nh ON nh.node = n.node
+        WHERE (SELECT max(it) FROM prev) < 3
+      ) z
+    )
+    SELECT node, CAST(hub AS BIGINT) AS hub, CAST(auth AS BIGINT) AS auth
+    FROM hs WHERE it = 3 ORDER BY node
+    """,
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the synthesized host graph: three
+    unnormalized integer mutual-reinforcement rounds (rank-equivalent
+    to the L2-normalized textbook form — the per-round normalizer is a
+    scalar), computed in decimal(38,0) so the DuckDB HUGEINT recursive
+    CTE replays them bit-exactly. The second classic authority signal
+    next to PageRank: auth finds content authorities, hub the directory
+    pages pointing at them (operators/graph.py::hits; the fixture's
+    values fit BIGINT, so both engines cast for the driver hash)."""
+    from intelligent_ocr_spark.operators.graph import hits
+    from intelligent_ocr_spark.operators.web import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    return (
+        hits(edges, n_iter=3)
+        .select(
+            "node",
+            F.col("hub").cast("long").alias("hub"),
+            F.col("auth").cast("long").alias("auth"),
+        )
+        .orderBy("node")
+    )
+
+
+# Relative-link fixture: pages whose anchors exercise every resolve_href
+# case (path/proto/root/query-relative, ups, fragments, foreign schemes),
+# a quarter of them under an absolute <base href>. Byte-identical twins.
+_RELREF_PAGES_SQL = """
+      SELECT 'http://s' || (doc_id % 20) || '.example/d' || (doc_id % 7)
+               || '/sub/p' || doc_id || '.html' AS url,
+             '<html>'
+             || CASE WHEN doc_id % 4 = 1
+                     THEN '<base href="http://cdn' || (doc_id % 5)
+                          || '.example/as/deep/">' ELSE '' END
+             || '<a href="'
+             || CASE doc_id % 8
+                  WHEN 0 THEN 'img/i' || doc_id || '.png'
+                  WHEN 1 THEN '../up' || doc_id || '.html'
+                  WHEN 2 THEN '../../o' || doc_id || '.html'
+                  WHEN 3 THEN './here' || doc_id || '.html'
+                  WHEN 4 THEN '//pp' || (doc_id % 6) || '.example/pr'
+                  WHEN 5 THEN '/rootp/' || doc_id
+                  WHEN 6 THEN '?q=' || doc_id
+                  ELSE 'http://abs' || (doc_id % 9) || '.example/z'
+                END
+             || '">x</a><a href="#frag">n</a><a href="mailto:x@y">n</a>'
+             || '</html>' AS html
+      FROM documents WHERE doc_id < 160
+"""
+
+
+def _relref_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("http://s"), s(F.col("doc_id") % 20),
+        F.lit(".example/d"), s(F.col("doc_id") % 7),
+        F.lit("/sub/p"), s(F.col("doc_id")), F.lit(".html"),
+    )
+    link = (
+        F.when(F.col("doc_id") % 8 == 0,
+               F.concat(F.lit("img/i"), s(F.col("doc_id")), F.lit(".png")))
+        .when(F.col("doc_id") % 8 == 1,
+              F.concat(F.lit("../up"), s(F.col("doc_id")), F.lit(".html")))
+        .when(F.col("doc_id") % 8 == 2,
+              F.concat(F.lit("../../o"), s(F.col("doc_id")), F.lit(".html")))
+        .when(F.col("doc_id") % 8 == 3,
+              F.concat(F.lit("./here"), s(F.col("doc_id")), F.lit(".html")))
+        .when(F.col("doc_id") % 8 == 4,
+              F.concat(F.lit("//pp"), s(F.col("doc_id") % 6),
+                       F.lit(".example/pr")))
+        .when(F.col("doc_id") % 8 == 5,
+              F.concat(F.lit("/rootp/"), s(F.col("doc_id"))))
+        .when(F.col("doc_id") % 8 == 6,
+              F.concat(F.lit("?q="), s(F.col("doc_id"))))
+        .otherwise(
+            F.concat(F.lit("http://abs"), s(F.col("doc_id") % 9),
+                     F.lit(".example/z")))
+    )
+    html = F.concat(
+        F.lit("<html>"),
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit('<base href="http://cdn'), s(F.col("doc_id") % 5),
+                     F.lit('.example/as/deep/">')),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="'), link,
+        F.lit('">x</a><a href="#frag">n</a><a href="mailto:x@y">n</a></html>'),
+    )
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+@_q(
+    "web_links_base_resolved",
+    f"""
+    WITH p AS ({_RELREF_PAGES_SQL}),
+    x AS (
+      SELECT url AS src_url,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+               AS src_host,
+             CASE WHEN regexp_matches(
+                    regexp_extract(html, '<base\\s[^>]*href="([^"]*)"', 1),
+                    '^https?://')
+                  THEN regexp_extract(html, '<base\\s[^>]*href="([^"]*)"', 1)
+                  ELSE url END AS base,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+      FROM p
+    ),
+    b AS (
+      SELECT *,
+             regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+               AS scheme,
+             regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+               AS authority,
+             regexp_extract(base,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS bpath
+      FROM x
+    ),
+    c AS (
+      SELECT *,
+             CASE WHEN regexp_replace(bpath, '[^/]*$', '') = '' THEN '/'
+                  ELSE regexp_replace(bpath, '[^/]*$', '') END AS bdir,
+             regexp_extract(href, '^((\\.\\.?/)+)', 1) AS pfx
+      FROM b
+    ),
+    d AS (
+      SELECT *,
+             (length(pfx) - length(replace(pfx, '../', ''))) // 3 AS n_up,
+             substr(href, length(pfx) + 1) AS rest,
+             list_filter(str_split(bdir, '/'), s -> s <> '') AS segs
+      FROM c
+    ),
+    e AS (
+      SELECT *, list_slice(segs, 1, greatest(len(segs) - n_up, 0)) AS kept
+      FROM d
+    ),
+    r AS (
+      SELECT src_url, src_host, href,
+             CASE
+               WHEN regexp_matches(href, '^https?://') THEN href
+               WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                 THEN NULL
+               WHEN starts_with(href, '//') THEN scheme || ':' || href
+               WHEN starts_with(href, '/') THEN authority || href
+               WHEN href = '' OR starts_with(href, '#') THEN NULL
+               WHEN starts_with(href, '?') THEN authority ||
+                    (CASE WHEN bpath = '' THEN '/' ELSE bpath END) || href
+               -- array_to_string over an EMPTY list is NULL in DuckDB
+               -- (Spark array_join gives ''), so coalesce to keep the
+               -- concatenation total
+               ELSE authority || '/' ||
+                    COALESCE(array_to_string(kept, '/'), '') ||
+                    (CASE WHEN len(kept) > 0 THEN '/' ELSE '' END) || rest
+             END AS resolved
+      FROM e
+    )
+    SELECT src_url, src_host, href, resolved,
+           regexp_extract(resolved, '^https?://([^/:?#]+)', 1) AS dst_host
+    FROM r
+    WHERE resolved IS NOT NULL AND regexp_matches(resolved, '^https?://')
+    ORDER BY src_url, href
+    """,
+)
+def q_web_links_base_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full relative-href resolution with <base href> support over the
+    relative-link fixture: path-relative merges (leading ./ and ../
+    runs popped against the base directory, clamped at root),
+    protocol-relative, root-relative and query-only refs resolve;
+    fragment-only and foreign-scheme refs drop; an absolute <base>
+    rebases both path- and root-relative links. Zero-exchange
+    projection + Generate (plan-pinned in tests/test_web.py); the
+    oracle replays the identical CASE chain step by step
+    (operators/web.py::extract_links_base_resolved,
+    functions/urlnorm.py::resolve_href)."""
+    from intelligent_ocr_spark.operators.web import extract_links_base_resolved
+
+    return extract_links_base_resolved(_relref_pages(spark, sf_dir)).orderBy(
+        "src_url", "href"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
