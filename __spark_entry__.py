@@ -6540,6 +6540,52 @@ def q_web_links_base_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "web_anchor_pairs",
+    f"""
+    WITH p AS ({_ANCHOR_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html, '{_ANCHOR_RE_SQL}', 1)) AS href,
+             unnest(regexp_extract_all(html, '{_ANCHOR_RE_SQL}', 2)) AS anchor
+      FROM p
+    ),
+    a AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+               AS src_host,
+             regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst_host,
+             anchor
+      FROM x WHERE regexp_matches(href, '^https?://')
+    ),
+    t AS (
+      SELECT src_host, dst_host,
+             unnest(string_split_regex(lower(anchor), '[^a-z0-9]+')) AS term
+      FROM a WHERE src_host <> dst_host
+    )
+    SELECT term, dst_host, COUNT(*) AS n_mentions,
+           COUNT(DISTINCT src_host) AS n_src_hosts
+    FROM t WHERE term <> ''
+    GROUP BY 1, 2 HAVING COUNT(DISTINCT src_host) >= 2
+    ORDER BY term, dst_host
+    """,
+)
+def q_web_anchor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text retrieval-pair mining over the anchor fixture:
+    cross-host anchors tokenize into (term, dst_host) weak-relevance
+    pairs with exact mention counts, gated on ≥2 distinct supporting
+    source hosts (the anti-spam vote rule). One map-side-combined
+    aggregation with a two-level count-distinct — no joins, no
+    windows (operators/web.py::anchor_retrieval_pairs)."""
+    from intelligent_ocr_spark.operators.web import (
+        anchor_retrieval_pairs,
+        extract_anchor_texts,
+    )
+
+    return anchor_retrieval_pairs(
+        extract_anchor_texts(_anchor_pages(spark, sf_dir))
+    ).orderBy("term", "dst_host")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -34,6 +34,7 @@ __all__ = [
     "extract_links_base_resolved",
     "host_edges",
     "extract_anchor_texts",
+    "anchor_retrieval_pairs",
     "host_anchor_profile",
     "parse_sitemaps",
 ]
@@ -291,6 +292,56 @@ def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
         .withColumn(
             "dst_host", F.regexp_extract("href", r"^https?://([^/:?#]+)", 1)
         )
+    )
+
+
+def anchor_retrieval_pairs(anchors: DataFrame,
+                           min_src_hosts: int = 2) -> DataFrame:
+    """Mine (query-term, target-host) weak-relevance pairs from
+    CROSS-HOST anchor text — the classic anchor-text supervision signal
+    (public practice since early web search; used today to build
+    query→document training pairs for retrieval models): when several
+    independent sites link to a host with anchors containing a term,
+    that term is a query the host is relevant to.
+
+    Input is ``extract_anchor_texts`` output. Same-host anchors are
+    excluded (site navigation says nothing about external relevance),
+    and a pair must be supported by ≥ ``min_src_hosts`` DISTINCT
+    source hosts — one site repeating an anchor a thousand times is one
+    vote, which is the standard anti-spam gate for this signal.
+
+    Output: (term, dst_host, n_mentions, n_src_hosts) — ``n_mentions``
+    counts term occurrences across qualifying anchors, ``n_src_hosts``
+    the distinct supporting sources.
+
+    Scale shape: tokenize-and-explode projection, then ONE
+    map-side-combined aggregation on (term, dst_host); the distinct
+    source count is Spark's standard two-level count-distinct
+    expansion (partial on (term, dst, src) first), so Zipf-head terms
+    are skewed AGG keys — collapsed map-side, never a window
+    partition. No joins, no all-pairs anything."""
+    from ..functions.textstats import tokens
+
+    t = (
+        anchors.withColumn(
+            "src_host",
+            F.regexp_extract(
+                "src_url", r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1
+            ),
+        )
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .select(
+            "src_host", "dst_host",
+            F.explode(tokens(F.col("anchor"))).alias("term"),
+        )
+    )
+    return (
+        t.groupBy("term", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("src_host").alias("n_src_hosts"),
+        )
+        .filter(F.col("n_src_hosts") >= min_src_hosts)
     )
 
 

@@ -298,3 +298,31 @@ def test_extract_links_base_resolved(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_anchor_retrieval_pairs(spark):
+    """Cross-host anchors only; a pair needs >=2 distinct source hosts;
+    n_mentions counts occurrences, n_src_hosts distinct supporters."""
+    from intelligent_ocr_spark.operators.web import anchor_retrieval_pairs
+
+    rows = [
+        # two distinct hosts say "spark docs" about t.ex -> qualifies
+        ("http://a.ex/1", "http://t.ex/d", "spark docs", "t.ex"),
+        ("http://b.ex/2", "http://t.ex/d", "spark docs", "t.ex"),
+        # one host repeating an anchor is ONE vote -> filtered
+        ("http://a.ex/3", "http://t.ex/d", "engine", "t.ex"),
+        ("http://a.ex/4", "http://t.ex/d", "engine", "t.ex"),
+        # same-host anchor ignored entirely
+        ("http://t.ex/5", "http://t.ex/d", "spark docs", "t.ex"),
+    ]
+    df = spark.createDataFrame(
+        rows, "src_url string, href string, anchor string, dst_host string"
+    )
+    got = {
+        (r.term, r.dst_host): (r.n_mentions, r.n_src_hosts)
+        for r in anchor_retrieval_pairs(df).collect()
+    }
+    assert got == {
+        ("spark", "t.ex"): (2, 2),
+        ("docs", "t.ex"): (2, 2),
+    }
