@@ -6586,6 +6586,138 @@ def q_web_anchor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("term", "dst_host")
 
 
+@_q(
+    "sketch_bloom",
+    """
+    WITH seen AS (SELECT 'u' || (doc_id % 499) AS k FROM documents),
+    probes AS (SELECT 'u' || (doc_id % 997) AS k FROM documents),
+    sh AS (
+      SELECT k,
+             CAST(('0x' || substr(md5('bf0|' || k), 1, 8))::UBIGINT AS BIGINT)
+               AS h1,
+             CAST(('0x' || substr(md5('bf0|' || k), 9, 8))::UBIGINT AS BIGINT)
+               * 2 + 1 AS h2
+      FROM seen
+    ),
+    pos AS (
+      SELECT ((h1 + i.range * h2) % 8192) AS p
+      FROM sh CROSS JOIN range(4) i
+    ),
+    words AS (
+      SELECT p // 32 AS word,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    ph AS (
+      SELECT k,
+             CAST(('0x' || substr(md5('bf0|' || k), 1, 8))::UBIGINT AS BIGINT)
+               AS h1,
+             CAST(('0x' || substr(md5('bf0|' || k), 9, 8))::UBIGINT AS BIGINT)
+               * 2 + 1 AS h2
+      FROM probes
+    ),
+    pb AS (
+      SELECT k, ((h1 + i.range * h2) % 8192) // 32 AS word,
+             CAST((h1 + i.range * h2) % 8192 % 32 AS INT) AS bit
+      FROM ph CROSS JOIN range(4) i
+    ),
+    j AS (
+      SELECT pb.k,
+             CASE WHEN (w.bits >> pb.bit) & 1 = 1 THEN 1 ELSE 0 END AS hit
+      FROM pb LEFT JOIN words w ON w.word = pb.word
+    )
+    SELECT k AS probe_key, min(hit) = 1 AS maybe_present
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter seen-set probe (the crawl-frontier "already
+    fetched?" test): build an 8192-bit / 4-hash filter over the
+    u0..u498 key universe, then probe the wider u0..u996 universe —
+    every seen key MUST come back true (no false negatives), unseen
+    keys come back true only at the designed false-positive rate, and
+    the DuckDB twin replays the identical md5 double-hashing bit
+    layout so the whole verdict column is bit-exact. One bit_or
+    aggregation + a broadcast word join
+    (operators/sketch.py::bloom_build / bloom_maybe_contains)."""
+    from intelligent_ocr_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    seen = d.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 499).cast("string")).alias("k")
+    )
+    probes = d.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 997).cast("string")).alias("k")
+    )
+    bloom = bloom_build(seen, "k", m_bits=8192, k=4)
+    return bloom_maybe_contains(bloom, probes, "k", m_bits=8192, k=4).orderBy(
+        "probe_key"
+    )
+
+
+@_q(
+    "sketch_countmin",
+    """
+    WITH occ AS (SELECT 'w' || (doc_id % 97) AS k FROM documents),
+    sh AS (
+      SELECT k,
+             CAST(('0x' || substr(md5('cm0|' || k), 1, 8))::UBIGINT AS BIGINT)
+               AS h1,
+             CAST(('0x' || substr(md5('cm0|' || k), 9, 8))::UBIGINT AS BIGINT)
+               * 2 + 1 AS h2
+      FROM occ
+    ),
+    cells AS (
+      SELECT i.range AS rw, (h1 + i.range * h2) % 1024 AS col
+      FROM sh CROSS JOIN range(4) i
+    ),
+    cms AS (SELECT rw, col, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+    ph AS (SELECT DISTINCT k, h1, h2 FROM sh),
+    pc AS (
+      SELECT k, i.range AS rw, (h1 + i.range * h2) % 1024 AS col
+      FROM ph CROSS JOIN range(4) i
+    ),
+    est AS (
+      SELECT pc.k, MIN(COALESCE(c.c, 0)) AS est
+      FROM pc LEFT JOIN cms c ON c.rw = pc.rw AND c.col = pc.col
+      GROUP BY 1
+    ),
+    exact AS (SELECT k, COUNT(*) AS exact_n FROM occ GROUP BY 1)
+    SELECT e.k AS probe_key, x.exact_n, e.est
+    FROM est e JOIN exact x USING (k) ORDER BY 1
+    """,
+)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency estimates next to exact truth: build
+    a 4×1024 sketch over w0..w96 key occurrences, estimate each key,
+    and emit (probe_key, exact_n, est) — the over-estimate invariant
+    (est ≥ exact, equality when cells are collision-free) is visible
+    in the row values and the DuckDB twin replays the identical md5
+    cell layout bit-exactly. One map-side-combined cell aggregation +
+    a broadcast cell join (operators/sketch.py::countmin_build /
+    countmin_estimate)."""
+    from intelligent_ocr_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    occ = d.select(
+        F.concat(F.lit("w"), (F.col("doc_id") % 97).cast("string")).alias("k")
+    )
+    cms = countmin_build(occ, "k", width=1024, depth=4)
+    est = countmin_estimate(cms, occ.distinct(), "k", width=1024, depth=4)
+    exact = occ.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        est.join(exact, est["probe_key"] == exact["k"])
+        .select("probe_key", "exact_n", "est")
+        .orderBy("probe_key")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

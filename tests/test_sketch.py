@@ -4,6 +4,8 @@ accuracy vs exact distinct, the shard-merge property, and the plan."""
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from intelligent_ocr_spark.operators.sketch import hll_estimate, hll_registers
@@ -71,3 +73,115 @@ def test_p_validation(spark):
 
     with pytest.raises(ValueError):
         hll_registers(spark.range(1).select(F.lit("x").alias("k")), "k", p=10)
+
+
+# ------------------------------------------------------------ Bloom
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k string")
+
+
+def test_bloom_no_false_negatives_and_fp_direction(spark):
+    from intelligent_ocr_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    seen = [f"u{i}" for i in range(300)]
+    fresh = [f"x{i}" for i in range(300)]
+    bloom = bloom_build(_keys_df(spark, seen), "k", m_bits=8192, k=4)
+    got = {
+        r.probe_key: r.maybe_present
+        for r in bloom_maybe_contains(
+            bloom, _keys_df(spark, seen + fresh), "k", m_bits=8192, k=4
+        ).collect()
+    }
+    assert all(got[k] for k in seen)          # NEVER a false negative
+    fp = sum(1 for k in fresh if got[k])
+    # designed rate (1-e^(-kn/m))^k ~ 0.24% at n=300,m=8192,k=4; allow slack
+    assert fp <= 15, fp
+
+
+def test_bloom_shard_merge_is_word_or(spark):
+    from intelligent_ocr_spark.operators.sketch import bloom_build
+
+    a = bloom_build(_keys_df(spark, [f"u{i}" for i in range(50)]), "k")
+    b = bloom_build(_keys_df(spark, [f"u{i}" for i in range(50, 100)]), "k")
+    both = bloom_build(_keys_df(spark, [f"u{i}" for i in range(100)]), "k")
+    merged = {
+        r.word: r.bits
+        for r in a.unionAll(b).groupBy("word").agg(F.bit_or("bits").alias("bits")).collect()
+    }
+    assert merged == {r.word: r.bits for r in both.collect()}
+
+
+def test_bloom_validation(spark):
+    from intelligent_ocr_spark.operators.sketch import bloom_build
+
+    df = _keys_df(spark, ["a"])
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", m_bits=100)
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", k=0)
+
+
+# --------------------------------------------------------- Count-min
+
+
+def test_countmin_never_underestimates_and_is_tight_when_sparse(spark):
+    from intelligent_ocr_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    # zipf-ish multiplicities: key i occurs (i % 7) + 1 times
+    rows = [(f"t{i}",) for i in range(120) for _ in range((i % 7) + 1)]
+    df = spark.createDataFrame(rows, "k string")
+    exact = {}
+    for (k,) in rows:
+        exact[k] = exact.get(k, 0) + 1
+    cms = countmin_build(df, "k", width=1024, depth=4)
+    est = {
+        r.probe_key: r.est
+        for r in countmin_estimate(
+            cms, _keys_df(spark, list(exact)), "k", width=1024, depth=4
+        ).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)        # never under
+    # 120 keys in 4x1024 cells: collisions rare -> most estimates exact
+    assert sum(1 for k in exact if est[k] == exact[k]) >= 110
+
+
+def test_countmin_shard_merge_is_cellwise_add(spark):
+    from intelligent_ocr_spark.operators.sketch import countmin_build
+
+    a_rows = [(f"t{i}",) for i in range(40)]
+    b_rows = [(f"t{i}",) for i in range(20, 60)]
+    a = countmin_build(spark.createDataFrame(a_rows, "k string"), "k")
+    b = countmin_build(spark.createDataFrame(b_rows, "k string"), "k")
+    both = countmin_build(
+        spark.createDataFrame(a_rows + b_rows, "k string"), "k"
+    )
+    merged = {
+        (r.row, r.col): r.c
+        for r in a.unionAll(b).groupBy("row", "col").agg(F.sum("c").alias("c")).collect()
+    }
+    assert merged == {(r.row, r.col): r.c for r in both.collect()}
+
+
+def test_countmin_unseen_key_estimates_zero_when_cells_clear(spark):
+    from intelligent_ocr_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    cms = countmin_build(_keys_df(spark, ["a", "b"]), "k", width=4096, depth=4)
+    est = {
+        r.probe_key: r.est
+        for r in countmin_estimate(
+            cms, _keys_df(spark, ["zzz-never-seen"]), "k", width=4096, depth=4
+        ).collect()
+    }
+    # with 2 keys in 4x4096 cells a collision on ALL 4 rows is ~impossible
+    assert est["zzz-never-seen"] == 0
