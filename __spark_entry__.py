@@ -6718,6 +6718,47 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "index_phrase_match",
+    """
+    WITH tl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         s -> s <> '') AS l
+      FROM documents WHERE doc_id < 2000
+    ),
+    t AS (
+      SELECT doc_id, unnest(l) AS term,
+             unnest(range(1, len(l) + 1)) - 1 AS pos
+      FROM tl
+    ),
+    p0 AS (SELECT doc_id, pos FROM t WHERE term = 'batch'),
+    p1 AS (SELECT doc_id, pos - 1 AS pos FROM t WHERE term = 'batch'),
+    m AS (SELECT p0.doc_id, p0.pos FROM p0 JOIN p1 USING (doc_id, pos))
+    SELECT doc_id, COUNT(*) AS n_occurrences, MIN(pos) AS first_pos
+    FROM m GROUP BY 1 ORDER BY doc_id
+    """,
+)
+def q_index_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query "batch batch" through the positional index:
+    token positions from a zero-exchange posexplode projection, one
+    shifted (doc_id, pos) equi-join per extra phrase term (the join
+    key includes the position, so a stopword's Zipf-head posting list
+    spreads across the hash space), one map-side-combined count per
+    document. Overlapping occurrences count separately — the repeated
+    term makes the oracle pin exactly that edge
+    (operators/index.py::positional_postings / phrase_match)."""
+    from intelligent_ocr_spark.operators.index import (
+        phrase_match,
+        positional_postings,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return phrase_match(positional_postings(d), ["batch", "batch"]).orderBy(
+        "doc_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

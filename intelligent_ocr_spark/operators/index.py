@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..functions.freq import topk_per_key
 from ..functions.textstats import tokens
 
-__all__ = ["inverted_index", "bm25_topk"]
+__all__ = ["inverted_index", "bm25_topk", "positional_postings", "phrase_match"]
 
 
 def inverted_index(
@@ -161,5 +161,67 @@ def bm25_topk(
             F.row_number()
             .over(Window.orderBy(F.col("score_mu").desc(), "doc_id"))
             .cast("long"),
+        )
+    )
+
+
+def positional_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text) → (term, doc_id, pos): 0-based token positions —
+    the positional-index projection phrase and proximity queries
+    consume. Zero exchanges (projection + ``posexplode`` Generate);
+    the caller decides whether to aggregate, join, or write it out
+    partitioned by term.
+
+    DuckDB twin: positions come from a parallel
+    ``unnest(range(1, len(list)+1)) - 1`` over the same filtered token
+    list (DuckDB 1.0 has no WITH ORDINALITY)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    ).select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
+
+
+def phrase_match(
+    postings: DataFrame,
+    phrase: list[str],
+) -> DataFrame:
+    """Documents containing the EXACT consecutive token sequence
+    ``phrase``, from a ``positional_postings`` table →
+    (doc_id, n_occurrences, first_pos). The phrase-query primitive a
+    positional index exists for (and the exact-match complement of
+    ``bm25_topk``'s bag-of-words ranking); overlapping occurrences
+    count separately ("batch batch" occurs twice in "batch batch
+    batch").
+
+    Scale shape: term ``i`` of the phrase filters the postings to that
+    term's rows and shifts ``pos`` back by ``i``; an occurrence at
+    anchor position p is then ``len(phrase)-1`` equi-joins on
+    (doc_id, pos) between SELECTIVE per-term slices — the join key
+    includes the position, so even a stopword's Zipf-head posting list
+    spreads across the hash space instead of landing on one key. The
+    final count is one map-side-combined groupBy per doc. Repeated
+    phrase terms are just repeated slices (self-join safe: each stage
+    aliases its columns away)."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    anchored = None
+    for i, term in enumerate(phrase):
+        step = postings.filter(F.col("term") == term).select(
+            F.col("doc_id").alias("_d"),
+            (F.col("pos") - F.lit(i)).alias("_p"),
+        )
+        if anchored is None:
+            anchored = step
+        else:
+            anchored = anchored.join(step, ["_d", "_p"])
+    return (
+        anchored.groupBy(F.col("_d").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("_p").alias("first_pos"),
         )
     )

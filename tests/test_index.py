@@ -129,3 +129,72 @@ def test_bm25_ranking_sane(spark):
     assert by_doc[1].rank < by_doc[2].rank   # rare+common beats common-only
     assert all(r.score_mu >= 0 for r in rows)
     assert 4 not in by_doc              # no query term, no score
+
+
+# ---------------------------------------------------- positional/phrase
+
+
+def test_positional_postings_zero_exchange(spark):
+    from intelligent_ocr_spark.operators.index import positional_postings
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "Quick--fox, the")],
+        "doc_id long, text string",
+    )
+    out = positional_postings(docs)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        ("fox", 1, 2), ("fox", 2, 1),
+        ("quick", 1, 1), ("quick", 2, 0),
+        ("the", 1, 0), ("the", 2, 2),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_phrase_match_overlapping_and_repeated_terms(spark):
+    from intelligent_ocr_spark.operators.index import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "batch batch batch stream"),   # "batch batch" occurs TWICE
+            (2, "batch stream batch"),          # never consecutively
+            (3, "a batch batch z"),
+        ],
+        "doc_id long, text string",
+    )
+    p = positional_postings(docs)
+    got = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in phrase_match(p, ["batch", "batch"]).collect()
+    }
+    assert got == {1: (2, 0), 3: (1, 1)}
+
+
+def test_phrase_match_three_terms_and_single_term(spark):
+    from intelligent_ocr_spark.operators.index import (
+        phrase_match,
+        positional_postings,
+    )
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "fast key order sort"), (2, "key order fast sort key order")],
+        "doc_id long, text string",
+    )
+    p = positional_postings(docs)
+    got = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in phrase_match(p, ["key", "order", "sort"]).collect()
+    }
+    assert got == {1: (1, 1)}
+    single = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in phrase_match(p, ["key"]).collect()
+    }
+    assert single == {1: (1, 1), 2: (2, 0)}
+    with pytest.raises(ValueError):
+        phrase_match(p, [])
