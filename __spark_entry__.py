@@ -6759,6 +6759,92 @@ def q_index_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "web_crawl_budget",
+    rf"""
+    WITH robots(host, robots_txt) AS (VALUES {_ROBOTS_SQL_VALUES}),
+    rlines AS (
+      SELECT host, u.i AS idx, parts[CAST(u.i AS INT)] AS line
+      FROM (SELECT host, string_split(robots_txt, chr(10)) AS parts FROM robots),
+           unnest(range(1, CAST(len(parts)+1 AS BIGINT))) AS u(i)
+    ), parsed AS (
+      SELECT host, idx,
+             lower(trim(regexp_extract(line, '^\s*([A-Za-z-]+)\s*:', 1))) AS k,
+             trim(regexp_extract(line, '^[^:#]*:\s*([^#]*)', 1)) AS v
+      FROM rlines
+      WHERE lower(trim(regexp_extract(line, '^\s*([A-Za-z-]+)\s*:', 1))) <> ''
+    ), runs AS (
+      SELECT *, CASE WHEN (k = 'user-agent') AND NOT COALESCE(
+                 lag(k = 'user-agent') OVER (PARTITION BY host ORDER BY idx),
+                 false) THEN 1 ELSE 0 END AS new_grp
+      FROM parsed
+    ), grouped AS (
+      SELECT *, sum(new_grp) OVER (PARTITION BY host ORDER BY idx) AS grp
+      FROM runs
+    ), star AS (
+      SELECT DISTINCT host, grp FROM grouped WHERE k = 'user-agent' AND v = '*'
+    ), delays AS (
+      SELECT g.host, MAX(CAST(g.v AS BIGINT)) AS crawl_delay_s
+      FROM grouped g JOIN star s ON g.host = s.host AND g.grp = s.grp
+      WHERE g.k = 'crawl-delay' AND regexp_matches(g.v, '^\d+$')
+      GROUP BY 1
+    ), hosts AS (
+      SELECT 'h' || (doc_id % 17) || '.example.org' AS host,
+             COUNT(*) AS n_urls
+      FROM documents GROUP BY 1
+    )
+    SELECT h.host, COALESCE(d.crawl_delay_s, 1) AS crawl_delay_s, h.n_urls,
+           (h.n_urls * COALESCE(d.crawl_delay_s, 1) + 3599) // 3600
+             AS fetch_hours
+    FROM hosts h LEFT JOIN delays d USING (host) ORDER BY host
+    """,
+)
+def q_web_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-budgeted fetch schedule: per-host Crawl-delay from
+    the *-groups (max of declarations, integer values only, default
+    1 s where absent) joined to each host's URL count → hours needed
+    to crawl the host at its declared rate (ceil in exact integer
+    arithmetic — both engines compute (n·d + 3599) div 3600). The
+    frontier-planning number politeness-aware schedulers shard on.
+    Broadcast |hosts|-row delay join, one map-side-combined count
+    (operators/web.py::robots_crawl_delay)."""
+    from intelligent_ocr_spark.operators.web import robots_crawl_delay
+
+    robots = spark.createDataFrame(
+        [
+            (f"h{i}.example.org", _ROBOTS_FIXTURE[i % 4])
+            for i in range(17)
+            if _ROBOTS_FIXTURE[i % 4] is not None
+        ],
+        "host string, robots_txt string",
+    )
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 17).cast("string"),
+        F.lit(".example.org"),
+    )
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+    return (
+        counts.join(F.broadcast(robots_crawl_delay(robots)), "host", "left")
+        .withColumn(
+            "crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(1).cast("long"))
+        )
+        .select(
+            "host",
+            "crawl_delay_s",
+            "n_urls",
+            F.expr("(n_urls * crawl_delay_s + 3599) div 3600").alias(
+                "fetch_hours"
+            ),
+        )
+        .orderBy("host")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "robots_star_rules",
     "robots_allowed",
+    "robots_crawl_delay",
     "extract_links",
     "extract_links_base_resolved",
     "host_edges",
@@ -40,13 +41,13 @@ __all__ = [
 ]
 
 
-def robots_star_rules(robots: DataFrame, host_col: str = "host",
-                      txt_col: str = "robots_txt") -> DataFrame:
-    """Parse robots.txt bodies into the ``*``-group rule table
-    (host, is_allow, path). Group tracking is the RFC's line-state
+def _robots_star_lines(robots: DataFrame, host_col: str,
+                       txt_col: str) -> DataFrame:
+    """Shared group machinery: every (host, k, v) line belonging to a
+    ``User-agent: *`` group. Group tracking is the RFC's line-state
     machine made relational: a ``User-agent`` line RUN starts a group
-    (lag window per host), rules attach to the nearest preceding group,
-    and only groups naming ``*`` survive."""
+    (lag window per host), directives attach to the nearest preceding
+    group, and only groups naming ``*`` survive."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("idx", "line"),
@@ -68,20 +69,53 @@ def robots_star_rules(robots: DataFrame, host_col: str = "host",
         .select("host", "grp")
         .distinct()
     )
+    return grouped.join(star, ["host", "grp"])
+
+
+def robots_star_rules(robots: DataFrame, host_col: str = "host",
+                      txt_col: str = "robots_txt") -> DataFrame:
+    """Parse robots.txt bodies into the ``*``-group rule table
+    (host, is_allow, path); see ``_robots_star_lines`` for the group
+    state machine."""
     return (
-        grouped.filter(
+        _robots_star_lines(robots, host_col, txt_col)
+        .filter(
             F.col("k").isin("allow", "disallow")
             & (F.col("v") != "")
             & ~F.col("v").contains("*")
             & ~F.col("v").contains("$")
         )
-        .join(star, ["host", "grp"])
         .select(
             "host",
             (F.col("k") == "allow").alias("is_allow"),
             F.col("v").alias("path"),
         )
         .distinct()
+    )
+
+
+def robots_crawl_delay(robots: DataFrame, host_col: str = "host",
+                       txt_col: str = "robots_txt") -> DataFrame:
+    """Per-host ``Crawl-delay`` from the ``*`` group(s):
+    (host, crawl_delay_s). The de-facto politeness directive (not in
+    RFC 9309 but honored by Bing/Yandex and emitted by a large share
+    of real robots.txt files) — the number a crawl frontier needs to
+    turn a per-host URL list into a fetch schedule.
+
+    Scope (documented): integer-second values only (``^\\d+$`` —
+    fractional or junk values are ignored, matching the conservative
+    readers); multiple ``*``-group declarations take the MAX (the
+    politest interpretation). Hosts without a valid directive emit no
+    row — the caller chooses its default.
+
+    Scale shape: same per-host line windows as ``robots_star_rules``
+    (robots files are KB-sized → thousands of tiny window partitions),
+    then one map-side-combined max per host."""
+    return (
+        _robots_star_lines(robots, host_col, txt_col)
+        .filter((F.col("k") == "crawl-delay") & F.col("v").rlike(r"^\d+$"))
+        .groupBy("host")
+        .agg(F.max(F.col("v").cast("long")).alias("crawl_delay_s"))
     )
 
 

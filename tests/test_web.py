@@ -326,3 +326,22 @@ def test_anchor_retrieval_pairs(spark):
         ("spark", "t.ex"): (2, 2),
         ("docs", "t.ex"): (2, 2),
     }
+
+
+def test_robots_crawl_delay(spark):
+    """Crawl-delay from * groups only; max of multiple declarations;
+    non-numeric ignored; hosts without a valid directive emit no row."""
+    from intelligent_ocr_spark.operators.web import robots_crawl_delay
+
+    rows = [
+        ("a.ex", "User-agent: *\nCrawl-delay: 2\nDisallow: /x"),
+        # two * groups -> max; evilbot's delay ignored
+        ("b.ex", "User-agent: evilbot\nCrawl-delay: 99\n\n"
+                 "User-agent: *\nCrawl-delay: 3\n\n"
+                 "User-agent: *\nCrawl-delay: 7"),
+        ("c.ex", "User-agent: *\nCrawl-delay: fast"),   # junk -> no row
+        ("d.ex", "User-agent: *\nDisallow: /"),          # none -> no row
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {r.host: r.crawl_delay_s for r in robots_crawl_delay(df).collect()}
+    assert got == {"a.ex": 2, "b.ex": 7}
