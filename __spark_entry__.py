@@ -6845,6 +6845,49 @@ def q_web_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "index_proximity_match",
+    """
+    WITH tl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         s -> s <> '') AS l
+      FROM documents WHERE doc_id < 2000
+    ),
+    t AS (
+      SELECT doc_id, unnest(l) AS term,
+             unnest(range(1, len(l) + 1)) - 1 AS pos
+      FROM tl
+    ),
+    a AS (SELECT doc_id, pos AS pa FROM t WHERE term = 'table'),
+    b AS (SELECT doc_id, pos AS pb FROM t WHERE term = 'scan'),
+    j AS (
+      SELECT a.doc_id, abs(pa - pb) AS d
+      FROM a JOIN b USING (doc_id) WHERE abs(pa - pb) <= 3
+    )
+    SELECT doc_id, COUNT(*) AS n_pairs, MIN(d) AS min_dist
+    FROM j GROUP BY 1 ORDER BY doc_id
+    """,
+)
+def q_index_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval: documents where "table" and "scan"
+    co-occur within 3 tokens, via the BANDED range join (width-d
+    position buckets, one side replicated to adjacent buckets, exactly
+    one replica per true pair) — bounded candidate sets where the
+    naive doc_id join cross-multiplies stopword posting lists. The
+    DuckDB twin IS that naive form, pinning band-join equivalence
+    (operators/index.py::proximity_match)."""
+    from intelligent_ocr_spark.operators.index import (
+        positional_postings,
+        proximity_match,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return proximity_match(
+        positional_postings(d), "table", "scan", max_dist=3
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 from ..functions.freq import topk_per_key
 from ..functions.textstats import tokens
 
-__all__ = ["inverted_index", "bm25_topk", "positional_postings", "phrase_match"]
+__all__ = [
+    "inverted_index",
+    "bm25_topk",
+    "positional_postings",
+    "phrase_match",
+    "proximity_match",
+]
 
 
 def inverted_index(
@@ -223,5 +229,64 @@ def phrase_match(
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.min("_p").alias("first_pos"),
+        )
+    )
+
+
+def proximity_match(
+    postings: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Documents where ``term_a`` and ``term_b`` co-occur within
+    ``max_dist`` token positions, from a ``positional_postings`` table
+    → (doc_id, n_pairs, min_dist) — the proximity operator ranked
+    retrieval and collocation mining need between exact-phrase and
+    bag-of-words.
+
+    Scale shape — a BANDED range join, not a per-doc cross join: the
+    naive form joins the two posting sets on doc_id alone and filters
+    ``|pa-pb| ≤ d`` afterwards, which cross-multiplies the two in-doc
+    posting lists (quadratic in occurrences for stopword pairs).
+    Instead positions band into width-``d`` buckets; side B is
+    replicated to its own and both adjacent buckets, and the equi-join
+    key is (doc_id, bucket), so each candidate set is bounded by
+    bucket density (≤ d positions per side), never whole-document
+    occurrence counts. A matching pair lands in EXACTLY one replica's
+    bucket (the three replica buckets are distinct, only one can equal
+    A's bucket), so no dedup pass is needed — pytest pins that against
+    a brute-force replay. The distance filter keeps only true pairs.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    if term_a == term_b:
+        raise ValueError(
+            "proximity of a term with itself is phrase_match territory"
+        )
+    w = max_dist
+    a = postings.filter(F.col("term") == term_a).select(
+        F.col("doc_id").alias("_d"),
+        F.col("pos").alias("_pa"),
+        F.expr(f"pos div {w}").alias("_b"),
+    )
+    b = postings.filter(F.col("term") == term_b).select(
+        F.col("doc_id").alias("_d"),
+        F.col("pos").alias("_pb"),
+        F.explode(
+            F.array(
+                F.expr(f"pos div {w} - 1"),
+                F.expr(f"pos div {w}"),
+                F.expr(f"pos div {w} + 1"),
+            )
+        ).alias("_b"),
+    )
+    return (
+        a.join(b, ["_d", "_b"])
+        .filter(F.abs(F.col("_pa") - F.col("_pb")) <= max_dist)
+        .groupBy(F.col("_d").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.abs(F.col("_pa") - F.col("_pb"))).alias("min_dist"),
         )
     )

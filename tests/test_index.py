@@ -198,3 +198,59 @@ def test_phrase_match_three_terms_and_single_term(spark):
     assert single == {1: (1, 1), 2: (2, 0)}
     with pytest.raises(ValueError):
         phrase_match(p, [])
+
+
+def test_proximity_match_banded_equals_bruteforce(spark):
+    """The banded range join returns exactly the brute-force pair set
+    (each qualifying pair lands in exactly one replica bucket)."""
+    import itertools
+    import random
+
+    from intelligent_ocr_spark.operators.index import (
+        positional_postings,
+        proximity_match,
+    )
+
+    rng = random.Random(7)
+    docs = []
+    for d in range(30):
+        words = [rng.choice(["x", "y", "z", "pad"]) for _ in range(40)]
+        docs.append((d, " ".join(words)))
+    p = positional_postings(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    for dist in (1, 3, 8):
+        got = {
+            r.doc_id: (r.n_pairs, r.min_dist)
+            for r in proximity_match(p, "x", "y", max_dist=dist).collect()
+        }
+        want = {}
+        for d, text in docs:
+            toks = text.split()
+            xa = [i for i, t in enumerate(toks) if t == "x"]
+            yb = [i for i, t in enumerate(toks) if t == "y"]
+            pairs = [
+                abs(i - j)
+                for i, j in itertools.product(xa, yb)
+                if abs(i - j) <= dist
+            ]
+            if pairs:
+                want[d] = (len(pairs), min(pairs))
+        assert got == want, dist
+
+
+def test_proximity_match_validation(spark):
+    import pytest
+
+    from intelligent_ocr_spark.operators.index import (
+        positional_postings,
+        proximity_match,
+    )
+
+    p = positional_postings(
+        spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    )
+    with pytest.raises(ValueError):
+        proximity_match(p, "a", "a")
+    with pytest.raises(ValueError):
+        proximity_match(p, "a", "b", max_dist=0)

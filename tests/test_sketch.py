@@ -185,3 +185,41 @@ def test_countmin_unseen_key_estimates_zero_when_cells_clear(spark):
     }
     # with 2 keys in 4x4096 cells a collision on ALL 4 rows is ~impossible
     assert est["zzz-never-seen"] == 0
+
+
+def test_bloom_and_countmin_plan_shapes(spark):
+    """Build = ONE hash exchange (word/cell agg, map-side combined) +
+    broadcast word fill; probe = broadcast join + one probe-key agg —
+    the probe side never hash-shuffles on the (possibly skewed) key
+    until the final bounded-key aggregation."""
+    from intelligent_ocr_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+        countmin_build,
+        countmin_estimate,
+    )
+
+    keys = _keys_df(spark, [f"u{i}" for i in range(200)])
+    bloom = bloom_build(keys, "k")
+    plan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+    probe_plan = (
+        bloom_maybe_contains(bloom, keys, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in probe_plan, probe_plan
+
+    cms = countmin_build(keys, "k")
+    cms_plan = cms._jdf.queryExecution().executedPlan().toString()
+    assert cms_plan.count("Exchange hashpartitioning") == 1, cms_plan
+    est_plan = (
+        countmin_estimate(cms, keys, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in est_plan, est_plan
