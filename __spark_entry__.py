@@ -6888,6 +6888,74 @@ def q_index_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_q(
+    "web_url_templates",
+    r"""
+    WITH urls AS (
+      SELECT 'https://h' || (doc_id % 17) || '.example.org' ||
+        CASE WHEN doc_id % 3 = 0
+               THEN '/cache/' || substr(md5('tpl' || doc_id), 1, 12) || '/x'
+             WHEN doc_id % 5 = 0 THEN '/admin/login/' || doc_id
+             ELSE '/article/' || doc_id END AS url
+      FROM documents
+    ),
+    t AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+               AS host,
+             -- DuckDB regexp_replace is first-match-only without the
+             -- 'g' flag (Spark's is always global)
+             regexp_replace(regexp_replace(
+               COALESCE(NULLIF(regexp_extract(url,
+                 '^[a-z][a-z0-9+.-]*://[^/]+(/[^#?]*)', 1), ''), '/'),
+               '[0-9a-f]{8,}', '{H}', 'g'), '[0-9]+', '{N}', 'g')
+               AS template,
+             url
+      FROM urls
+    )
+    SELECT host, template, COUNT(*) AS n_urls, MIN(url) AS example_url
+    FROM t GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY host, template
+    """,
+)
+def q_web_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template census (crawler-trap / mirror / frontier-budget
+    signal): hex runs ≥8 → {H}, digit runs → {N}, then one map-side-
+    combined count per (host, template) with the MIN url as the
+    deterministic example row. Three URL families (article ids, admin
+    paths, hash-addressed cache paths) exercise both rewrite classes
+    (operators/web.py::url_path_templates)."""
+    from intelligent_ocr_spark.operators.web import url_path_templates
+
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 17).cast("string"),
+        F.lit(".example.org"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("/cache/"),
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat(F.lit("tpl"), F.col("doc_id").cast("string")),
+                            "UTF-8",
+                        )
+                    ),
+                    1, 12,
+                ),
+                F.lit("/x"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("/admin/login/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("/article/"), F.col("doc_id").cast("string"))
+        ),
+    )
+    d = _t(spark, sf_dir, "documents").select(url.alias("url"))
+    return url_path_templates(d, min_urls=2).orderBy("host", "template")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

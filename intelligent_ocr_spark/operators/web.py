@@ -38,6 +38,7 @@ __all__ = [
     "anchor_retrieval_pairs",
     "host_anchor_profile",
     "parse_sitemaps",
+    "url_path_templates",
 ]
 
 
@@ -458,3 +459,52 @@ def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
         )
 
     return _entries("url", "url").unionAll(_entries("sitemap", "sitemap"))
+
+
+def url_path_templates(pages: DataFrame, url_col: str = "url",
+                       min_urls: int = 2) -> DataFrame:
+    """Collapse URLs into per-host PATH TEMPLATES: runs of ≥8 hex
+    chars become ``{H}`` (content hashes, session ids), digit runs
+    become ``{N}`` (ids, page numbers, dates) →
+    (host, template, n_urls, example_url). The crawl-ops census
+    behind trap detection (a template with millions of instances —
+    calendars, faceted search — is a crawler trap to cap), URL-space
+    dedup (mirror families share templates), and frontier budgeting
+    at template granularity rather than raw-URL granularity.
+
+    ``example_url`` is the MIN url of the template — deterministic, so
+    the row is oracle-exact. Templates below ``min_urls`` are noise
+    (every URL is trivially its own template) and are dropped.
+
+    Scale shape: pure projection (two RE2-safe regexp_replace passes,
+    JVM codegen) then ONE map-side-combined aggregation on (host,
+    template) — the Zipf-head template is a skewed AGG key, collapsed
+    map-side. No windows, no joins."""
+    host = F.regexp_extract(
+        F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1
+    )
+    path = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]+(/[^#?]*)", 1
+            ),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+    template = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{H}"), r"[0-9]+", "{N}"
+    )
+    return (
+        pages.select(
+            host.alias("host"),
+            template.alias("template"),
+            F.col(url_col).alias("url"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("url").alias("example_url"),
+        )
+        .filter(F.col("n_urls") >= min_urls)
+    )

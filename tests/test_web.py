@@ -345,3 +345,31 @@ def test_robots_crawl_delay(spark):
     df = spark.createDataFrame(rows, "host string, robots_txt string")
     got = {r.host: r.crawl_delay_s for r in robots_crawl_delay(df).collect()}
     assert got == {"a.ex": 2, "b.ex": 7}
+
+
+def test_url_path_templates(spark):
+    """Digit runs -> {N}, long-hex runs -> {H}; per-(host, template)
+    counts with the MIN url as the deterministic example; singleton
+    templates dropped at min_urls=2."""
+    from intelligent_ocr_spark.operators.web import url_path_templates
+
+    rows = [
+        ("https://a.ex/article/101",),
+        ("https://a.ex/article/7",),
+        ("https://a.ex/cache/deadbeefcafe1234/img",),
+        ("https://a.ex/cache/0123456789abcdef/img",),
+        ("https://a.ex/about",),                       # singleton -> dropped
+        ("https://b.ex/article/101",),                 # other host
+        ("https://b.ex/article/2024/12/31",),
+        ("https://b.ex/article/1999/01/02",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {
+        (r.host, r.template): (r.n_urls, r.example_url)
+        for r in url_path_templates(df).collect()
+    }
+    assert got == {
+        ("a.ex", "/article/{N}"): (2, "https://a.ex/article/101"),
+        ("a.ex", "/cache/{H}/img"): (2, "https://a.ex/cache/0123456789abcdef/img"),
+        ("b.ex", "/article/{N}/{N}/{N}"): (2, "https://b.ex/article/1999/01/02"),
+    }
