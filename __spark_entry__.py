@@ -7018,55 +7018,54 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 87 names (all
+    # which as of the round-5 final commit is these 96 names (all
     # green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: forty-five of them were REGISTERED in round 5 after the cap
+    # NOTE: fifty-four of them were REGISTERED in round 5 after the cap
     # was already exactly full (changed ∪ skipped-last = 50); per the
     # same slot-yield rationale as the WARC rows-only entries above
     # they sit in the tail this round — all oracled and pytest-pinned
     # (known-answer vectors, plan pins, Hypothesis properties), and all
     # parity-verified this round.
-    # COVERAGE MATH FOR ROUND 6: with 137 registered queries and a
+    # COVERAGE MATH FOR ROUND 6: with 146 registered queries and a
     # 50-row driver cap, "every query gets a driver row within one
-    # round" is arithmetically impossible (2 × 50 < 137). Priority
+    # round" is arithmetically impossible (2 × 50 < 146). Priority
     # order for round 6's first 50: (1) anything changed in round 6,
     # (2) the late-r5 registrations in the tail below that have NEVER
     # had a driver correctness row, (3) rotate the remainder. Queries
     # left past the cap MUST be covered by an in-repo full
     # tools_parity.py sweep each round.
     #   ['mm_exif_tags', 'web_pagerank', 'web_extract_links',
-    #   'pipeline_link_authority', 'sketch_hll_registers',
-    #   'index_inverted', 'pipeline_crawl_frontier',
-    #   'web_extract_links_resolved', 'web_anchor_texts',
-    #   'web_anchor_profile', 'web_sitemap_entries', 'graph_cocitation',
-    #   'graph_trustrank', 'pipeline_weighted_sample',
+    #   'pipeline_link_authority', 'sketch_hll_registers', 'index_inverted',
+    #   'pipeline_crawl_frontier', 'web_extract_links_resolved',
+    #   'web_anchor_texts', 'web_anchor_profile', 'web_sitemap_entries',
+    #   'graph_cocitation', 'graph_trustrank', 'pipeline_weighted_sample',
     #   'prep_leakage_split', 'pipeline_host_profile',
-    #   'graph_pagerank_scaled', 'index_inverted_full',
-    #   'graph_degree_stats', 'graph_spam_mass', 'web_sitemap_recursive',
-    #   'index_bm25_topk', 'graph_label_propagation', 'graph_components',
+    #   'graph_pagerank_scaled', 'index_inverted_full', 'graph_degree_stats',
+    #   'graph_spam_mass', 'web_sitemap_recursive', 'index_bm25_topk',
+    #   'graph_label_propagation', 'graph_components',
     #   'pipeline_media_census', 'mm_audio_resample', 'mm_media_type',
     #   'mm_av_stats', 'pipeline_multimodal_dedup', 'sim_ivf_topk',
-    #   'x3_dual_insert_variants', 'prep_dsir_weights',
+    #   'x3_dual_insert_variants', 'prep_dsir_weights', 'graph_hits',
+    #   'web_links_base_resolved', 'web_anchor_pairs', 'sketch_bloom',
+    #   'sketch_countmin', 'index_phrase_match', 'web_crawl_budget',
+    #   'index_proximity_match', 'web_url_templates',
     #   'extract_synthetic_pages', 'extract_dual_insert',
-    #   'extract_pixmap_pages', 'source_warc_extract',
-    #   'warc_revisit_dedup', 'q1_pricing_summary',
-    #   'f1_existing_text_probe', 'f4_confidence_filter',
-    #   'x11_hash_bucketing', 'j2_resume_antijoin',
+    #   'extract_pixmap_pages', 'source_warc_extract', 'warc_revisit_dedup',
+    #   'q1_pricing_summary', 'f1_existing_text_probe',
+    #   'f4_confidence_filter', 'x11_hash_bucketing', 'j2_resume_antijoin',
     #   'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
     #   'k3_txt_export', 'u3_union_passthrough', 'u1_intersect_nations',
-    #   'a1_lineage_counters', 'q6_forecast_revenue',
-    #   'q12_priority_returns', 'q18_large_volume', 'q4_priority_exists',
-    #   'q13_customer_distribution', 'q16_distinct_suppliers',
-    #   'q19_disjunctive_predicates', 'q17_small_quantity_revenue',
-    #   'q21_sole_returning_supplier', 'q22_above_avg_balance',
-    #   'q3_shipping_priority', 'q5_local_supplier_volume',
-    #   'url_canonicalize', 'dedup_simhash',
+    #   'a1_lineage_counters', 'q6_forecast_revenue', 'q12_priority_returns',
+    #   'q18_large_volume', 'q4_priority_exists', 'q13_customer_distribution',
+    #   'q16_distinct_suppliers', 'q19_disjunctive_predicates',
+    #   'q17_small_quantity_revenue', 'q21_sole_returning_supplier',
+    #   'q22_above_avg_balance', 'q3_shipping_priority',
+    #   'q5_local_supplier_volume', 'url_canonicalize', 'dedup_simhash',
     #   'text_benchmark_contamination', 'sample_stratified_counts',
-    #   'prep_chunk_documents', 'dedup_incremental',
-    #   'dedup_incremental_near', 'prep_pii_signals',
-    #   'text_source_overlap', 'text_source_drift',
+    #   'prep_chunk_documents', 'dedup_incremental', 'dedup_incremental_near',
+    #   'prep_pii_signals', 'text_source_overlap', 'text_source_drift',
     #   'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
     #   'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
     #   'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
