@@ -6956,6 +6956,62 @@ def q_web_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_path_templates(d, min_urls=2).orderBy("host", "template")
 
 
+@_q(
+    "index_collocations",
+    """
+    WITH tl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         s -> s <> '') AS l
+      FROM documents WHERE doc_id < 1500
+    ),
+    t AS (
+      SELECT doc_id, unnest(l) AS term,
+             unnest(range(1, len(l) + 1)) - 1 AS pos
+      FROM tl
+    ),
+    a AS (SELECT doc_id, pos, term AS ta FROM t),
+    b AS (
+      SELECT doc_id, pos - (d.range + 1) AS pos, term AS tb
+      FROM t CROSS JOIN range(2) d
+    ),
+    j AS (
+      SELECT least(ta, tb) AS term_a, greatest(ta, tb) AS term_b
+      FROM a JOIN b USING (doc_id, pos)
+    ),
+    p AS (
+      SELECT term_a, term_b, COUNT(*) AS n_pair
+      FROM j GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    n AS (SELECT SUM(n_pair) AS n_pairs FROM p),
+    c AS (SELECT term, COUNT(*) AS c FROM t GROUP BY 1),
+    k AS (SELECT COUNT(*) AS n_tok FROM t)
+    SELECT p.term_a, p.term_b, p.n_pair,
+           CAST(floor(1e6 * ln(CAST(p.n_pair AS DOUBLE) * n_tok * n_tok
+                / (CAST(n_pairs AS DOUBLE) * ca.c * cb.c))) AS BIGINT)
+             AS pmi_micro
+    FROM p CROSS JOIN n CROSS JOIN k
+    JOIN c ca ON ca.term = p.term_a
+    JOIN c cb ON cb.term = p.term_b
+    ORDER BY term_a, term_b
+    """,
+)
+def q_index_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining within a 2-token window: pair counts via
+    the LINEAR shifted-postings equi-join (fan-out = max_dist per
+    token, never a per-doc cross product), marginals and totals via
+    map-side-combined aggregations, PMI in floor-micro-units over the
+    identical expression tree in both engines (the tfidf/bm25 ln
+    idiom). min_pair=5 drops noise pairs
+    (operators/index.py::collocations)."""
+    from intelligent_ocr_spark.operators.index import collocations
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    return collocations(d, max_dist=2, min_pair=5).orderBy(
+        "term_a", "term_b"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

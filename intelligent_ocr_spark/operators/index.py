@@ -36,6 +36,7 @@ __all__ = [
     "positional_postings",
     "phrase_match",
     "proximity_match",
+    "collocations",
 ]
 
 
@@ -288,5 +289,88 @@ def proximity_match(
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.min(F.abs(F.col("_pa") - F.col("_pb"))).alias("min_dist"),
+        )
+    )
+
+
+def collocations(
+    docs: DataFrame,
+    max_dist: int = 2,
+    min_pair: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: unordered
+    term pairs co-occurring within ``max_dist`` token positions →
+    (term_a, term_b, n_pair, pmi_micro). The phrase-discovery /
+    multi-word-expression signal corpus linguists and tokenizer
+    builders compute ("new york", "machine learning" score high; "of
+    the" scores low despite huge counts).
+
+    PMI definition (documented): P(a,b) = n_pair/N_pairs over the
+    window-pair observations, P(t) = c(t)/N_tokens over unigrams;
+    ``pmi_micro = floor(1e6·ln(n_pair·N_tok²/(N_pairs·c_a·c_b)))`` —
+    the ln-on-double + floor micro-unit idiom established by
+    ``tfidf_top_terms``/``bm25_topk`` (both engines evaluate the
+    IDENTICAL expression tree over exact integers, so the floor is
+    bit-stable). Pairs below ``min_pair`` are noise and dropped.
+
+    Scale shape — LINEAR, never quadratic: side B is the postings
+    shifted by δ = 1..max_dist (one explode, fan-out = max_dist per
+    token), and pairs come from ONE (doc_id, pos) equi-join — the
+    ``phrase_match`` key shape, so even stopword positions spread over
+    the hash space. Pair counting and the two marginals are map-side-
+    combined groupBys (Zipf pairs are agg keys); the scalar totals
+    broadcast. No per-doc posting-list cross product anywhere."""
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    t = positional_postings(docs, id_col=id_col, text_col=text_col)
+    a = t.select(
+        F.col("doc_id").alias("_d"), F.col("pos").alias("_p"),
+        F.col("term").alias("_ta"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("_d"),
+        F.explode(
+            F.expr(f"transform(sequence(1, {max_dist}), d -> pos - d)")
+        ).alias("_p"),
+        F.col("term").alias("_tb"),
+    )
+    pairs = (
+        a.join(b, ["_d", "_p"])
+        .select(
+            F.least("_ta", "_tb").alias("term_a"),
+            F.greatest("_ta", "_tb").alias("term_b"),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    totals = pairs.agg(F.sum("n_pair").alias("n_pairs"))
+    # NOTE: N_pairs sums the KEPT pairs (post-min_pair), matching the
+    # oracle — a constant offset on every pmi, irrelevant to ranking
+    marg = t.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = t.agg(F.count(F.lit(1)).alias("n_tok"))
+    return (
+        pairs.join(
+            F.broadcast(marg.withColumnRenamed("term", "term_a")
+                        .withColumnRenamed("c", "c_a")),
+            "term_a",
+        )
+        .join(
+            F.broadcast(marg.withColumnRenamed("term", "term_b")
+                        .withColumnRenamed("c", "c_b")),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "term_a",
+            "term_b",
+            "n_pair",
+            F.expr(
+                "cast(floor(1e6 * ln(cast(n_pair as double) * n_tok * n_tok"
+                " / (cast(n_pairs as double) * c_a * c_b))) as bigint)"
+            ).alias("pmi_micro"),
         )
     )

@@ -254,3 +254,76 @@ def test_proximity_match_validation(spark):
         proximity_match(p, "a", "a")
     with pytest.raises(ValueError):
         proximity_match(p, "a", "b", max_dist=0)
+
+
+def test_collocations_counts_and_pmi(spark):
+    """Pair counts match a brute-force window replay; PMI micro-units
+    match the python replay of the identical expression within 1 ulp's
+    worth of floor slack; high-PMI pair ranks above the stopword pair."""
+    import math
+    from collections import Counter
+
+    from intelligent_ocr_spark.operators.index import collocations
+
+    docs = [
+        (d, "machine learning " * 3 + "of the " * 6 + "machine of the x")
+        for d in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.term_a, r.term_b): (r.n_pair, r.pmi_micro)
+        for r in collocations(df, max_dist=2, min_pair=5).collect()
+    }
+    # brute force
+    pair_c = Counter()
+    tok_c = Counter()
+    for _, text in docs:
+        toks = text.split()
+        tok_c.update(toks)
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + 3, len(toks))):
+                pair_c[tuple(sorted((toks[i], toks[j])))] += 1
+    kept = {p: c for p, c in pair_c.items() if c >= 5}
+    n_pairs = sum(kept.values())
+    n_tok = sum(tok_c.values())
+    assert set(got) == set(kept)
+    for (a, b), c in kept.items():
+        n, pmi = got[(a, b)]
+        assert n == c, (a, b)
+        want = math.floor(
+            1e6 * math.log(float(c) * n_tok * n_tok
+                           / (float(n_pairs) * tok_c[a] * tok_c[b]))
+        )
+        assert abs(pmi - want) <= 1, (a, b, pmi, want)
+    # the deliberate collocation outranks the stopword pair
+    assert got[("learning", "machine")][1] > got[("of", "the")][1]
+
+
+def test_proximity_match_hot_document_stress(spark):
+    """Pathological density: ONE document of 20k alternating x/y
+    tokens. The naive doc_id join would cross-multiply the two 10k
+    posting lists (10^8 candidate pairs); the banded join's candidate
+    set is bucket-bounded (~12 per width-4 bucket, ~60k total), so
+    this finishes in seconds. The count is checked against a linear
+    analytic replay, not a materialized cross product."""
+    from intelligent_ocr_spark.operators.index import (
+        positional_postings,
+        proximity_match,
+    )
+
+    n = 20000
+    text = " ".join("x" if i % 2 == 0 else "y" for i in range(n))
+    p = positional_postings(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    )
+    rows = proximity_match(p, "x", "y", max_dist=4).collect()
+    # linear replay: x at even i pairs with y at i-3,i-1,i+1,i+3 in range
+    want_pairs = sum(
+        1
+        for i in range(0, n, 2)
+        for j in (i - 3, i - 1, i + 1, i + 3)
+        if 0 <= j < n
+    )
+    assert len(rows) == 1
+    assert rows[0].n_pairs == want_pairs
+    assert rows[0].min_dist == 1
