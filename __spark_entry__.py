@@ -7074,19 +7074,19 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 96 names (all
+    # which as of the round-5 final commit is these 97 names (all
     # green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: fifty-four of them were REGISTERED in round 5 after the cap
+    # NOTE: fifty-five of them were REGISTERED in round 5 after the cap
     # was already exactly full (changed ∪ skipped-last = 50); per the
     # same slot-yield rationale as the WARC rows-only entries above
     # they sit in the tail this round — all oracled and pytest-pinned
     # (known-answer vectors, plan pins, Hypothesis properties), and all
     # parity-verified this round.
-    # COVERAGE MATH FOR ROUND 6: with 146 registered queries and a
+    # COVERAGE MATH FOR ROUND 6: with 147 registered queries and a
     # 50-row driver cap, "every query gets a driver row within one
-    # round" is arithmetically impossible (2 × 50 < 146). Priority
+    # round" is arithmetically impossible (2 × 50 < 147). Priority
     # order for round 6's first 50: (1) anything changed in round 6,
     # (2) the late-r5 registrations in the tail below that have NEVER
     # had a driver correctness row, (3) rotate the remainder. Queries
@@ -7106,7 +7106,7 @@ _SKIPPED_LAST_ROUND = [
     #   'x3_dual_insert_variants', 'prep_dsir_weights', 'graph_hits',
     #   'web_links_base_resolved', 'web_anchor_pairs', 'sketch_bloom',
     #   'sketch_countmin', 'index_phrase_match', 'web_crawl_budget',
-    #   'index_proximity_match', 'web_url_templates',
+    #   'index_proximity_match', 'web_url_templates', 'index_collocations',
     #   'extract_synthetic_pages', 'extract_dual_insert',
     #   'extract_pixmap_pages', 'source_warc_extract', 'warc_revisit_dedup',
     #   'q1_pricing_summary', 'f1_existing_text_probe',
@@ -7127,7 +7127,6 @@ _SKIPPED_LAST_ROUND = [
     #   'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
     #   'mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
     #   'mm_audio_segments', 'mm_video_frames', 'mm_image_near_dups',
-    #   'mm_video_near_dups', 'mm_media_metadata']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",
