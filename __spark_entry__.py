@@ -7012,6 +7012,76 @@ def q_index_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "web_redirect_chains",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'u' || doc_id AS src,
+             CASE WHEN doc_id % 8 BETWEEN 1 AND 5 THEN 'u' || (doc_id - 1)
+                  WHEN doc_id % 8 = 6 AND (doc_id // 8) % 3 = 0
+                    THEN 'u' || (doc_id + 1)
+                  WHEN doc_id % 8 = 7 AND (doc_id // 8) % 3 = 0
+                    THEN 'u' || (doc_id - 1)
+                  WHEN doc_id % 8 = 0 AND (doc_id // 8) % 3 = 0
+                    THEN 'u' || (doc_id + 6)
+             END AS dst
+      FROM documents
+    ),
+    m AS (
+      SELECT src, MIN(dst) AS dst FROM e
+      WHERE dst IS NOT NULL AND src <> dst GROUP BY 1
+    ),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, CAST(1 AS BIGINT) FROM m
+      UNION ALL
+      SELECT w.src, m.dst, w.hops + 1 FROM walk w JOIN m ON m.src = w.cur
+      WHERE w.hops < 8
+    ),
+    term AS (
+      SELECT w.src, w.cur, w.hops FROM walk w
+      WHERE NOT EXISTS (SELECT 1 FROM m mm WHERE mm.src = w.cur)
+    )
+    SELECT m.src AS url, t.cur AS final_url, t.hops AS n_hops,
+           t.cur IS NOT NULL AS resolved
+    FROM m LEFT JOIN term t ON t.src = m.src
+    ORDER BY url
+    """,
+)
+def q_web_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING: the one-hop
+    redirect map composes with itself each round (one url-keyed
+    equi-join), so 3 rounds resolve 8-hop chains where a sequential
+    walk needs 8 joins — the DuckDB twin IS that sequential walk (a
+    recursive CTE), pinning doubling≡walk including exact hop counts.
+    The synthetic map has chains of length 1-5 ending at a terminal,
+    plus (every third group) a 2-loop and a chain FEEDING the loop —
+    those resolve to NULL/false exactly like a real client's
+    redirect-loop error (operators/web.py::resolve_redirect_chains)."""
+    from intelligent_ocr_spark.operators.web import resolve_redirect_chains
+
+    d = _t(spark, sf_dir, "documents")
+    dst = (
+        F.when(F.expr("doc_id % 8 BETWEEN 1 AND 5"), F.col("doc_id") - 1)
+        .when(
+            F.expr("doc_id % 8 = 6 AND (doc_id div 8) % 3 = 0"),
+            F.col("doc_id") + 1,
+        )
+        .when(
+            F.expr("doc_id % 8 = 7 AND (doc_id div 8) % 3 = 0"),
+            F.col("doc_id") - 1,
+        )
+        .when(
+            F.expr("doc_id % 8 = 0 AND (doc_id div 8) % 3 = 0"),
+            F.col("doc_id") + 6,
+        )
+    )
+    e = d.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("u"), dst.cast("string")).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return resolve_redirect_chains(e, rounds=3).orderBy("url")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

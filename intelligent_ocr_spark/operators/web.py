@@ -39,6 +39,7 @@ __all__ = [
     "host_anchor_profile",
     "parse_sitemaps",
     "url_path_templates",
+    "resolve_redirect_chains",
 ]
 
 
@@ -459,6 +460,79 @@ def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
         )
 
     return _entries("url", "url").unionAll(_entries("sitemap", "sitemap"))
+
+
+def resolve_redirect_chains(
+    redirects: DataFrame,
+    rounds: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve HTTP redirect chains to their final landing URL:
+    (src, dst) one-hop redirect observations → one row per redirecting
+    URL (url, final_url, n_hops, resolved). The canonical-URL pass a
+    crawl corpus needs before any URL-keyed dedup or frontier
+    scheduling: a 301/302/meta-refresh chain means the crawler stored
+    the SAME page under several URLs, and authority/dedup signals must
+    key on the chain's end, not its hops.
+
+    Semantics (documented): the map is made a FUNCTION first — multiple
+    observed targets for one source (re-crawls that disagree) collapse
+    to ``min(dst)``, self-redirects are dropped. A URL resolves when
+    its chain reaches a non-redirecting URL within ``2**rounds`` hops;
+    ``n_hops`` is the exact chain length. Chains still inside the map
+    after that many hops are redirect LOOPS (or over-long chains —
+    browsers cap at ~20 hops and treat both the same): ``resolved`` is
+    false and ``final_url``/``n_hops`` are NULL, mirroring the fetch
+    error a real client reports.
+
+    Scale shape — POINTER DOUBLING, not a sequential walk: the state
+    table ``P(u) = (nxt, hops)`` starts as the one-hop map and each
+    round composes with ITSELF (``P∘P``, one url-keyed equi-join +
+    coalesce), so covered depth doubles per round: ``rounds`` = 5
+    resolves 32-hop chains in 5 joins where the naive walk needs 32.
+    Each round is one equi-join between node-keyed tables (AQE skew
+    handling covers a Zipf-head redirect target, e.g. every page of a
+    dead site 301-ing to one parking page), ``localCheckpoint`` keeps
+    the plan flat (the ``graph.pagerank`` loop discipline), and the
+    terminal test is one final left join against the state table's own
+    key set — no collect, no window anywhere."""
+    m = (
+        redirects.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+    )
+    p = m.select(
+        F.col("src").alias("url"),
+        F.col("dst").alias("nxt"),
+        F.lit(1).cast("long").alias("hops"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        step = p.select(
+            F.col("url").alias("_u"),
+            F.col("nxt").alias("_n"),
+            F.col("hops").alias("_h"),
+        )
+        p = (
+            p.join(step, p["nxt"] == step["_u"], "left")
+            .select(
+                "url",
+                F.coalesce("_n", "nxt").alias("nxt"),
+                (F.col("hops") + F.coalesce("_h", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    redirecting = p.select(F.col("url").alias("nxt"), F.lit(True).alias("_loops"))
+    return (
+        p.join(redirecting, "nxt", "left")
+        .select(
+            "url",
+            F.when(F.col("_loops").isNull(), F.col("nxt")).alias("final_url"),
+            F.when(F.col("_loops").isNull(), F.col("hops")).alias("n_hops"),
+            F.col("_loops").isNull().alias("resolved"),
+        )
+    )
 
 
 def url_path_templates(pages: DataFrame, url_col: str = "url",

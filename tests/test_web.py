@@ -373,3 +373,63 @@ def test_url_path_templates(spark):
         ("a.ex", "/cache/{H}/img"): (2, "https://a.ex/cache/0123456789abcdef/img"),
         ("b.ex", "/article/{N}/{N}/{N}"): (2, "https://b.ex/article/1999/01/02"),
     }
+
+
+def _resolve(spark, edges, rounds=5):
+    from intelligent_ocr_spark.operators.web import resolve_redirect_chains
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r.url: (r.final_url, r.n_hops, r.resolved)
+        for r in resolve_redirect_chains(df, rounds=rounds).collect()
+    }
+
+
+def test_redirect_chains_known_answers(spark):
+    """Chains resolve with exact hop counts; loops and chains feeding a
+    loop stay unresolved; duplicate observations collapse to min(dst);
+    self-redirects drop."""
+    edges = [
+        ("a", "b"), ("b", "c"),            # a -2-> c, b -1-> c
+        ("d", "d"),                         # self-redirect: dropped
+        ("x", "y"), ("y", "x"),             # 2-loop
+        ("w", "x"),                         # feeds the loop: unresolved
+        ("m", "n"), ("m", "zzz"),           # disagreeing re-crawls -> min
+    ]
+    got = _resolve(spark, edges)
+    assert got == {
+        "a": ("c", 2, True),
+        "b": ("c", 1, True),
+        "m": ("n", 1, True),
+        "w": (None, None, False),
+        "x": (None, None, False),
+        "y": (None, None, False),
+    }
+
+
+def test_redirect_chains_doubling_depth(spark):
+    """A 9-hop chain resolves at rounds=4 (2^4 = 16 >= 9) but not at
+    rounds=3 (2^3 = 8 < 9) — the documented depth contract."""
+    chain = [(f"u{i}", f"u{i+1}") for i in range(9)]  # u0 -9-> u9
+    deep = _resolve(spark, chain, rounds=4)
+    assert deep["u0"] == ("u9", 9, True)
+    assert deep["u8"] == ("u9", 1, True)
+    shallow = _resolve(spark, chain, rounds=3)
+    assert shallow["u0"] == (None, None, False)   # too deep: loop-equivalent
+    assert shallow["u1"] == ("u9", 8, True)       # exactly at the cap
+
+
+def test_redirect_chains_differential_replay(spark):
+    """Pseudo-random functional map vs a pure-Python walk."""
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(30)]
+    m = {}
+    for s, d in edges:
+        if s != d:
+            m[s] = min(m.get(s, d), d)
+    want = {}
+    for s in m:
+        cur, hops = m[s], 1
+        while cur in m and hops <= 32:
+            cur, hops = m[cur], hops + 1
+        want[s] = (cur, hops, True) if cur not in m else (None, None, False)
+    assert _resolve(spark, edges, rounds=5) == want
