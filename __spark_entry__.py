@@ -7082,6 +7082,75 @@ def q_web_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirect_chains(e, rounds=3).orderBy("url")
 
 
+@_q(
+    "index_phrase_bm25",
+    """
+    WITH tl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         s -> s <> '') AS l
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, unnest(l) AS term FROM tl),
+    t AS (
+      SELECT doc_id, unnest(l) AS term,
+             unnest(range(1, len(l) + 1)) - 1 AS pos
+      FROM tl
+    ),
+    p0 AS (SELECT doc_id, pos FROM t WHERE term = 'table'),
+    p1 AS (SELECT doc_id, pos - 1 AS pos FROM t WHERE term = 'scan'),
+    m AS (
+      SELECT p0.doc_id, COUNT(*) AS n_occurrences
+      FROM p0 JOIN p1 USING (doc_id, pos) GROUP BY 1
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tt GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tt
+      WHERE term IN ('scan', 'table') GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(ln(1.0 + (s.n_docs - dfq.df + 0.5)
+                              / (dfq.df + 0.5)) * 1e6) AS BIGINT) AS idf_mu,
+             tf.tf, dl.dl, s.n_docs, s.sum_dl
+      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term)
+      CROSS JOIN stats s
+    ),
+    contrib AS (
+      SELECT doc_id,
+             (idf_mu * tf * 44 * sum_dl) //
+             (20 * sum_dl * tf + 6 * sum_dl + 18 * dl * n_docs) AS c
+      FROM scored
+    ),
+    sc AS (SELECT doc_id, SUM(c) AS score_mu FROM contrib GROUP BY 1),
+    ranked AS (
+      SELECT m.doc_id, m.n_occurrences, sc.score_mu
+      FROM m JOIN sc USING (doc_id)
+      ORDER BY score_mu DESC, doc_id LIMIT 10
+    )
+    SELECT doc_id, n_occurrences, score_mu,
+           row_number() OVER (ORDER BY score_mu DESC, doc_id) AS rank
+    FROM ranked ORDER BY rank
+    """,
+)
+def q_index_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid quoted-query retrieval: the positional-index phrase gate
+    ("table scan", consecutive) feeds the integer-exact BM25 ranker of
+    the phrase's terms — top-10 of the 30-odd matching documents. The
+    two-stage shape real search stacks run, composed from the two
+    already-audited plans: shifted (doc_id, pos) equi-joins for the
+    gate, two map-side-combined groupBys + broadcast scalars for the
+    ranker, a doc-keyed join between them, TakeOrderedAndProject for
+    the top-k (operators/index.py::phrase_bm25_topk)."""
+    from intelligent_ocr_spark.operators.index import phrase_bm25_topk
+
+    return phrase_bm25_topk(
+        _t(spark, sf_dir, "documents"), ["table", "scan"], k=10
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -35,6 +35,7 @@ __all__ = [
     "bm25_topk",
     "positional_postings",
     "phrase_match",
+    "phrase_bm25_topk",
     "proximity_match",
     "collocations",
 ]
@@ -119,6 +120,33 @@ def bm25_topk(
     broadcast |terms|-row table; the final top-k is an orderBy+limit —
     ``TakeOrderedAndProject``, never a global sort materialization.
     """
+    scores = _bm25_scores(
+        docs, terms, id_col, text_col, k1_num, k1_den, b_num, b_den
+    )
+    return (
+        scores.orderBy(F.col("score_mu").desc(), "doc_id")
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("score_mu").desc(), "doc_id"))
+            .cast("long"),
+        )
+    )
+
+
+def _bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str,
+    text_col: str,
+    k1_num: int, k1_den: int,
+    b_num: int, b_den: int,
+) -> DataFrame:
+    """Shared BM25 core: (doc_id, score_mu) for every document with at
+    least one query-term hit — the exact-integer arithmetic documented
+    on ``bm25_topk``. Rank/limit (``bm25_topk``) or a phrase semi-join
+    (``phrase_bm25_topk``) is the caller's choice."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
@@ -158,9 +186,50 @@ def bm25_topk(
             ),
         )
     )
+    return scored.groupBy("doc_id").agg(F.sum("contrib").alias("score_mu"))
+
+
+def phrase_bm25_topk(
+    docs: DataFrame,
+    phrase: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_num: int = 6, k1_den: int = 5,
+    b_num: int = 3, b_den: int = 4,
+) -> DataFrame:
+    """HYBRID retrieval: documents containing the EXACT consecutive
+    ``phrase``, ranked by the BM25 score of the phrase's (distinct)
+    terms → (doc_id, n_occurrences, score_mu, rank), top ``k``. The
+    two-stage shape real search stacks run — a positional-index phrase
+    GATE (binary: the phrase is there or it isn't) feeding a
+    bag-of-words RANKER (how prominent are the phrase's words in this
+    document) — and the composition of this module's two primitives:
+    neither alone answers "best pages for the quoted query".
+
+    Determinism: BM25 arithmetic is the exact-integer form documented
+    on ``bm25_topk`` (df/N/Σdl over the WHOLE corpus, not the matching
+    subset — idf is a corpus property); ties rank by doc_id.
+
+    Scale shape: the phrase gate is ``phrase_match`` (per-term slices
+    equi-joined on (doc_id, pos) — position in the key spreads
+    stopword posting lists); the ranker is ``_bm25_scores`` (two
+    map-side-combined groupBys + broadcast scalars); the final join is
+    doc-keyed between the (small) match set and the score table, and
+    the top-k is orderBy+limit → ``TakeOrderedAndProject``. Tokens are
+    exploded twice (gate needs positions, ranker needs counts) — the
+    price of reusing the two audited plans unchanged; both sides are
+    projections off the same scan, never a shuffle of raw text."""
+    matches = phrase_match(
+        positional_postings(docs, id_col=id_col, text_col=text_col), phrase
+    )
+    scores = _bm25_scores(
+        docs, sorted(set(phrase)), id_col, text_col,
+        k1_num, k1_den, b_num, b_den,
+    )
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score_mu"))
+        matches.join(scores, "doc_id")
+        .select("doc_id", "n_occurrences", "score_mu")
         .orderBy(F.col("score_mu").desc(), "doc_id")
         .limit(k)
         .withColumn(

@@ -327,3 +327,59 @@ def test_proximity_match_hot_document_stress(spark):
     assert len(rows) == 1
     assert rows[0].n_pairs == want_pairs
     assert rows[0].min_dist == 1
+
+
+# ---------------------------------------------------- phrase + BM25 hybrid
+
+
+def test_phrase_bm25_gate_and_rank(spark):
+    """The phrase GATE excludes a document whose bag-of-words score is
+    the highest in the corpus but which never contains the consecutive
+    phrase; among matches, ranking follows the BM25 score of the
+    phrase terms; scores equal bm25_topk's for the same docs."""
+    from intelligent_ocr_spark.operators.index import (
+        bm25_topk,
+        phrase_bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # contains "table scan" once, few term repeats
+            (1, "a table scan is slow filler filler"),
+            # NO consecutive phrase, but saturated with both terms:
+            # highest bag-of-words score in the corpus
+            (2, "table filler scan table filler scan table filler scan"),
+            # contains the phrase twice
+            (3, "table scan table scan filler"),
+        ]
+        + [(i, "filler pad pad pad") for i in range(4, 12)],
+        "doc_id long, text string",
+    )
+    rows = phrase_bm25_topk(docs, ["table", "scan"], k=5).collect()
+    assert [r.doc_id for r in rows] == sorted(
+        [r.doc_id for r in rows],
+        key=lambda d: next(-x.score_mu for x in rows if x.doc_id == d),
+    )
+    by_doc = {r.doc_id: r for r in rows}
+    assert set(by_doc) == {1, 3}          # doc 2 gated out despite top score
+    assert by_doc[3].n_occurrences == 2
+    assert by_doc[1].n_occurrences == 1
+    assert by_doc[3].rank == 1            # more hits, shorter doc
+
+    # score parity with the pure ranker over the same corpus
+    full = {r.doc_id: r.score_mu for r in bm25_topk(docs, ["scan", "table"], k=11).collect()}
+    for d, r in by_doc.items():
+        assert r.score_mu == full[d]
+
+
+def test_phrase_bm25_repeated_term_phrase(spark):
+    """A repeated-term phrase dedups its term set for scoring and still
+    gates on consecutive occurrence."""
+    from intelligent_ocr_spark.operators.index import phrase_bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "batch batch end"), (2, "batch end batch"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    rows = phrase_bm25_topk(docs, ["batch", "batch"], k=3).collect()
+    assert [r.doc_id for r in rows] == [1]
