@@ -7151,6 +7151,52 @@ def q_index_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "graph_reciprocity",
+    f"""
+    WITH p AS ({_LINK_PAGES_SQL}),
+    x AS (
+      SELECT url,
+             unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+      FROM p
+    ),
+    l AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS src,
+             regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst
+      FROM x WHERE regexp_matches(href, '^https?://')
+    ),
+    e AS (SELECT DISTINCT src, dst FROM l WHERE src <> dst),
+    rec AS (
+      SELECT e.src, e.dst FROM e
+      WHERE EXISTS (SELECT 1 FROM e r
+                    WHERE r.src = e.dst AND r.dst = e.src)
+    ),
+    n_out AS (SELECT src AS node, COUNT(*) AS n_out FROM e GROUP BY 1),
+    n_rec AS (SELECT src AS node, COUNT(*) AS n_rec FROM rec GROUP BY 1)
+    SELECT o.node, o.n_out,
+           COALESCE(r.n_rec, 0) AS n_reciprocal,
+           COALESCE(r.n_rec, 0) * 1000000 // o.n_out AS reciprocity_micro
+    FROM n_out o LEFT JOIN n_rec r USING (node)
+    ORDER BY node
+    """,
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-exchange signal over the synthesized 40-host graph:
+    fraction of each host's distinct out-links that are reciprocated
+    (floor-micro-units) — the classic mutual-link spam feature next to
+    TrustRank/spam-mass. The reverse-edge test is a LEFT SEMI
+    self-join keyed on the FULL (src, dst) pair (hub edge sets spread
+    across the hash space), counts are map-side-combined, ratio is
+    integer-exact (operators/graph.py::reciprocity over
+    operators/web.py::extract_links + host_edges)."""
+    from intelligent_ocr_spark.operators.graph import reciprocity
+    from intelligent_ocr_spark.operators.web import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    return reciprocity(edges).orderBy("node")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -39,7 +39,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "hits", "cocitation_pairs", "label_propagation"]
+__all__ = [
+    "pagerank",
+    "hits",
+    "cocitation_pairs",
+    "label_propagation",
+    "reciprocity",
+]
 
 
 def pagerank(
@@ -235,6 +241,61 @@ def cocitation_pairs(
         .filter(F.col("node_a") < F.col("node_b"))
         .groupBy("node_a", "node_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+def reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node link reciprocity over a (src, dst) edge table →
+    (node, n_out, n_reciprocal, reciprocity_micro). The classic
+    link-exchange signal next to PageRank/TrustRank: organic linking
+    is largely one-directional (a blog cites a reference site; the
+    reference site does not cite back), while paid link exchanges and
+    mutual-admiration farms produce hosts whose out-links are mostly
+    reciprocated — a high ``n_reciprocal/n_out`` ratio on a
+    non-trivial ``n_out`` is a standard spam-mass feature (Gyöngyi et
+    al.'s link-spam literature, public).
+
+    Exactness: counts are integers and the ratio is emitted in
+    floor-micro-units (``n_reciprocal·10^6 div n_out``) — the repo's
+    integer-ratio idiom, bit-stable across engines and partitionings.
+    Edges are deduped and self-loops dropped first, so "reciprocal"
+    means the DISTINCT reverse edge exists.
+
+    Scale shape: one distinct on the edge key, then one LEFT SEMI
+    self-join on the full (src, dst) = (dst, src) pair — both
+    components in the key, so even a Zipf-head host's edge set spreads
+    across the hash space (never a per-node key) — and two map-side-
+    combined counts joined node-keyed. No windows, no collect."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = e.join(rev, ["src", "dst"], "left_semi")
+    n_out = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_out")
+    )
+    n_rec = rec.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    return (
+        n_out.join(n_rec, "node", "left")
+        .select(
+            "node",
+            "n_out",
+            F.coalesce("n_reciprocal", F.lit(0)).cast("long").alias(
+                "n_reciprocal"
+            ),
+            F.expr(
+                "coalesce(n_reciprocal, CAST(0 AS BIGINT)) * 1000000"
+                " div n_out"
+            ).alias("reciprocity_micro"),
+        )
     )
 
 

@@ -243,3 +243,34 @@ def test_hits_partitioning_invariance(spark):
     df = spark.createDataFrame(edges, "src string, dst string").repartition(7)
     got = {r.node: (int(r.hub), int(r.auth)) for r in hits(df, n_iter=3).collect()}
     assert got == {n: (hub[n], auth[n]) for n in hub}
+
+
+def test_reciprocity_known_answers(spark):
+    """Mutual edges count as reciprocal on both endpoints; one-way
+    edges don't; duplicates collapse; self-loops drop; micro ratio is
+    exact floor division."""
+    from intelligent_ocr_spark.operators.graph import reciprocity
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # mutual pair
+            ("a", "c"),                      # one-way
+            ("a", "c"),                      # duplicate: collapses
+            ("c", "d"), ("d", "c"),          # second mutual pair
+            ("a", "e"),
+            ("e", "e"),                      # self-loop: dropped
+        ],
+        "src string, dst string",
+    )
+    got = {
+        r.node: (r.n_out, r.n_reciprocal, r.reciprocity_micro)
+        for r in reciprocity(edges).collect()
+    }
+    assert got == {
+        "a": (3, 1, 333333),     # b/c/e out, only b reciprocates
+        "b": (1, 1, 1000000),
+        "c": (1, 1, 1000000),    # c->d mutual; a->c doesn't add out for c
+        "d": (1, 1, 1000000),
+    }
+    # 'e' has no out-edges after the self-loop drop: no row
+    assert "e" not in got
