@@ -7197,6 +7197,57 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocity(edges).orderBy("node")
 
 
+@_q(
+    "quality_linear_model",
+    """
+    WITH tl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         s -> s <> '') AS l
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, unnest(l) AS term FROM tl),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('qlm0|' || term), 1, 8))::UBIGINT
+                  AS BIGINT) % 256 AS bucket
+      FROM tt
+    ),
+    prof AS (SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    w AS (
+      SELECT range AS bucket, (range * 37) % 2001 - 1000 AS w_micro
+      FROM range(256)
+    ),
+    sc AS (
+      SELECT doc_id,
+             SUM(n) AS n_tokens,
+             SUM(n * COALESCE(w_micro, 0)) AS score_micro
+      FROM prof LEFT JOIN w USING (bucket) GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, score_micro, score_micro >= 0 AS keep
+    FROM sc ORDER BY doc_id
+    """,
+)
+def q_quality_linear_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier APPLY: every
+    document scored as Σ tf·w[md5-bucket mod 256] in integer
+    micro-units against a deterministic 256-bucket weight table (the
+    trained-model stand-in — training is offline; the corpus-scale
+    apply step is what a 100-TB pipeline runs). Explode → bounded
+    (doc, bucket) profile with map-side combine → broadcast weight
+    join → doc-keyed sum; keep = score ≥ 0
+    (operators/prep.py::hashed_linear_score)."""
+    from intelligent_ocr_spark.operators.prep import hashed_linear_score
+
+    w = spark.range(256).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 37) % 2001 - 1000).cast("long").alias("w_micro"),
+    )
+    return hashed_linear_score(
+        _t(spark, sf_dir, "documents"), w, dim=256
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -15,6 +15,7 @@ __all__ = [
     "chunk_documents",
     "domain_caps",
     "dsir_importance_weights",
+    "hashed_linear_score",
     "leakage_safe_split",
     "pack_sequences",
     "pii_signals",
@@ -356,6 +357,83 @@ def dsir_importance_weights(
             (F.sum(F.col("n") * F.col("cn")) / F.lit(1e9)).alias("weight"),
         )
         .orderBy("doc_id")
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    dim: int = 1024,
+    bias_micro: int = 0,
+    seed: str = "qlm0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a HASHED-FEATURE linear classifier to every document —
+    the fastText-style quality/domain classifier pass public corpus
+    pipelines run at scale (CCNet's language-model filter, GPT-3/LLaMA
+    quality classifiers are this shape: linear model over hashed
+    bag-of-words, applied to every crawl document). ``weights`` is the
+    trained model as a relational table (bucket, w_micro) — ``dim``
+    rows max, integer micro-units; training happens offline, this
+    operator is the corpus-scale APPLY step.
+
+    ``score_micro = bias_micro + Σ_token-occurrences w[h(token) mod
+    dim]`` — tf-weighted hashed bag-of-words, the hashing trick
+    (Weinberger et al. 2009, public) that fixes model state at ``dim``
+    buckets regardless of vocabulary. ``keep = score_micro >= 0``
+    (fold the decision threshold into the bias). All-integer
+    arithmetic: bit-stable across engines, partitionings, and
+    retries. Docs with zero tokens emit no row (no evidence — they
+    fail every upstream quality gate anyway; documented).
+
+    Scale shape: token explode → md5 bucket (the ``shard_assign``
+    hash idiom) → one map-side-combined (doc, bucket) count — per-doc
+    profile rows are bounded by ``dim`` no matter the doc length —
+    then a BROADCAST join against the ≤ ``dim``-row weight table and
+    one doc-keyed sum. Zipf-head tokens are agg keys (collapsed
+    map-side), never windows; no Python anywhere.
+
+    Returns (doc_id, n_tokens, score_micro, keep) — n_tokens the
+    exact occurrence count scored."""
+    from intelligent_ocr_spark.functions.textstats import tokens
+
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.lit(seed), F.col("_tok")).cast("binary")
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(dim),
+    )
+    prof = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("_tok"),
+        )
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = weights.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("w_micro").cast("long").alias("w_micro"),
+    )
+    return (
+        prof.join(F.broadcast(w), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            (
+                F.lit(bias_micro).cast("long")
+                + F.sum(F.col("n") * F.coalesce("w_micro", F.lit(0)))
+            ).alias("score_micro"),
+        )
+        .withColumn("keep", F.col("score_micro") >= 0)
     )
 
 

@@ -252,3 +252,48 @@ def test_leakage_safe_split_group_atomic(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, leakage_safe_split(df.repartition(11), "host", 1, 4).collect()))
     assert a == b
+
+
+def test_hashed_linear_score_known_answers(spark):
+    """tf-weighted hashed bag-of-words linear scoring: python replay of
+    the md5 bucketing + weight table reproduces score_micro exactly;
+    empty docs emit no row; missing buckets weigh 0; bias shifts the
+    keep verdict."""
+    import hashlib
+
+    from intelligent_ocr_spark.operators.prep import hashed_linear_score
+
+    dim, seed = 16, "qlm0"
+
+    def bucket(tok):
+        return int(hashlib.md5(f"{seed}|{tok}".encode()).hexdigest()[:8], 16) % dim
+
+    wmap = {b: (b * 7 % 11) - 5 for b in range(0, dim, 2)}  # odd buckets absent
+    docs = [(1, "good good text"), (2, "bad spam"), (3, "")]
+    want = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            continue
+        score = sum(wmap.get(bucket(t), 0) for t in toks)
+        want[doc_id] = (len(toks), score, score >= 0)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w = spark.createDataFrame(
+        [(b, w) for b, w in wmap.items()], "bucket long, w_micro long"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.score_micro, r.keep)
+        for r in hashed_linear_score(df, w, dim=dim, seed=seed).collect()
+    }
+    assert got == want
+    assert 3 not in got
+
+    # bias folds the threshold: +10^6 flips everything positive here
+    biased = {
+        r.doc_id: r.keep
+        for r in hashed_linear_score(
+            df, w, dim=dim, seed=seed, bias_micro=10**6
+        ).collect()
+    }
+    assert all(biased.values())
