@@ -7248,6 +7248,80 @@ def q_quality_linear_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_q(
+    "pipeline_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), pos AS (
+      SELECT doc_id, ts,
+             unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS s
+      FROM toks
+    ), grams AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(ts[s:s+7], ' ')) AS g
+      FROM pos
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < 25
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_contaminated
+      FROM grams JOIN bench USING (g) GROUP BY doc_id
+    ), verdict AS (
+      SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) AS n_toks,
+             s.n_grams IS NULL
+               OR COALESCE(h.n_contaminated, 0) * 20 <= s.n_grams AS keep
+      FROM documents d
+      LEFT JOIN sizes s ON s.doc_id = d.doc_id
+      LEFT JOIN hits h ON h.doc_id = d.doc_id
+    )
+    SELECT source,
+           SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped,
+           SUM(CASE WHEN keep THEN n_toks ELSE 0 END) AS tokens_kept
+    FROM verdict GROUP BY source ORDER BY source
+    """,
+)
+def q_pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end decontamination (the ACTION step after the GPT-3
+    appendix-C overlap SCORE): documents whose distinct-8-gram overlap
+    with the benchmark set (docs < 25 stand in) exceeds 5% are dropped
+    — the gate compares ``n_contaminated·20 ≤ n_grams`` in exact
+    integers, never a float fraction — and the surviving corpus is
+    summarized per source (docs kept/dropped, whitespace tokens kept).
+    The planted benchmark docs gate themselves out at 100% overlap;
+    their exact duplicates in the corpus fall with them. Scoring is
+    the audited semi-join contamination plan; the gate is one doc-keyed
+    left join + a map-side-combined rollup
+    (operators/dedup.py::benchmark_contamination)."""
+    from intelligent_ocr_spark.operators.dedup import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    scores = benchmark_contamination(
+        d, d.filter(F.col("doc_id") < 25), run_n=8
+    ).select("doc_id", "n_grams", "n_contaminated")
+    keep = F.col("n_grams").isNull() | (
+        F.col("n_contaminated") * 20 <= F.col("n_grams")
+    )
+    return (
+        d.join(scores, "doc_id", "left")
+        .select(
+            "source",
+            keep.alias("keep"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+            F.sum(F.when(F.col("keep"), F.col("n_toks")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
