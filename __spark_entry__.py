@@ -7322,6 +7322,106 @@ def q_pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pipeline_frontier_bloom",
+    """
+    WITH seen AS (
+      SELECT DISTINCT 'u' || (doc_id % 499) AS url FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT 'u' || ((doc_id * 3) % 800) AS url FROM documents
+    ),
+    sh AS (
+      SELECT url,
+             CAST(('0x' || substr(md5('fr0|' || url), 1, 8))::UBIGINT
+                  AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5('fr0|' || url), 9, 8))::UBIGINT
+                  AS BIGINT) * 2 + 1 AS h2
+      FROM seen
+    ),
+    pos AS (
+      SELECT ((h1 + i.range * h2) % 4096) AS p
+      FROM sh CROSS JOIN range(4) i
+    ),
+    words AS (
+      SELECT p // 32 AS word,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    ph AS (
+      SELECT url,
+             CAST(('0x' || substr(md5('fr0|' || url), 1, 8))::UBIGINT
+                  AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5('fr0|' || url), 9, 8))::UBIGINT
+                  AS BIGINT) * 2 + 1 AS h2
+      FROM cand
+    ),
+    pb AS (
+      SELECT url, ((h1 + i.range * h2) % 4096) // 32 AS word,
+             CAST((h1 + i.range * h2) % 4096 % 32 AS INT) AS bit
+      FROM ph CROSS JOIN range(4) i
+    ),
+    probe AS (
+      SELECT pb.url,
+             min(CASE WHEN (COALESCE(w.bits, 0) >> pb.bit) & 1 = 1
+                      THEN 1 ELSE 0 END) = 1 AS bloom_maybe_seen
+      FROM pb LEFT JOIN words w ON w.word = pb.word
+      GROUP BY 1
+    )
+    SELECT p.url, p.bloom_maybe_seen,
+           s.url IS NULL AS truly_new
+    FROM probe p LEFT JOIN seen s ON s.url = p.url
+    ORDER BY p.url
+    """,
+)
+def q_pipeline_frontier_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated crawl-frontier discovery — the production pattern
+    for "is this extracted link already fetched?" at 10^12-URL scale:
+    a 4096-bit/4-hash Bloom seen-set answers most probes from
+    ``m/8`` BYTES of state, candidates the filter calls ABSENT are
+    guaranteed new (no false negatives — they skip the exact store
+    entirely), and only the maybe-present minority pays the exact
+    anti-join. Output pins the full verdict matrix per candidate:
+    (bloom_maybe_seen, truly_new) — rows with (true, true) are the
+    false positives whose rate the filter geometry sets. Build is one
+    map-side-combined bit_or; probe is a broadcast word join; the
+    exact check is one url-keyed join
+    (operators/sketch.py::bloom_build / bloom_maybe_contains)."""
+    from intelligent_ocr_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    seen = d.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 499).cast("string")).alias(
+            "url"
+        )
+    ).distinct()
+    cand = d.select(
+        F.concat(
+            F.lit("u"), ((F.col("doc_id") * 3) % 800).cast("string")
+        ).alias("url")
+    ).distinct()
+    bloom = bloom_build(seen, "url", m_bits=4096, k=4, seed="fr0")
+    probe = bloom_maybe_contains(
+        bloom, cand, "url", m_bits=4096, k=4, seed="fr0"
+    ).withColumnRenamed("maybe_present", "bloom_maybe_seen")
+    return (
+        probe.join(
+            seen.select(F.col("url"), F.lit(True).alias("_seen")),
+            probe["probe_key"] == F.col("url"),
+            "left",
+        )
+        .select(
+            F.col("probe_key").alias("url"),
+            "bloom_maybe_seen",
+            F.col("_seen").isNull().alias("truly_new"),
+        )
+        .orderBy("url")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -150,3 +150,131 @@ def test_ttl_per_url_expiry():
     assert list(out["url"]) == ["a"]  # expired → fresh again; 20 suppressed
     d = dict(zip(*st.updated))
     assert d == {10: 61_001, 20: 50_000}
+
+
+# ---------------------------------------------------- bloom frontier
+
+
+def _run_frontier(spark, tmp_path, name, **kw):
+    from intelligent_ocr_spark.streaming.frontier import stream_frontier_bloom
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(tmp_path / "in") + "/b*")
+    )
+    q = (
+        stream_frontier_bloom(stream, **kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    return progress
+
+
+def test_stream_frontier_bloom_first_discovery(spark, tmp_path):
+    """Adequately-sized filter: every distinct url emits exactly once
+    across re-crawling micro-batches; the pure-re-crawl batch sets no
+    new bit and must not rewrite state."""
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    pages_df(spark, 60, partitions=2).write.parquet(inp + "/b1")
+    pages_df(spark, 60, partitions=2).write.parquet(inp + "/b2")  # re-crawl
+    pages_df(spark, 90, partitions=2).write.parquet(inp + "/b3")
+
+    progress = _run_frontier(
+        spark, tmp_path, "frontier_out", m_bits=8192, k=4, buckets=8
+    )
+    urls = [r["url"] for r in spark.sql("SELECT url FROM frontier_out").collect()]
+    # no false negatives -> no url ever emits twice; 8192 bits vs 90 keys
+    # -> no false positives either at this fill factor
+    assert len(urls) == len(set(urls)) == 90
+
+    fed = [
+        p for p in progress if p["numInputRows"] > 0 and p.get("stateOperators")
+    ]
+    assert len(fed) >= 3
+    updated = [p["stateOperators"][0]["numRowsUpdated"] for p in fed]
+    assert 0 in updated          # the all-re-crawl batch left state untouched
+    assert sum(updated) <= 16    # at most one filter row per bucket per batch
+
+
+def test_stream_frontier_bloom_tiny_filter_false_positive_direction(
+    spark, tmp_path
+):
+    """Undersized filter (64 bits for 90 keys): some new urls are
+    dropped as maybe-seen (false positives) but NOTHING emits twice —
+    the error direction contract."""
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    pages_df(spark, 90, partitions=2).write.parquet(inp + "/b1")
+    pages_df(spark, 90, partitions=2).write.parquet(inp + "/b2")  # re-crawl
+
+    _run_frontier(
+        spark, tmp_path, "frontier_tiny", m_bits=64, k=2, buckets=1
+    )
+    urls = [r["url"] for r in spark.sql("SELECT url FROM frontier_tiny").collect()]
+    assert len(urls) == len(set(urls))   # never a duplicate emission
+    assert len(urls) < 90                # saturation forced false drops
+
+
+def test_frontier_group_bit_math_replay():
+    """Deterministic replay of the group function against a pure-Python
+    bloom: same md5 layout as operators/sketch.py, exact word updates,
+    rewrite-on-change only."""
+    import hashlib
+
+    import pandas as pd
+
+    from intelligent_ocr_spark.streaming.frontier import _make_frontier_group
+
+    m_bits, k, seed = 128, 3, "fb0"
+
+    def hashes(url):
+        hx = hashlib.md5(f"{seed}|{url}".encode()).hexdigest()
+        return int(hx[:8], 16), int(hx[8:16], 16) * 2 + 1
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+        updated = None
+
+        def update(self, v):
+            self.updated = v
+
+    urls = [f"u{i}" for i in range(12)] + ["u3", "u0", "u12"]
+    h1s, h2s = zip(*[hashes(u) for u in urls])
+    pdf = pd.DataFrame(
+        {"bucket": 0, "url": urls, "_h1": h1s, "_h2": h2s}
+    )
+    st = FakeState()
+    fn = _make_frontier_group(m_bits, k)
+    out = pd.concat(list(fn((0,), iter([pdf]), st)))
+
+    words = [0] * (m_bits // 32)
+    want = []
+    for u in urls:
+        h1, h2 = hashes(u)
+        pos = [(h1 + j * h2) % m_bits for j in range(k)]
+        if all((words[p // 32] >> (p % 32)) & 1 for p in pos):
+            continue
+        for p in pos:
+            words[p // 32] |= 1 << (p % 32)
+        want.append(u)
+    assert list(out["url"]) == want
+    assert list(st.updated[0]) == words
+
+    # a second all-duplicate batch must not rewrite state
+    st2 = FakeState()
+    st2.exists = True
+    st2.get = (words,)
+    out2 = list(fn((0,), iter([pdf[: len(want)]]), st2))
+    assert out2 == []
+    assert st2.updated is None
