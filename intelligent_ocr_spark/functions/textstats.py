@@ -33,6 +33,7 @@ __all__ = [
     "repetition_signals",
     "unigram_logprob",
     "bigram_logprob",
+    "kn_bigram_logprob",
     "lang_sample_weights",
     "deterministic_sample",
     "char_entropy",
@@ -448,6 +449,90 @@ def bigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
                 F.floor(F.avg(F.log(F.col("cb") / F.col("cw"))) * F.lit(1e6))
                 / F.lit(1e6)
             ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def kn_bigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document mean INTERPOLATED KNESER-NEY bigram log-probability
+    (Kneser & Ney 1995; Chen & Goodman 1998's interpolated form —
+    public), discount d = 3/4. The smoothing KenLM implements and CCNet
+    scores with: the raw conditional ``bigram_logprob`` computes
+    over-rewards boilerplate whose continuations are deterministic,
+    while KN backs every bigram off toward the CONTINUATION unigram —
+    "how many distinct contexts does w₂ follow?" — the distributional
+    -novelty signal that separates topical words from glued phrases
+    ("francisco" is frequent but follows only "san": tiny continuation
+    probability).
+
+        P(w₂|w₁) = (c(w₁w₂) − d)/c(w₁·) + d·N₁₊(w₁·)/c(w₁·) · P_c(w₂)
+        P_c(w₂)  = N₁₊(·w₂) / N₁₊(··)
+
+    EXACTNESS: every count is an exact int64 and the probability is
+    assembled as ONE integer ratio evaluated identically in both
+    engines — multiplying through by 4·T (d = 3/4, T = distinct bigram
+    types) gives ``((4·c₁₂ − 3)·T + 3·N₁₊(w₁·)·N₁₊(·w₂)) / (4·c₁·T)``,
+    integer products exact in doubles below 2^53 (≈ 10^9 bigram
+    positions — beyond that, rescale to the decimal(38) ladder). The
+    final floor(1e6·avg(ln·)) is the ``unigram_logprob`` idiom.
+
+    Scale shape: one bigram explode; ALL model tables are
+    vocab-bounded aggregates with map-side combine (pair counts,
+    per-w₁ totals + continuation fan-out, per-w₂ continuation
+    fan-in, one scalar T) joined pair-keyed into a single stats
+    table; positions join it on the pair key — an equi-JOIN (AQE
+    skew-splits the Zipf-head pair), never a window. Docs with <2
+    tokens are omitted. Returns (doc_id, n_bigrams, mean_logprob)."""
+    from intelligent_ocr_spark.util import ensure_parallelism
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    tarr = F.col("_toks")
+    bigram_arr = F.when(
+        F.size(tarr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tarr) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tarr, i), F.element_at(tarr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select("doc_id", F.explode(bigram_arr).alias("pair"))
+    pc = (
+        bg.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("w1", F.split("pair", " ")[0])
+        .withColumn("w2", F.split("pair", " ")[1])
+    )
+    w1s = pc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_w1")
+    )
+    w2s = pc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_w2"))
+    t = pc.agg(F.count(F.lit(1)).alias("t_pairs"))
+    stats = (
+        pc.join(w1s, "w1")
+        .join(w2s, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "pair",
+            F.log(
+                F.expr(
+                    "((4 * c12 - 3) * t_pairs + 3 * n1p_w1 * n1p_w2)"
+                    " / (4.0 * c1 * t_pairs)"
+                )
+            ).alias("_lnp"),
+        )
+    )
+    return (
+        bg.join(stats, "pair")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.floor(F.avg("_lnp") * F.lit(1e6)) / F.lit(1e6)).alias(
+                "mean_logprob"
+            ),
         )
         .orderBy("doc_id")
     )

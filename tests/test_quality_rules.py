@@ -148,3 +148,64 @@ def test_ruleset_plans_have_no_exchange(spark, fixture_docs):
         shard_assign(fixture_docs.select("doc_id")),
     ):
         assert "Exchange" not in _plan(df)
+
+
+def test_kn_bigram_logprob_replay(spark):
+    """Interpolated KN with d=3/4 replayed in pure Python from the
+    definition — continuation counts, per-context fan-out, discount
+    mass — on a corpus where backoff matters (repeated contexts with
+    multiple continuations)."""
+    from collections import Counter
+
+    from intelligent_ocr_spark.functions.textstats import kn_bigram_logprob
+
+    rows = [
+        (1, "a b a b a"),
+        (2, "x a c"),
+        (3, "a c b"),
+        (4, "z"),
+        (5, "y q"),
+        (6, "b a"),
+        (7, "c a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = []
+    per_doc = {}
+    for doc_id, text in rows:
+        ts = text.split()
+        bgs = list(zip(ts, ts[1:]))
+        if bgs:
+            per_doc[doc_id] = bgs
+            pairs.extend(bgs)
+    c12 = Counter(pairs)
+    c1 = Counter()
+    n1p_w1 = Counter()
+    n1p_w2 = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1p_w1[w1] += 1
+        n1p_w2[w2] += 1
+    T = len(c12)
+
+    def lnp(w1, w2):
+        d = 0.75
+        pc = n1p_w2[w2] / T
+        return math.log(
+            (c12[(w1, w2)] - d) / c1[w1] + d * n1p_w1[w1] / c1[w1] * pc
+        )
+
+    out = {r["doc_id"]: r for r in kn_bigram_logprob(docs).collect()}
+    for doc_id, bgs in per_doc.items():
+        want = sum(lnp(*b) for b in bgs) / len(bgs)
+        assert out[doc_id]["n_bigrams"] == len(bgs)
+        assert out[doc_id]["mean_logprob"] == _f6(want)
+    assert 4 not in out
+
+    # KN separates continuation NOVELTY: (x,a) and (y,q) have identical
+    # raw statistics (c12=1, c1=1, context fan-out 1) but "a" follows 3
+    # distinct contexts while "q" follows 1 -> higher smoothed mass for
+    # the distributionally-promiscuous continuation
+    assert c12[("x", "a")] == c12[("y", "q")] == 1
+    assert c1["x"] == c1["y"] == 1
+    assert lnp("x", "a") > lnp("y", "q")
