@@ -7475,6 +7475,87 @@ def q_text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+# Mojibake fixture strings, shared verbatim by the Spark plan and the
+# DuckDB oracle: _MOJI_BAD is the exact WHATWG-cp1252 image of the UTF-8
+# bytes of " don’t “quote café naïve «ok» end…" (what a mis-decoded page
+# shows); _MOJI_CLEAN is properly-decoded text with the same kinds of
+# characters — the detector must flag the first and pass the second.
+_MOJI_BAD = " donâ€™t â€œquote cafÃ© naÃ¯ve Â«okÂ» endâ€¦"
+_MOJI_CLEAN = " déjà vu — “real” quotes…"
+
+
+def _moji_sql() -> str:
+    from intelligent_ocr_spark.functions.mojibake import (
+        MOJIBAKE_SIG2_RE,
+        MOJIBAKE_SIG3_RE,
+        MOJIBAKE_SIG4_RE,
+    )
+
+    return (
+        """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || '@BAD'
+                  WHEN doc_id % 11 = 3 THEN text || '@CLEAN'
+                  ELSE text END AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '@SIG2')) AS n_sig2,
+             len(regexp_extract_all(t, '@SIG3')) AS n_sig3,
+             len(regexp_extract_all(t, '@SIG4')) AS n_sig4,
+             len(regexp_extract_all(t, '\\x{FFFD}')) AS n_fffd
+      FROM m
+    )
+    SELECT doc_id, n_sig2, n_sig3, n_sig4, n_fffd,
+           n_sig2 + n_sig3 + n_sig4 >= 2 AS is_mojibake
+    FROM c ORDER BY doc_id
+    """.replace("@SIG2", MOJIBAKE_SIG2_RE)
+        .replace("@SIG3", MOJIBAKE_SIG3_RE)
+        .replace("@SIG4", MOJIBAKE_SIG4_RE)
+        .replace("@BAD", _MOJI_BAD)
+        .replace("@CLEAN", _MOJI_CLEAN)
+    )
+
+
+@_q("text_mojibake_detect", _moji_sql())
+def q_text_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8-read-as-cp1252 mojibake detection — the ftfy-class check
+    every crawl pipeline runs before trusting upstream decoding. Counts
+    the 2-/3-/4-byte UTF-8 signature patterns (lead-byte image followed
+    by continuation-byte images under WHATWG windows-1252) plus U+FFFD
+    damage, entirely as regexp_count column expressions (JVM codegen,
+    zero exchange beyond the ORDER BY; the regexes use ASCII-safe
+    \\x{...} escapes that Java regex and RE2 parse identically). The
+    fixture injects a known-corrupt suffix into doc_id % 7 == 0 docs and
+    a properly-decoded decoy with the same character classes into
+    doc_id % 11 == 3 docs; detection must separate them exactly
+    (functions/mojibake.py; repair_mojibake's byte-inverse is
+    pytest-verified round-trip, tests/test_mojibake.py)."""
+    from intelligent_ocr_spark.functions.mojibake import mojibake_counts
+
+    d = _t(spark, sf_dir, "documents")
+    t = (
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_MOJI_BAD)))
+        .when(
+            F.col("doc_id") % 11 == 3, F.concat(F.col("text"), F.lit(_MOJI_CLEAN))
+        )
+        .otherwise(F.col("text"))
+    )
+    n2, n3, n4, nf = mojibake_counts(t)
+    return (
+        d.select(
+            "doc_id",
+            n2.alias("n_sig2"),
+            n3.alias("n_sig3"),
+            n4.alias("n_sig4"),
+            nf.alias("n_fffd"),
+            ((n2 + n3 + n4) >= 2).alias("is_mojibake"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -7509,7 +7590,12 @@ _CHANGED_THIS_ROUND = [
     # slot as the weakest-check entry: the inner operator keeps its own
     # driver row ("text_unigram_logprob" below) and the composition is
     # unchanged — the round's full tools_parity.py sweep covers it.
-    "prep_pack_sequences",    # explicit n_parts=None (global small-input form)
+    # prep_pack_sequences also changed this round, but only at the API
+    # surface (explicit n_parts=None default — same plan, same oracle
+    # rows); with the changed ∪ skipped-last union at the 50-slot cap it
+    # yields its slot: its semantics keep driver coverage through
+    # prep_pack_partitioned + pipeline_training_prep below, plus the
+    # pack unit tests and the round's full tools_parity.py sweep.
     "prep_pack_partitioned",  # NEW: partitioned packing, the 100-TB default
     "prep_bpe_vocab",         # NEW: relational BPE training, recursive-CTE oracle
     "prep_bpe_token_counts",  # NEW: real subword counts under the trained vocab
@@ -7535,6 +7621,7 @@ _CHANGED_THIS_ROUND = [
     "lang_sample_weights",    # NEW: α=0.5 temperature sampling allocation
     "prep_shard_stats",       # NEW: deterministic shard assignment + balance
     "text_kn_bigram_logprob",  # NEW: interpolated Kneser-Ney bigram LM
+    "text_mojibake_detect",   # NEW: UTF-8-as-cp1252 signature detection
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by
