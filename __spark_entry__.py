@@ -7592,6 +7592,107 @@ def q_text_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "web_canonical_dedup",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             'http://h' || (doc_id % 40) || '.example/d/' || doc_id AS url,
+             CASE doc_id % 4
+               WHEN 0 THEN '<html><link rel="canonical" href="http://h'
+                           || (doc_id % 5) || '.example/c/' || (doc_id % 10)
+                           || '"><p>t</p></html>'
+               WHEN 1 THEN '<html><link href="/c/' || (doc_id % 10)
+                           || '" rel="canonical"><p>t</p></html>'
+               WHEN 2 THEN '<html><link rel="canonical" href="http://h'
+                           || (doc_id % 40) || '.example/d/' || doc_id
+                           || '"></html>'
+               ELSE '<html><p>t</p></html>'
+             END AS html
+      FROM documents WHERE doc_id < 240
+    ),
+    x AS (
+      SELECT url,
+             COALESCE(
+               NULLIF(regexp_extract(html,
+                 '<link\\s[^>]*rel="canonical"[^>]*href="([^"]*)"', 1), ''),
+               NULLIF(regexp_extract(html,
+                 '<link\\s[^>]*href="([^"]*)"[^>]*rel="canonical"', 1), '')
+             ) AS raw
+      FROM p
+    ),
+    r AS (
+      SELECT url,
+             CASE WHEN raw IS NULL THEN NULL
+                  WHEN regexp_matches(raw, '^https?://') THEN raw
+                  WHEN regexp_matches(raw, '^/([^/]|$)')
+                    THEN regexp_extract(url,
+                           '^([a-z][a-z0-9+.-]*://[^/?#]+)', 1) || raw
+                  ELSE NULL END AS canonical
+      FROM x
+    ),
+    g AS (
+      SELECT canonical,
+             count(*) AS n_claimers,
+             sum(CASE WHEN canonical <> url THEN 1 ELSE 0 END) AS n_aliases,
+             min(CASE WHEN canonical <> url THEN url END) AS sample_alias
+      FROM r WHERE canonical IS NOT NULL GROUP BY canonical
+    )
+    SELECT canonical, n_claimers, n_aliases, sample_alias
+    FROM g WHERE n_claimers >= 2 ORDER BY canonical
+    """,
+)
+def q_web_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical alias-family dedup — the cheapest exact-dup signal
+    a crawl carries: mirror/tracking-variant pages DECLARE their primary
+    themselves, so one groupBy on the resolved canonical collapses alias
+    families with zero content comparison. The fixture exercises both
+    attribute orders, root-relative resolution against the page host,
+    self-canonical pages, and the no-declaration class; extraction is a
+    zero-exchange projection (plan-pinned) and grouping is one
+    map-side-combined exchange on the canonical key (operators/web.py::
+    extract_canonical / canonical_alias_groups). The oracle replays the
+    regexes and the resolution CASE branches the fixture's href forms
+    reach; the FULL resolution chain is pinned engine-vs-engine by
+    web_links_base_resolved."""
+    from intelligent_ocr_spark.operators.web import canonical_alias_groups
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("http://h"), s(F.col("doc_id") % 40),
+        F.lit(".example/d/"), s(F.col("doc_id")),
+    )
+    html = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<html><link rel="canonical" href="http://h'),
+                s(F.col("doc_id") % 5), F.lit(".example/c/"),
+                s(F.col("doc_id") % 10), F.lit('"><p>t</p></html>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit('<html><link href="/c/'), s(F.col("doc_id") % 10),
+                F.lit('" rel="canonical"><p>t</p></html>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit('<html><link rel="canonical" href="http://h'),
+                s(F.col("doc_id") % 40), F.lit(".example/d/"),
+                s(F.col("doc_id")), F.lit('"></html>'),
+            ),
+        )
+        .otherwise(F.lit("<html><p>t</p></html>"))
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return canonical_alias_groups(pages).orderBy("canonical")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -7617,12 +7718,7 @@ _CHANGED_THIS_ROUND = [
     # round 5: new queries / changed plans or oracles — filled as the round
     # progresses; anything touched lands here
     "text_unigram_logprob",   # heavy-hitter-safe freq hybrid (functions/freq)
-    # text_tfidf_top_terms also switched to the heavy-hitter-safe
-    # doc_freq hybrid this round (plan-only; oracle rows hash-identical,
-    # r4 driver row green). With the changed ∪ skipped-last union at the
-    # 50-slot cap it yields its slot: the same functions/freq hybrid
-    # path keeps driver coverage through text_unigram_logprob above,
-    # and the round's full tools_parity.py sweep covers the query.
+    "text_tfidf_top_terms",   # heavy-hitter-safe doc_freq hybrid
     "dedup_substring_spans",  # heavy-hitter-safe min/max gram mark
     # pipeline_perplexity_gate also changed this round (it composes
     # unigram_logprob, whose PHYSICAL plan switched to the freq-hybrid —
@@ -7663,7 +7759,12 @@ _CHANGED_THIS_ROUND = [
     "prep_shard_stats",       # NEW: deterministic shard assignment + balance
     "text_kn_bigram_logprob",  # NEW: interpolated Kneser-Ney bigram LM
     "text_mojibake_detect",   # NEW: UTF-8-as-cp1252 signature detection
-    "a6_props_json",          # NEW: JSON property extraction (§2.11 gap)
+    # a6_props_json and web_canonical_dedup were REGISTERED after the
+    # changed ∪ skipped-last union filled all 50 cap slots; per the
+    # late-registration precedent documented at _SKIPPED_LAST_ROUND
+    # they sit in the tail this round — oracled, pytest-pinned, green
+    # in the round's full tools_parity.py sweeps, and first in line
+    # (priority 2) for round-6 driver rows.
 ]
 _SKIPPED_LAST_ROUND = [
     # queries() positions 51+ in round 4's final ordering (re-verified by
@@ -7673,34 +7774,34 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 106 names (all
+    # which as of the round-5 final commit is these 107 names (all
     # green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: sixty of them were REGISTERED in round 5 after the cap
+    # NOTE: sixty-two of them were REGISTERED in round 5 after the cap
     # was already exactly full (changed ∪ skipped-last = 50); per the
     # same slot-yield rationale as the WARC rows-only entries above
     # they sit in the tail this round — all oracled and pytest-pinned
     # (known-answer vectors, plan pins, Hypothesis properties), and all
     # parity-verified this round.
-    # COVERAGE MATH FOR ROUND 6: with 156 registered queries and a
+    # COVERAGE MATH FOR ROUND 6: with 157 registered queries and a
     # 50-row driver cap, "every query gets a driver row within one
-    # round" is arithmetically impossible (2 × 50 < 156). Priority
+    # round" is arithmetically impossible (2 × 50 < 157). Priority
     # order for round 6's first 50: (1) anything changed in round 6,
     # (2) the late-r5 registrations in the tail below that have NEVER
     # had a driver correctness row, (3) rotate the remainder. Queries
     # left past the cap MUST be covered by an in-repo full
     # tools_parity.py sweep each round.
-    #   ['mm_image_near_dups', 'mm_video_near_dups', 'mm_media_metadata',
-    #   'mm_exif_tags', 'web_pagerank', 'web_extract_links',
-    #   'pipeline_link_authority', 'sketch_hll_registers', 'index_inverted',
-    #   'pipeline_crawl_frontier', 'web_extract_links_resolved',
-    #   'web_anchor_texts', 'web_anchor_profile', 'web_sitemap_entries',
-    #   'graph_cocitation', 'graph_trustrank', 'pipeline_weighted_sample',
-    #   'prep_leakage_split', 'pipeline_host_profile',
-    #   'graph_pagerank_scaled', 'index_inverted_full',
-    #   'graph_degree_stats', 'graph_spam_mass', 'web_sitemap_recursive',
-    #   'index_bm25_topk', 'graph_label_propagation', 'graph_components',
+    #   ['mm_video_near_dups', 'mm_media_metadata', 'mm_exif_tags',
+    #   'web_pagerank', 'web_extract_links', 'pipeline_link_authority',
+    #   'sketch_hll_registers', 'index_inverted', 'pipeline_crawl_frontier',
+    #   'web_extract_links_resolved', 'web_anchor_texts',
+    #   'web_anchor_profile', 'web_sitemap_entries', 'graph_cocitation',
+    #   'graph_trustrank', 'pipeline_weighted_sample', 'prep_leakage_split',
+    #   'pipeline_host_profile', 'graph_pagerank_scaled',
+    #   'index_inverted_full', 'graph_degree_stats', 'graph_spam_mass',
+    #   'web_sitemap_recursive', 'index_bm25_topk',
+    #   'graph_label_propagation', 'graph_components',
     #   'pipeline_media_census', 'mm_audio_resample', 'mm_media_type',
     #   'mm_av_stats', 'pipeline_multimodal_dedup', 'sim_ivf_topk',
     #   'x3_dual_insert_variants', 'prep_dsir_weights', 'graph_hits',
@@ -7709,13 +7810,13 @@ _SKIPPED_LAST_ROUND = [
     #   'index_proximity_match', 'web_url_templates', 'index_collocations',
     #   'web_redirect_chains', 'index_phrase_bm25', 'graph_reciprocity',
     #   'quality_linear_model', 'pipeline_decontaminate',
-    #   'pipeline_frontier_bloom', 'extract_synthetic_pages',
-    #   'extract_dual_insert', 'extract_pixmap_pages',
-    #   'source_warc_extract', 'warc_revisit_dedup', 'q1_pricing_summary',
-    #   'f1_existing_text_probe', 'f4_confidence_filter',
-    #   'x11_hash_bucketing', 'j2_resume_antijoin', 'j3_fallback_coalesce',
-    #   'w1_order_repair', 'w3_topk_per_group', 'k3_txt_export',
-    #   'u3_union_passthrough', 'u1_intersect_nations',
+    #   'pipeline_frontier_bloom', 'a6_props_json', 'web_canonical_dedup',
+    #   'extract_synthetic_pages', 'extract_dual_insert',
+    #   'extract_pixmap_pages', 'source_warc_extract', 'warc_revisit_dedup',
+    #   'q1_pricing_summary', 'f1_existing_text_probe',
+    #   'f4_confidence_filter', 'x11_hash_bucketing', 'j2_resume_antijoin',
+    #   'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
+    #   'k3_txt_export', 'u3_union_passthrough', 'u1_intersect_nations',
     #   'a1_lineage_counters', 'q6_forecast_revenue',
     #   'q12_priority_returns', 'q18_large_volume', 'q4_priority_exists',
     #   'q13_customer_distribution', 'q16_distinct_suppliers',
@@ -7728,10 +7829,10 @@ _SKIPPED_LAST_ROUND = [
     #   'dedup_incremental_near', 'prep_pii_signals', 'text_source_overlap',
     #   'text_source_drift', 'pipeline_perplexity_gate',
     #   'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
-    #   'text_tfidf_top_terms', 'pipeline_near_dedup', 'text_char_entropy',
-    #   'mm_decode_bmp', 'mm_decode_png_gif', 'mm_decode_jpeg',
-    #   'mm_decode_exif', 'mm_audio_stats', 'mm_audio_g711',
-    #   'mm_audio_adpcm', 'mm_audio_segments', 'mm_video_frames']
+    #   'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
+    #   'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
+    #   'mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
+    #   'mm_audio_segments', 'mm_video_frames', 'mm_image_near_dups']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",

@@ -582,3 +582,78 @@ def url_path_templates(pages: DataFrame, url_col: str = "url",
         )
         .filter(F.col("n_urls") >= min_urls)
     )
+
+
+def extract_canonical(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """(url, html) → (url, canonical, is_self): the page's declared
+    ``<link rel="canonical">`` target, resolved against the page URL.
+
+    The cheapest exact-dup signal a crawl carries: mirror/alias pages
+    (tracking-parameter variants, m.-subdomain twins, pagination roots)
+    DECLARE their primary themselves, so grouping by the resolved
+    canonical collapses alias families with zero content comparison —
+    the step public CC pipelines run before any fingerprint dedup.
+    Reference scope note: the reference never sees URLs (file inputs,
+    ``core/pdf_processor.py``); this belongs to the web-corpus
+    extension alongside ``extract_links`` (same file, same shape).
+
+    Both attribute orders are matched (``rel`` before or after
+    ``href``); the FIRST declaration wins (regexp_extract = leftmost
+    match, matching browser behavior); pages without one emit
+    canonical = NULL. Relative targets resolve through
+    ``urlnorm.resolve_href``'s full RFC 3986 §5 chain. ``is_self``
+    marks pages already canonical (string-exact after resolution).
+
+    Scale shape: pure projection — two RE2-safe regexp_extracts, the
+    resolution CASE chain, zero exchanges (plan-pinned); grouping by
+    the canonical target is the caller's aggregation.
+    """
+    from intelligent_ocr_spark.functions.urlnorm import resolve_href
+
+    h = F.col(html_col)
+    raw = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                h, '<link\\s[^>]*rel="canonical"[^>]*href="([^"]*)"', 1
+            ),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(
+                h, '<link\\s[^>]*href="([^"]*)"[^>]*rel="canonical"', 1
+            ),
+            F.lit(""),
+        ),
+    )
+    resolved = resolve_href(F.col(url_col), raw)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        resolved.alias("canonical"),
+        F.when(resolved.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(resolved == F.col(url_col))
+        .alias("is_self"),
+    )
+
+
+def canonical_alias_groups(pages: DataFrame, url_col: str = "url",
+                           html_col: str = "html",
+                           min_claimers: int = 2) -> DataFrame:
+    """Alias families by declared canonical: one row per canonical
+    target claimed by ≥ ``min_claimers`` pages — (canonical,
+    n_claimers, n_aliases, sample_alias). ``n_aliases`` counts
+    non-self claimers (the rows a dedup pass would drop in favor of
+    the canonical); ``sample_alias`` is the min alias URL for stable
+    audit output. One map-side-combined exchange on the canonical key."""
+    c = extract_canonical(pages, url_col, html_col).filter(
+        F.col("canonical").isNotNull()
+    )
+    return (
+        c.groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_claimers"),
+            F.sum(F.when(~F.col("is_self"), 1).otherwise(0)).alias("n_aliases"),
+            F.min(F.when(~F.col("is_self"), F.col("url"))).alias("sample_alias"),
+        )
+        .filter(F.col("n_claimers") >= min_claimers)
+    )

@@ -115,3 +115,18 @@ def test_repair_inverts_whatwg_corruption(spark_session_hypothesis, s):
 @pytest.fixture(scope="module")
 def spark_session_hypothesis(spark):
     return spark
+
+
+def test_detection_plan_is_zero_exchange(spark):
+    """Signature counting is scan-projection algebra: no exchange, no
+    Python, before any caller-added sort/agg."""
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    n2, n3, n4, nf = mojibake_counts(F.col("text"))
+    plan = (
+        df.select("doc_id", n2, n3, n4, nf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -433,3 +433,51 @@ def test_redirect_chains_differential_replay(spark):
             cur, hops = m[cur], hops + 1
         want[s] = (cur, hops, True) if cur not in m else (None, None, False)
     assert _resolve(spark, edges, rounds=5) == want
+
+
+def test_extract_canonical_forms_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from intelligent_ocr_spark.operators.web import (
+        canonical_alias_groups,
+        extract_canonical,
+    )
+
+    rows = [
+        # rel-then-href, absolute
+        ("http://a.example/p/1",
+         '<html><link rel="canonical" href="http://a.example/c/x"></html>'),
+        # href-then-rel, root-relative -> resolves against page authority
+        ("http://a.example/p/2",
+         '<html><link href="/c/x" rel="canonical"><p>t</p></html>'),
+        # path-relative -> full resolve_href chain (directory merge)
+        ("http://a.example/p/3",
+         '<html><link rel="canonical" href="../c/x"></html>'),
+        # self-canonical
+        ("http://a.example/c/x",
+         '<html><link rel="canonical" href="http://a.example/c/x"></html>'),
+        # first declaration wins
+        ("http://a.example/p/4",
+         '<link rel="canonical" href="http://a.example/c/first">'
+         '<link rel="canonical" href="http://a.example/c/second">'),
+        # none
+        ("http://a.example/p/5", "<html><p>t</p></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r["url"]: (r["canonical"], r["is_self"])
+           for r in extract_canonical(df).collect()}
+    assert out["http://a.example/p/1"] == ("http://a.example/c/x", False)
+    assert out["http://a.example/p/2"] == ("http://a.example/c/x", False)
+    assert out["http://a.example/p/3"] == ("http://a.example/c/x", False)
+    assert out["http://a.example/c/x"] == ("http://a.example/c/x", True)
+    assert out["http://a.example/p/4"] == ("http://a.example/c/first", False)
+    assert out["http://a.example/p/5"] == (None, None)
+
+    plan = extract_canonical(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
+
+    fams = {r["canonical"]: (r["n_claimers"], r["n_aliases"], r["sample_alias"])
+            for r in canonical_alias_groups(df).collect()}
+    # /c/x family: three aliases + the self-canonical page itself
+    assert fams == {"http://a.example/c/x":
+                    (4, 3, "http://a.example/p/1")}
