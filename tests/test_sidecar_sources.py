@@ -126,3 +126,33 @@ def test_wet_damaged_bytes_surface_not_drop(spark, tmp_path):
     (row,) = read_wet_text(spark, p).collect()
     assert row["url"] == "http://h0.example/bad"
     assert "�" in row["text"] and row["text"].startswith("ok ")
+
+
+def test_wat_malformed_json_drops_links_not_rows(spark, tmp_path):
+    """A corrupt WAT payload yields NULL from from_json -> zero link
+    rows for that capture (explode drops NULL arrays); well-formed
+    records in the same container are unaffected, and the payload
+    surface still carries the bad row for auditing."""
+    import gzip
+
+    from intelligent_ocr_spark.sources.sidecar import _sidecar_record
+
+    good = _wat_rows(2)
+    p = str(tmp_path / "f.wat.gz")
+    write_synthetic_wat(str(tmp_path / "tmp.wat"), good)  # reuse writer for good rows
+    with open(str(tmp_path / "tmp.wat"), "rb") as f:
+        payload = f.read()
+    bad = _sidecar_record(
+        "metadata", "http://h9.example/bad", TS, "application/json",
+        b'{"Envelope": {"Payload-Metadata": NOT-JSON',
+    )
+    with open(p, "wb") as f:
+        f.write(gzip.compress(payload + bad, mtime=0))
+
+    payloads = read_wat_payloads(spark, p)
+    assert payloads.count() == 3  # bad row still auditable upstream
+    links = wat_links(payloads).collect()
+    assert sorted({r["src_url"] for r in links}) == sorted(
+        r["url"] for r in good
+    )
+    assert len(links) == sum(len(r["links"]) for r in good)
