@@ -7693,6 +7693,101 @@ def q_web_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_alias_groups(pages).orderBy("canonical")
 
 
+@_q(
+    "source_cdx_dups",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             'http://h' || (doc_id % 40) || '.example/d/' || doc_id AS url,
+             'example,h' || (doc_id % 40) || ')/d/' || doc_id AS surt,
+             md5('c' || (doc_id % 97)) AS digest
+      FROM documents
+    ),
+    built AS (
+      SELECT doc_id,
+             surt || ' 2024010' || (1 + doc_id % 9) || '120000 {"url": "'
+               || url || '", "status": "200", "digest": "' || digest
+               || '", "filename": "seg-' || (doc_id % 4)
+               || '.warc.gz", "offset": "' || (doc_id * 1000)
+               || '", "length": "987"}' AS l1,
+             surt || ' 2024020' || (1 + doc_id % 9) || '120000 {"url": "'
+               || url || '", "status": "200", "digest": "' || digest
+               || '", "filename": "seg-' || (doc_id % 4)
+               || '.warc.gz", "offset": "' || (doc_id * 1000 + 7)
+               || '", "length": "987"}' AS l2
+      FROM base
+    ),
+    lines AS (
+      SELECT unnest(CASE WHEN doc_id % 5 = 0 THEN [l1, l2]
+                         ELSE [l1] END) AS line
+      FROM built
+    ),
+    parsed AS (
+      SELECT json_extract_string(regexp_extract(line, '^(\\S+) (\\d{14}) (.*)$', 3), '$.url') AS url,
+             regexp_extract(line, '^(\\S+) (\\d{14}) (.*)$', 2) AS ts14,
+             json_extract_string(regexp_extract(line, '^(\\S+) (\\d{14}) (.*)$', 3), '$.digest') AS digest
+      FROM lines
+    )
+    SELECT digest,
+           count(*) AS n_captures,
+           count(DISTINCT url) AS n_urls,
+           min(ts14) AS first_ts,
+           max(ts14) AS last_ts,
+           min(url) AS sample_url
+    FROM parsed WHERE digest IS NOT NULL
+    GROUP BY digest HAVING count(*) >= 2
+    ORDER BY digest
+    """,
+)
+def q_source_cdx_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(J) capture-index exact dedup — the index-only cross-crawl
+    dup ledger: captures sharing a payload digest are byte-identical
+    bodies the crawler already hashed, so the ledger costs zero body
+    reads (sources/cdx.py; the batch-index twin of the WARC revisit
+    signal). The fixture synthesizes CDXJ lines from the documents
+    table IN BOTH ENGINES (doc_id % 5 == 0 docs get a second capture —
+    a re-crawl with a later timestamp and the same digest), then
+    parsing is the shared column algebra: one 3-group regex split,
+    get_json_object / json_extract_string on the JSON block, fixed-
+    width string timestamps (lexicographic = chronological), one
+    map-side-combined digest exchange. The file surface (spark.read
+    .text incl. transparent .gz) is pytest-pinned equal to the
+    in-memory parse (tests/test_cdx_source.py)."""
+    from intelligent_ocr_spark.sources.cdx import cdx_exact_dups, parse_cdxj_lines
+
+    d = _t(spark, sf_dir, "documents")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("http://h"), s(F.col("doc_id") % 40),
+        F.lit(".example/d/"), s(F.col("doc_id")),
+    )
+    surt = F.concat(
+        F.lit("example,h"), s(F.col("doc_id") % 40),
+        F.lit(")/d/"), s(F.col("doc_id")),
+    )
+    digest = F.md5(F.concat(F.lit("c"), s(F.col("doc_id") % 97)).cast("binary"))
+
+    def line(month: str, off_extra: int) -> F.Column:
+        return F.concat(
+            surt, F.lit(" 2024" + month), s(1 + F.col("doc_id") % 9),
+            F.lit('120000 {"url": "'), url,
+            F.lit('", "status": "200", "digest": "'), digest,
+            F.lit('", "filename": "seg-'), s(F.col("doc_id") % 4),
+            F.lit('.warc.gz", "offset": "'),
+            s(F.col("doc_id") * 1000 + off_extra),
+            F.lit('", "length": "987"}'),
+        )
+
+    lines = d.select(
+        F.explode(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.array(line("010", 0), line("020", 7))
+            ).otherwise(F.array(line("010", 0)))
+        ).alias("line")
+    )
+    return cdx_exact_dups(parse_cdxj_lines(lines)).orderBy("digest")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -7759,7 +7854,8 @@ _CHANGED_THIS_ROUND = [
     "prep_shard_stats",       # NEW: deterministic shard assignment + balance
     "text_kn_bigram_logprob",  # NEW: interpolated Kneser-Ney bigram LM
     "text_mojibake_detect",   # NEW: UTF-8-as-cp1252 signature detection
-    # a6_props_json and web_canonical_dedup were REGISTERED after the
+    # a6_props_json, web_canonical_dedup and source_cdx_dups were
+    # REGISTERED after the
     # changed ∪ skipped-last union filled all 50 cap slots; per the
     # late-registration precedent documented at _SKIPPED_LAST_ROUND
     # they sit in the tail this round — oracled, pytest-pinned, green
@@ -7774,19 +7870,19 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 107 names (all
+    # which as of the round-5 final commit is these 108 names (all
     # green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: sixty-two of them were REGISTERED in round 5 after the cap
+    # NOTE: sixty-three of them were REGISTERED in round 5 after the cap
     # was already exactly full (changed ∪ skipped-last = 50); per the
     # same slot-yield rationale as the WARC rows-only entries above
     # they sit in the tail this round — all oracled and pytest-pinned
     # (known-answer vectors, plan pins, Hypothesis properties), and all
     # parity-verified this round.
-    # COVERAGE MATH FOR ROUND 6: with 157 registered queries and a
+    # COVERAGE MATH FOR ROUND 6: with 158 registered queries and a
     # 50-row driver cap, "every query gets a driver row within one
-    # round" is arithmetically impossible (2 × 50 < 157). Priority
+    # round" is arithmetically impossible (2 × 50 < 158). Priority
     # order for round 6's first 50: (1) anything changed in round 6,
     # (2) the late-r5 registrations in the tail below that have NEVER
     # had a driver correctness row, (3) rotate the remainder. Queries
@@ -7811,7 +7907,7 @@ _SKIPPED_LAST_ROUND = [
     #   'web_redirect_chains', 'index_phrase_bm25', 'graph_reciprocity',
     #   'quality_linear_model', 'pipeline_decontaminate',
     #   'pipeline_frontier_bloom', 'a6_props_json', 'web_canonical_dedup',
-    #   'extract_synthetic_pages', 'extract_dual_insert',
+    #   'source_cdx_dups', 'extract_synthetic_pages', 'extract_dual_insert',
     #   'extract_pixmap_pages', 'source_warc_extract', 'warc_revisit_dedup',
     #   'q1_pricing_summary', 'f1_existing_text_probe',
     #   'f4_confidence_filter', 'x11_hash_bucketing', 'j2_resume_antijoin',
