@@ -2975,6 +2975,150 @@ def q_pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_lsh_verified",
+    # Two-stage near-dup: the LSH candidate CTE chain (identical to
+    # dedup_clusters' front half) followed by EXACT Jaccard over the
+    # full distinct shingle sets, computed only on candidate pairs.
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3 THEN {_SHINGLE_SQL} ELSE [] END)) AS shingle
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::UBIGINT AS h1,
+             ('0x' || substr(md5('~' || shingle), 1, 8))::UBIGINT AS h2
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {', '.join(f"min((h1 + {j} * h2) % 2147483647) AS g{j}" for j in range(8))}
+      FROM hashed GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band,
+             CASE WHEN band = 0 THEN md5(g0 || '|' || g1 || '|' || g2 || '|' || g3)
+                  ELSE md5(g4 || '|' || g5 || '|' || g6 || '|' || g7) END AS bucket
+      FROM sig CROSS JOIN (SELECT unnest([0, 1]) AS band)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_shared
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+           floor(i.n_shared / (na.n + nb.n - i.n_shared) * 1e6) / 1e6 AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE floor(i.n_shared / (na.n + nb.n - i.n_shared) * 1e6) / 1e6 >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact full-universe Jaccard — the
+    SlimPajama-style two-stage near-dup shape (candidates are cheap and
+    recall-oriented; the exact Jaccard on candidates-only restores
+    precision before clustering). operators/dedup.py::lsh_verified_pairs."""
+    from intelligent_ocr_spark.operators.dedup import lsh_verified_pairs
+
+    return lsh_verified_pairs(
+        _t(spark, sf_dir, "documents"), bands=2, threshold=0.2
+    ).orderBy("doc_a", "doc_b")
+
+
+@_q(
+    "dedup_keep_best",
+    # Cluster CTE chain (as dedup_clusters) + quality scoring (as
+    # text_quality_score) + per-cluster argmax(quality, tiebreak min id).
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3 THEN {_SHINGLE_SQL} ELSE [] END)) AS shingle
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::UBIGINT AS h1,
+             ('0x' || substr(md5('~' || shingle), 1, 8))::UBIGINT AS h2
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {', '.join(f"min((h1 + {j} * h2) % 2147483647) AS g{j}" for j in range(8))}
+      FROM hashed GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band,
+             CASE WHEN band = 0 THEN md5(g0 || '|' || g1 || '|' || g2 || '|' || g3)
+                  ELSE md5(g4 || '|' || g5 || '|' || g6 || '|' || g7) END AS bucket
+      FROM sig CROSS JOIN (SELECT unnest([0, 1]) AS band)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), cc AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON c.node = e.src
+    ), clusters AS (
+      SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+      FROM cc GROUP BY node
+    ), q AS (
+      SELECT doc_id,
+             floor((
+               0.5 * (least(length(text)::DOUBLE, 2000.0) / 2000.0)
+               + 0.3 * (CASE WHEN len({_TOKS_SQL}) > 0
+                   THEN len(list_filter({_TOKS_SQL}, x -> list_contains(['the','a','of','and','to','in','is','that','for','with'], x)))::DOUBLE / len({_TOKS_SQL})::DOUBLE
+                   ELSE 0.0 END)
+               + 0.2 * (1.0 - least((CASE WHEN length(text) > 0
+                   THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE
+                   ELSE 0.0 END) * 5.0, 1.0))
+             ) * 1e6) / 1e6 AS quality
+      FROM documents
+    ), r AS (
+      SELECT c.cluster_id, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id, quality AS rep_quality,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_removed
+    FROM r WHERE rn = 1 ORDER BY cluster_id
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-quality dedup representative: near-dup clusters (LSH →
+    large-star/small-star CC) where each cluster keeps its highest-
+    quality member (tiebreak min doc id) instead of the arbitrary min-id
+    doc — dedup never discards the cleanest copy of a page for a
+    boilerplate-ridden mirror. One map-side-combined argmax aggregation,
+    no window (operators/dedup.py::keep_best_representative)."""
+    from intelligent_ocr_spark.functions.textstats import quality_score
+    from intelligent_ocr_spark.operators.dedup import (
+        keep_best_representative,
+        minhash_lsh_candidates,
+        near_dup_clusters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(minhash_lsh_candidates(d, bands=2))
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return keep_best_representative(scored, clusters, score_col="quality")
+
+
+@_q(
     "text_char_entropy",
     """
     WITH chars AS (
@@ -7854,8 +7998,8 @@ _CHANGED_THIS_ROUND = [
     "prep_shard_stats",       # NEW: deterministic shard assignment + balance
     "text_kn_bigram_logprob",  # NEW: interpolated Kneser-Ney bigram LM
     "text_mojibake_detect",   # NEW: UTF-8-as-cp1252 signature detection
-    # a6_props_json, web_canonical_dedup and source_cdx_dups were
-    # REGISTERED after the
+    # a6_props_json, web_canonical_dedup, source_cdx_dups,
+    # dedup_lsh_verified and dedup_keep_best were REGISTERED after the
     # changed ∪ skipped-last union filled all 50 cap slots; per the
     # late-registration precedent documented at _SKIPPED_LAST_ROUND
     # they sit in the tail this round — oracled, pytest-pinned, green

@@ -48,6 +48,8 @@ __all__ = [
     "substring_dup_spans",
     "benchmark_contamination",
     "near_dup_clusters",
+    "keep_best_representative",
+    "lsh_verified_pairs",
     "remove_repeated_paragraphs",
     "winnow_fingerprints",
     "winnow_pairs",
@@ -929,3 +931,146 @@ def incremental_exact_dedup(
         )
         .orderBy("doc_id")
     )
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates VERIFIED by exact Jaccard — the two-stage near-dup
+    shape published pipelines actually run (SlimPajama, and the variant
+    FineWeb ablates): MinHash-LSH proposes candidate pairs cheaply, then
+    the exact shingle-set Jaccard is computed on THOSE PAIRS ONLY and
+    pairs below ``threshold`` (LSH false positives — band collisions of
+    genuinely dissimilar docs) are discarded before clustering.
+
+    Complements the two existing single-stage operators:
+
+    * :func:`minhash_lsh_candidates` alone admits every band collision
+      (its precision is whatever the band structure gives);
+    * :func:`ngram_jaccard_pairs` blocks on shared RARE shingles with a
+      doc-frequency cap, so its Jaccard is over the capped universe —
+      here the verification is a TRUE Jaccard over the full distinct
+      shingle sets, affordable because it only ever runs on the LSH
+      candidate set, never on all shared-shingle pairs.
+
+    Scale shape: candidate generation is the audited LSH path (one band
+    exchange, never all-pairs). Verification semi-restricts the
+    (doc, shingle) projection to docs that appear in ANY candidate pair
+    — at corpus scale that is the near-dup sliver, not the corpus —
+    then counts intersections by a (doc_b, shingle) equi-join fanned per
+    candidate pair, bounded by |candidates| x shingles/doc. Set sizes
+    ride the same restricted projection. No window, no hot key: band
+    buckets are md5-uniform and AQE splits residual boilerplate skew.
+
+    Returns (doc_a, doc_b, n_shared, jaccard) with ``jaccard`` floor-
+    scaled to 1e-6 (bit-stable across engines), filtered to
+    ``jaccard >= threshold``. Zero-intersection candidates drop out of
+    the inner intersection join — consistent in both engines for any
+    ``threshold > 0``.
+
+    Reference parity: the reference dedups at file granularity by exact
+    content hash only (``core/checkpoint.py``); corpus-level verified
+    near-dup is part of the web-corpus extension this engine adds.
+    """
+    cand = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_n)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), shingle_n))
+            ).alias("shingle"),
+        )
+        .join(cand_docs, "doc_id", "left_semi")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.floor(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+                * F.lit(1e6)
+            )
+            / F.lit(1e6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+def keep_best_representative(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Per-cluster BEST-quality representative selection — the dedup
+    policy choice :func:`near_dup_clusters` leaves open. The existing
+    pipelines keep each cluster's min-id doc (cheap, arbitrary); real
+    corpus builds keep the HIGHEST-QUALITY member so dedup never
+    discards the cleanest copy of a page in favour of a boilerplate-
+    ridden mirror that happened to get the smaller id.
+
+    ``clusters`` is any (doc_id, cluster_id) frame (the
+    :func:`near_dup_clusters` contract: one row per doc appearing in a
+    pair; singletons absent — they need no representative decision).
+    ``df`` supplies the score column per doc.
+
+    Tie-break: equal scores keep the smallest doc id, so the output is
+    deterministic under retries and partitioning.
+
+    Scale shape: ONE hash aggregation on cluster_id with a map-side-
+    combined ``min(struct(-score, doc_id))`` — the argmax folds
+    partially on the map side, so the shuffle carries one row per
+    (partition, cluster), never the cluster membership. No window, no
+    sort. IEEE negation is exact, so the recovered ``rep_quality``
+    round-trips bit-identically for the oracle hash.
+
+    Returns (cluster_id, rep_doc_id, rep_quality, n_members, n_removed)
+    ordered by cluster_id.
+    """
+    joined = clusters.join(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
+        ),
+        "doc_id",
+    )
+    best = joined.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("_score")).alias("neg_score"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        ).alias("best"),
+        F.count("*").alias("n_members"),
+    )
+    return best.select(
+        "cluster_id",
+        F.col("best.doc_id").alias("rep_doc_id"),
+        (-F.col("best.neg_score")).alias("rep_quality"),
+        "n_members",
+        (F.col("n_members") - F.lit(1)).alias("n_removed"),
+    ).orderBy("cluster_id")

@@ -840,3 +840,60 @@ def test_incremental_near_dedup_matches_in_corpus_lsh(spark):
             flagged.add(a)
     want = {i: (i in flagged) for i, _ in new_rows}
     assert got == want
+
+
+def test_keep_best_representative_known_answers(spark):
+    """Argmax-quality representative per cluster: the highest score wins,
+    score ties break on the SMALLEST doc id, membership counts are exact,
+    and rep_quality round-trips the input double bit-identically."""
+    from intelligent_ocr_spark.operators.dedup import keep_best_representative
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.3), (11, 0.3)],
+        "doc_id long, quality double",
+    )
+    rows = {
+        r["cluster_id"]: r
+        for r in keep_best_representative(scored, clusters).collect()
+    }
+    assert rows[1]["rep_doc_id"] == 2  # 0.9 tie between 2 and 3 -> min id
+    assert rows[1]["rep_quality"] == 0.9
+    assert (rows[1]["n_members"], rows[1]["n_removed"]) == (3, 2)
+    assert rows[10]["rep_doc_id"] == 10  # full tie -> min id
+    assert (rows[10]["n_members"], rows[10]["n_removed"]) == (2, 1)
+
+
+def test_lsh_verified_pairs_filters_candidates(docs, spark):
+    """Two-stage near-dup: every verified pair is an LSH candidate, the
+    exact duplicate scores jaccard exactly 1.0, and raising the threshold
+    drops the true-but-partial near-dup pairs the candidate stage admits
+    (the precision step doing real work)."""
+    from intelligent_ocr_spark.operators.dedup import (
+        lsh_verified_pairs,
+        minhash_lsh_candidates,
+    )
+
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, bands=2).collect()
+    }
+    assert (1, 2) in cand and (1, 3) in cand  # exact dup + near dup collide
+
+    loose = lsh_verified_pairs(docs, bands=2, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]): r for r in loose}
+    assert set(got) <= cand
+    assert got[(1, 2)]["jaccard"] == 1.0
+    # docs 1 and 3 differ only in the last trigram: 10 of 11 shingles
+    # shared, J = 10/(11+11-10)
+    assert got[(1, 3)]["n_shared"] == 10
+    assert got[(1, 3)]["jaccard"] == pytest.approx(10 / 12, abs=1e-6)
+
+    strict = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_verified_pairs(docs, bands=2, threshold=0.9).collect()
+    }
+    assert (1, 2) in strict and (1, 3) not in strict and (2, 3) not in strict
