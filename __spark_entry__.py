@@ -260,6 +260,63 @@ def q_source_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("source_sidecar_tiers")  # rows-only: WET/WAT container parsing
+def q_source_sidecars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl's SIDECAR tiers end-to-end: the same synthetic crawl
+    written as WET (plain-text conversion records) and WAT (JSON metadata
+    envelopes), read back split-parallel (sources/sidecar.py over the
+    WARC reader's byte-range record iterator), WAT links exploded
+    JVM-side, and the two tiers joined per capture — the body-free route
+    to text stats + an out-link graph when the full WARC isn't needed."""
+    import os
+    import tempfile
+    from datetime import datetime, timezone as _tz
+
+    from intelligent_ocr_spark.sources.sidecar import (
+        read_wat_payloads,
+        read_wet_text,
+        wat_links,
+        write_synthetic_wat,
+        write_synthetic_wet,
+    )
+
+    d = tempfile.mkdtemp(prefix="spark_graft_sidecar_")
+    ts = datetime(2024, 5, 1, tzinfo=_tz.utc)
+    rows = []
+    for i in range(90):
+        text = " ".join(f"tok{(i + j) % 13}" for j in range(5 + i % 7))
+        if i % 3 == 0:
+            text += " 研究資料"  # a CJK tail exercises WET's UTF-8 path
+        rows.append(
+            {
+                "url": f"https://wet.example/p{i}",
+                "warc_ts": ts,
+                "text": text,
+                "links": [f"https://host{j}.example/x{i}" for j in range(i % 4)],
+            }
+        )
+    write_synthetic_wet(os.path.join(d, "a.warc.wet.gz"), rows[:45])
+    write_synthetic_wet(os.path.join(d, "b.warc.wet.gz"), rows[45:])
+    write_synthetic_wat(os.path.join(d, "a.warc.wat.gz"), rows[:45])
+    write_synthetic_wat(os.path.join(d, "b.warc.wat.gz"), rows[45:])
+    wet = read_wet_text(spark, os.path.join(d, "*.warc.wet.gz"))
+    n_links = (
+        wat_links(read_wat_payloads(spark, os.path.join(d, "*.warc.wat.gz")))
+        .groupBy("src_url")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    return (
+        wet.join(n_links, wet["url"] == n_links["src_url"], "left")
+        .select(
+            wet["url"],
+            F.length("text").alias("n_chars"),
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+            F.coalesce("n_links", F.lit(0)).cast("long").alias("n_links"),
+        )
+        .orderBy("url")
+    )
+
+
 @_q("warc_revisit_dedup")  # rows-only: fixture-generated WARC, no table twin
 def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``revisit`` records as a free exact-dup signal: the crawler already
@@ -2731,6 +2788,53 @@ def q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_q(
+    "pipeline_ccnet_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(c) AS total FROM freq
+    ), lp AS (
+      SELECT doc_id,
+             floor(avg(ln(c * 1.0 / total)) * 1e6) / 1e6 AS mean_logprob
+      FROM toks JOIN freq USING (tok) CROSS JOIN tot
+      GROUP BY doc_id
+    ), s AS (
+      SELECT d.lang, lp.doc_id, lp.mean_logprob
+      FROM lp JOIN documents d USING (doc_id)
+    ), th AS (
+      SELECT lang,
+             floor(quantile_cont(mean_logprob, 0.33) * 1e6) / 1e6 AS p33,
+             floor(quantile_cont(mean_logprob, 0.67) * 1e6) / 1e6 AS p67
+      FROM s GROUP BY lang
+    ), b AS (
+      SELECT s.lang,
+             CASE WHEN mean_logprob >= p67 THEN 'head'
+                  WHEN mean_logprob >= p33 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             mean_logprob
+      FROM s JOIN th USING (lang)
+    )
+    SELECT lang, bucket, count(*) AS n_docs,
+           floor(avg(CAST(round(mean_logprob * 1e6) AS BIGINT))) / 1e6
+             AS avg_logprob
+    FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's per-LANGUAGE head/middle/tail perplexity tertiles — unlike
+    the global-threshold gate above, each language is cut against its OWN
+    score distribution, so low-resource languages are not drained by the
+    head languages' score range (functions/textstats.py::ccnet_buckets;
+    thresholds are a one-row-per-language broadcast)."""
+    from intelligent_ocr_spark.functions.textstats import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"))
 
 
 @_q(
@@ -6323,6 +6427,116 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "quality_blocklist",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), h AS (
+      SELECT doc_id, toks,
+             list_filter(toks, x ->
+               list_contains(['dup', 'spam', 'casino'], x)) AS hits
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(hits) AS BIGINT) AS n_hits,
+           coalesce(array_to_string(list_sort(list_distinct(hits)), '|'), '')
+             AS hit_words,
+           CASE WHEN len(toks) > 0
+                THEN floor(len(hits)::DOUBLE / len(toks)::DOUBLE * 1e6) / 1e6
+                ELSE 0.0 END AS hit_frac,
+           len(hits) = 0 AS page_kept
+    FROM h ORDER BY doc_id
+    """,
+)
+def q_quality_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's word-blocklist page gate with NEUTRAL placeholder words (the
+    real deployment plugs in the public banned-word list; the deliverable
+    is the token-boundary gate shape + audit columns, a pure projection —
+    functions/quality_rules.py::blocklist_gate)."""
+    from intelligent_ocr_spark.functions.quality_rules import blocklist_gate
+
+    return (
+        blocklist_gate(
+            _t(spark, sf_dir, "documents"), ["dup", "spam", "casino"]
+        )
+        .withColumn("hit_words", F.array_join("hit_words", "|"))
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "pipeline_quality_funnel",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+             string_split(text, chr(10)) AS rawlines,
+             list_transform(string_split(text, chr(10)), l -> trim(l)) AS tlines,
+             {_TOKS_SQL} AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text, toks,
+             len(words)::BIGINT AS n_words,
+             len(rawlines)::BIGINT AS n_lines,
+             coalesce(list_sum(list_transform(words, w2 -> length(w2))), 0)::BIGINT AS char_sum,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '…', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS symbols,
+             len(list_filter(rawlines, l -> regexp_matches(l, '^\\s*[•*\\-]')))::BIGINT AS n_bullet,
+             len(list_filter(rawlines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::BIGINT AS n_ellipsis,
+             len(list_filter(words, w2 -> regexp_matches(w2, '[A-Za-z]')))::BIGINT AS n_alpha,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             sw -> list_contains(list_transform(words, w2 -> lower(w2)), sw)))::BIGINT AS stop_hits,
+             coalesce(array_to_string(list_filter(tlines, l ->
+                 regexp_matches(l, '[.!?"]$')
+                 AND len(list_filter(string_split_regex(l, '\\s+'), x -> x <> '')) >= 5
+                 AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS cleaned
+      FROM w
+    ), fl AS (
+      SELECT doc_id,
+        (n_words >= 50 AND n_words <= 100000
+         AND floor((CASE WHEN n_words > 0 THEN char_sum * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6 >= 3.0
+         AND floor((CASE WHEN n_words > 0 THEN char_sum * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6 <= 10.0
+         AND floor((CASE WHEN n_words > 0 THEN symbols * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6 <= 0.1
+         AND floor((n_bullet * 1.0 / n_lines) * 1e6) / 1e6 <= 0.9
+         AND floor((n_ellipsis * 1.0 / n_lines) * 1e6) / 1e6 <= 0.3
+         AND floor((CASE WHEN n_words > 0 THEN n_alpha * 1.0 / n_words ELSE 0.0 END) * 1e6) / 1e6 >= 0.8
+         AND stop_hits >= 2) AS g,
+        (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, chr(123))
+         AND length(regexp_replace(cleaned, '[^.!?]', '', 'g')) >= 3) AS c,
+        (len(list_filter(toks, x -> list_contains(['dup', 'spam', 'casino'], x))) = 0) AS b
+      FROM s
+    ), counts AS (
+      SELECT count(*)::BIGINT AS n0,
+             (count(*) FILTER (WHERE g))::BIGINT AS n1,
+             (count(*) FILTER (WHERE g AND c))::BIGINT AS n2,
+             (count(*) FILTER (WHERE g AND c AND b))::BIGINT AS n3
+      FROM fl
+    )
+    SELECT 1 AS stage_idx, 'gopher_shape' AS stage,
+           n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM counts
+    UNION ALL
+    SELECT 2, 'c4_page_gates', n1, n1 - n2, n2 FROM counts
+    UNION ALL
+    SELECT 3, 'word_blocklist', n2, n2 - n3, n3 FROM counts
+    ORDER BY stage_idx
+    """,
+)
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential gate-attrition report (gopher shape → C4 page gates →
+    word blocklist): per-stage n_in/n_dropped/n_out, the removal-stats
+    table published corpus builds ship. All three verdicts evaluate in
+    one zero-exchange projection; one 4-counter scalar aggregation; the
+    stage rows explode from that single row
+    (functions/quality_rules.py::quality_funnel)."""
+    from intelligent_ocr_spark.functions.quality_rules import quality_funnel
+
+    return quality_funnel(
+        _t(spark, sf_dir, "documents"), ["dup", "spam", "casino"]
+    )
+
+
+@_q(
     "text_bigram_logprob",
     f"""
     WITH toks AS (
@@ -7999,7 +8213,9 @@ _CHANGED_THIS_ROUND = [
     "text_kn_bigram_logprob",  # NEW: interpolated Kneser-Ney bigram LM
     "text_mojibake_detect",   # NEW: UTF-8-as-cp1252 signature detection
     # a6_props_json, web_canonical_dedup, source_cdx_dups,
-    # dedup_lsh_verified and dedup_keep_best were REGISTERED after the
+    # dedup_lsh_verified, dedup_keep_best, quality_blocklist,
+    # pipeline_ccnet_buckets, source_sidecar_tiers and
+    # pipeline_quality_funnel were REGISTERED after the
     # changed ∪ skipped-last union filled all 50 cap slots; per the
     # late-registration precedent documented at _SKIPPED_LAST_ROUND
     # they sit in the tail this round — oracled, pytest-pinned, green

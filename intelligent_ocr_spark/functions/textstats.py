@@ -40,6 +40,7 @@ __all__ = [
     "tfidf_top_terms",
     "source_token_drift",
     "source_overlap",
+    "ccnet_buckets",
 ]
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "with")
@@ -679,4 +680,66 @@ def weighted_lang_sample(
             < F.col("expected_docs").cast("decimal(38,0)") * F.lit(2**32).cast("decimal(38,0)")
         )
         .select("doc_id", "lang")
+    )
+
+
+def ccnet_buckets(
+    df, id_col: str = "doc_id", text_col: str = "text", lang_col: str = "lang"
+):
+    """CCNet's per-LANGUAGE perplexity bucketing (Wenzek et al. 2020,
+    §4.3): documents are ranked by an LM score WITHIN their language and
+    cut into head / middle / tail tertiles.  The per-language cut is the
+    operator's whole point — LM scores are not comparable across
+    languages (a median English doc and a median Thai doc score wildly
+    differently), so the global-threshold gate
+    (``pipeline_perplexity_gate``) systematically drains low-resource
+    languages while this one keeps each language's own best third.
+
+    Score = :func:`unigram_logprob` (the relational CCNet proxy; swap in
+    :func:`kn_bigram_logprob` for the KenLM-shaped score — the bucketing
+    is score-agnostic).  Buckets: ``head`` = mean_logprob >= that
+    language's p67, ``middle`` >= p33, else ``tail``; thresholds are
+    floor-scaled to the same 1e-6 grid as the scores so both engines
+    compare identical doubles.
+
+    Scale shape: the scores frame is one row per doc (its internals are
+    the audited heavy-hitter-safe hybrid); the threshold frame is ONE
+    ROW PER LANGUAGE — computed by an exact ``percentile`` here and
+    BROADCAST back, so bucket assignment is a projection and the output
+    aggregation is an ordinary map-side-combined groupBy on
+    (lang, bucket).  At real scale the exact per-group percentile (which
+    buffers a language's score list) swaps for ``approx_percentile`` —
+    CCNet itself cuts on approximate thresholds; the oracle pins the
+    exact form.
+
+    Returns (lang, bucket, n_docs, avg_logprob) ordered by (lang,
+    bucket), avg in integer-micro-unit exact form.
+    """
+    lp = unigram_logprob(df, id_col, text_col)
+    scored = lp.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+        "doc_id",
+    )
+    th = scored.groupBy("lang").agg(
+        (F.floor(F.expr("percentile(mean_logprob, 0.33)") * F.lit(1e6)) / F.lit(1e6)).alias("p33"),
+        (F.floor(F.expr("percentile(mean_logprob, 0.67)") * F.lit(1e6)) / F.lit(1e6)).alias("p67"),
+    )
+    bucketed = scored.join(F.broadcast(th), "lang").withColumn(
+        "bucket",
+        F.when(F.col("mean_logprob") >= F.col("p67"), F.lit("head"))
+        .when(F.col("mean_logprob") >= F.col("p33"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.floor(
+                    F.avg(F.round(F.col("mean_logprob") * F.lit(1e6)).cast("long"))
+                )
+                / F.lit(1e6)
+            ).alias("avg_logprob"),
+        )
+        .orderBy("lang", "bucket")
     )

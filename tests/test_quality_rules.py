@@ -209,3 +209,118 @@ def test_kn_bigram_logprob_replay(spark):
     assert c12[("x", "a")] == c12[("y", "q")] == 1
     assert c1["x"] == c1["y"] == 1
     assert lnp("x", "a") > lnp("y", "q")
+
+
+def test_blocklist_gate_token_boundaries(spark):
+    """Whole-token matching (no Scunthorpe substring hits), multiplicity
+    in n_hits, sorted distinct audit column, exact floor-scaled fraction,
+    and C4's any-hit page gate."""
+    from intelligent_ocr_spark.functions.quality_rules import blocklist_gate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words only here"),
+            (2, "spam and more SPAM plus dup"),   # 3 hits, 2 distinct, case-folded
+            (3, "scunthorpe classics are fine"),  # substring not a token
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in blocklist_gate(docs, ["dup", "spam", "casino"]).collect()
+    }
+    assert rows[1]["n_hits"] == 0 and rows[1]["page_kept"]
+    assert rows[2]["n_hits"] == 3 and not rows[2]["page_kept"]
+    assert rows[2]["hit_words"] == ["dup", "spam"]
+    assert rows[2]["hit_frac"] == _f6(3 / 6)
+    assert rows[3]["n_hits"] == 0 and rows[3]["page_kept"]  # "scunthorpe" intact
+    assert rows[4]["n_hits"] == 0 and rows[4]["hit_frac"] == 0.0
+
+
+def test_blocklist_gate_plan_is_projection(spark):
+    """The gate stays a pure projection: the word list folds into literal
+    expressions — no exchange, no Python boundary, no broadcast join."""
+    from intelligent_ocr_spark.functions.quality_rules import blocklist_gate
+
+    docs = spark.createDataFrame([(1, "a dup b")], "doc_id long, text string")
+    plan = _plan(blocklist_gate(docs, ["dup"]))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_ccnet_buckets_per_language_tertiles(spark):
+    """Per-LANGUAGE cuts: a language whose scores all sit below another
+    language's whole range still gets its own head/middle/tail split —
+    the property the global-threshold gate lacks. Counts per bucket
+    follow the >=p67 / >=p33 rule with exact percentiles."""
+    from intelligent_ocr_spark.functions.textstats import ccnet_buckets
+
+    # lang a: 6 docs of graded "commonness" (repeats of a common token vs
+    # rare-token soup); lang b: 3 docs, all far rarer words than lang a's
+    rows = []
+    common = "the the the the"
+    for i in range(6):
+        rows.append((i, common + " " + " ".join(f"w{j}" for j in range(i)), "a"))
+    for i in range(6, 9):
+        rows.append((i, f"r{i}x r{i}y r{i}z", "b"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_buckets(docs).collect()
+    by = {(r["lang"], r["bucket"]): r["n_docs"] for r in out}
+    # every language has a non-empty head, regardless of absolute scores
+    assert by.get(("a", "head"), 0) >= 1
+    assert by.get(("b", "head"), 0) >= 1
+    assert sum(n for (l, _), n in by.items() if l == "a") == 6
+    assert sum(n for (l, _), n in by.items() if l == "b") == 3
+    # the tertile rule can't put more than ~2/3 of a language in its head
+    assert by.get(("a", "head"), 0) <= 4
+
+
+def test_flag_columns_match_rule_frames(spark, fixture_docs):
+    """Drift guard: the funnel's single-projection flag columns must
+    agree row-for-row with the DataFrame rule operators they twin."""
+    from intelligent_ocr_spark.functions.quality_rules import (
+        _c4_page_kept,
+        _gopher_flag,
+    )
+
+    flags = {
+        r["doc_id"]: r
+        for r in fixture_docs.select(
+            "doc_id",
+            _gopher_flag(F.col("text")).alias("g"),
+            _c4_page_kept(F.col("text")).alias("c"),
+        ).collect()
+    }
+    for r in gopher_rules(fixture_docs).collect():
+        assert flags[r["doc_id"]]["g"] == r["passes"], r["doc_id"]
+    for r in c4_filters(fixture_docs).collect():
+        assert flags[r["doc_id"]]["c"] == r["page_kept"], r["doc_id"]
+
+
+def test_quality_funnel_sequential_attrition(spark):
+    """Funnel semantics: stage n_in chains from the previous stage's
+    n_out, and a doc failing two gates is charged to the FIRST."""
+    from intelligent_ocr_spark.functions.quality_rules import quality_funnel
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and keeps going. "
+    ) * 8  # passes shape gates, ends with '.', >= 3 sentences? one line
+    good = good.strip() + "\nAnd that is the end of it all, with more to come.\n" \
+        + "Here is another proper sentence that carries enough words to keep.\n" \
+        + "And one more closing line that also ends with a terminal mark."
+    docs = spark.createDataFrame(
+        [
+            (1, good),                      # survives all gates
+            (2, "tiny doc"),                # fails gopher (and would fail c4)
+            (3, good + " {"),               # passes gopher, fails c4 brace gate
+            (4, good + " spam."),           # passes gopher+c4, fails blocklist
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["stage_idx"]: r for r in quality_funnel(docs, ["spam"]).collect()}
+    assert rows[1]["n_in"] == 4 and rows[1]["n_dropped"] == 1  # doc 2 charged here
+    assert rows[2]["n_in"] == rows[1]["n_out"]
+    assert rows[2]["n_dropped"] == 1                            # doc 3
+    assert rows[3]["n_in"] == rows[2]["n_out"]
+    assert rows[3]["n_dropped"] == 1 and rows[3]["n_out"] == 1  # doc 1 survives

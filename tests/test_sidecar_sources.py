@@ -156,3 +156,17 @@ def test_wat_malformed_json_drops_links_not_rows(spark, tmp_path):
         r["url"] for r in good
     )
     assert len(links) == sum(len(r["links"]) for r in good)
+
+
+def test_source_sidecar_tiers_query(spark):
+    """The registered rows-only query joins the WET text tier with WAT
+    link counts per capture: 90 rows, i%4 out-links each, UTF-8 CJK text
+    surviving the container round-trip."""
+    from __spark_entry__ import queries
+
+    rows = queries()["source_sidecar_tiers"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 90
+    by = {r["url"]: r for r in rows}
+    assert by["https://wet.example/p0"]["n_links"] == 0
+    assert by["https://wet.example/p3"]["n_links"] == 3
+    assert by["https://wet.example/p0"]["n_chars"] > 0
