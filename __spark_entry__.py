@@ -2323,6 +2323,77 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_host_boilerplate",
+    # per-SOURCE template removal: every doc carries its source's footer
+    # line; repetition is counted within (source, paragraph) only
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ), ptext AS (
+      SELECT doc_id, source,
+             array_to_string(
+               list_transform(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT)),
+                 g -> array_to_string(toks[(CAST(g AS INT)*20+1):(CAST(g AS INT)*20+20)], ' ')),
+               chr(10))
+             || chr(10) || 'footer -- ' || source AS ptxt
+      FROM toks
+    ), split_p AS (
+      SELECT doc_id, source, string_split(ptxt, chr(10)) AS parts FROM ptext
+    ), paras AS (
+      SELECT doc_id, source, u.i AS idx, parts[CAST(u.i AS INT)] AS para,
+             md5(parts[CAST(u.i AS INT)]) AS h
+      FROM split_p, unnest(range(1, CAST(len(parts)+1 AS BIGINT))) AS u(i)
+      WHERE parts[CAST(u.i AS INT)] <> ''
+    ), overcap AS (
+      SELECT source, h FROM (
+        SELECT source, h, count(DISTINCT doc_id) AS c
+        FROM paras GROUP BY source, h)
+      WHERE c > 1
+    ), flagged AS (
+      SELECT p.doc_id, p.idx, p.para, (o.h IS NOT NULL) AS dropped
+      FROM paras p LEFT JOIN overcap o USING (source, h)
+    ), kept AS (
+      SELECT doc_id, md5(string_agg(para, chr(10) ORDER BY idx)) AS clean_md5,
+             count(*) AS n_kept
+      FROM flagged WHERE NOT dropped GROUP BY doc_id
+    ), drops AS (
+      SELECT doc_id, count(*) FILTER (WHERE dropped) AS n_dropped
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           COALESCE(clean_md5, md5('')) AS clean_md5
+    FROM drops LEFT JOIN kept USING (doc_id) ORDER BY doc_id
+    """,
+)
+def q_dedup_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-HOST template removal (scope_col variant of the paragraph
+    dedup): a paragraph is boilerplate only when it repeats across docs
+    of the SAME source — per-site footers drop, cross-site popular
+    quotations survive (operators/dedup.py::remove_repeated_paragraphs
+    with scope_col)."""
+    from intelligent_ocr_spark.functions.textstats import tokens
+    from intelligent_ocr_spark.operators.dedup import remove_repeated_paragraphs
+
+    ts = tokens(F.col("text"))
+    n_groups = F.ceil(F.size(ts) / F.lit(20.0)).cast("long")
+    groups = F.when(
+        n_groups >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_groups - 1),
+            lambda g: F.concat_ws(" ", F.slice(ts, (g * 20 + 1).cast("int"), 20)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ptxt = F.concat(
+        F.concat_ws("\n", groups), F.lit("\nfooter -- "), F.col("source")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", ptxt.alias("text")
+    )
+    return remove_repeated_paragraphs(d, doc_freq_cap=1, scope_col="source")
+
+
+@_q(
     "dedup_incremental",
     # cross-snapshot exact dedup: OLD corpus = even doc_ids; NEW snapshot =
     # odd doc_ids plus simulated re-crawls (every 10th doc re-ingested under
@@ -3220,6 +3291,59 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = near_dup_clusters(minhash_lsh_candidates(d, bands=2))
     scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
     return keep_best_representative(scored, clusters, score_col="quality")
+
+
+@_q(
+    "dedup_cdc_chunks",
+    # Content-defined chunking: cut where the k=5 gram hash ending at a
+    # position is 0 mod 16; chunks between cuts; dup-chunk inventory.
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) > 0
+    ), cuts AS (
+      SELECT doc_id, text,
+             list_sort(list_distinct(list_append(
+               list_transform(
+                 list_filter(
+                   CASE WHEN length(text) >= 5
+                        THEN range(1, length(text) - 3) ELSE [] END,
+                   i -> ('0x' || substr(md5(text[CAST(i AS INT):CAST(i + 4 AS INT)]), 1, 8))::UBIGINT % 16 = 0
+                 ),
+                 i -> i + 4
+               ),
+               CAST(length(text) AS BIGINT)
+             ))) AS ends
+      FROM d
+    ), idx AS (
+      SELECT doc_id, text, ends, unnest(range(1, len(ends) + 1)) AS j
+      FROM cuts
+    ), chunks AS (
+      SELECT doc_id,
+             text[(CASE WHEN j = 1 THEN 1
+                        ELSE CAST(ends[CAST(j - 1 AS INT)] AS INT) + 1 END)
+                  : CAST(ends[CAST(j AS INT)] AS INT)] AS chunk
+      FROM idx
+    ), h AS (
+      SELECT doc_id, md5(chunk) AS chunk_md5,
+             length(chunk)::BIGINT AS chunk_len
+      FROM chunks WHERE chunk <> ''
+    )
+    SELECT chunk_md5, chunk_len,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_occurrences
+    FROM h GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY chunk_md5
+    """,
+)
+def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dup inventory (LBFS-style local cut
+    rule, no clamps — every boundary decision independent, so chunking
+    is a zero-exchange array projection): chunk contents shared by ≥ 2
+    docs with occurrence counts. The storage-dedup complement to the
+    similarity families (operators/dedup.py::cdc_chunks)."""
+    from intelligent_ocr_spark.operators.dedup import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"))
 
 
 @_q(
@@ -8214,8 +8338,9 @@ _CHANGED_THIS_ROUND = [
     "text_mojibake_detect",   # NEW: UTF-8-as-cp1252 signature detection
     # a6_props_json, web_canonical_dedup, source_cdx_dups,
     # dedup_lsh_verified, dedup_keep_best, quality_blocklist,
-    # pipeline_ccnet_buckets, source_sidecar_tiers and
-    # pipeline_quality_funnel were REGISTERED after the
+    # pipeline_ccnet_buckets, source_sidecar_tiers,
+    # pipeline_quality_funnel, dedup_cdc_chunks and
+    # dedup_host_boilerplate were REGISTERED after the
     # changed ∪ skipped-last union filled all 50 cap slots; per the
     # late-registration precedent documented at _SKIPPED_LAST_ROUND
     # they sit in the tail this round — oracled, pytest-pinned, green
@@ -8230,65 +8355,71 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 108 names (all
+    # which as of the round-5 final commit is these 116 names (all
     # green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: sixty-three of them were REGISTERED in round 5 after the cap
+    # NOTE: seventy-one of them were REGISTERED in round 5 after the cap
     # was already exactly full (changed ∪ skipped-last = 50); per the
     # same slot-yield rationale as the WARC rows-only entries above
     # they sit in the tail this round — all oracled and pytest-pinned
     # (known-answer vectors, plan pins, Hypothesis properties), and all
     # parity-verified this round.
-    # COVERAGE MATH FOR ROUND 6: with 158 registered queries and a
+    # COVERAGE MATH FOR ROUND 6: with 166 registered queries and a
     # 50-row driver cap, "every query gets a driver row within one
-    # round" is arithmetically impossible (2 × 50 < 158). Priority
+    # round" is arithmetically impossible (2 × 50 < 166). Priority
     # order for round 6's first 50: (1) anything changed in round 6,
     # (2) the late-r5 registrations in the tail below that have NEVER
     # had a driver correctness row, (3) rotate the remainder. Queries
     # left past the cap MUST be covered by an in-repo full
     # tools_parity.py sweep each round.
-    #   ['mm_video_near_dups', 'mm_media_metadata', 'mm_exif_tags',
+    #   ['mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
+    #   'mm_audio_segments', 'mm_video_frames', 'mm_image_near_dups',
+    #   'mm_video_near_dups', 'mm_media_metadata', 'mm_exif_tags',
     #   'web_pagerank', 'web_extract_links', 'pipeline_link_authority',
-    #   'sketch_hll_registers', 'index_inverted', 'pipeline_crawl_frontier',
-    #   'web_extract_links_resolved', 'web_anchor_texts',
-    #   'web_anchor_profile', 'web_sitemap_entries', 'graph_cocitation',
-    #   'graph_trustrank', 'pipeline_weighted_sample', 'prep_leakage_split',
-    #   'pipeline_host_profile', 'graph_pagerank_scaled',
-    #   'index_inverted_full', 'graph_degree_stats', 'graph_spam_mass',
-    #   'web_sitemap_recursive', 'index_bm25_topk',
-    #   'graph_label_propagation', 'graph_components',
+    #   'sketch_hll_registers', 'index_inverted',
+    #   'pipeline_crawl_frontier', 'web_extract_links_resolved',
+    #   'web_anchor_texts', 'web_anchor_profile', 'web_sitemap_entries',
+    #   'graph_cocitation', 'graph_trustrank', 'pipeline_weighted_sample',
+    #   'prep_leakage_split', 'pipeline_host_profile',
+    #   'graph_pagerank_scaled', 'index_inverted_full',
+    #   'graph_degree_stats', 'graph_spam_mass', 'web_sitemap_recursive',
+    #   'index_bm25_topk', 'graph_label_propagation', 'graph_components',
     #   'pipeline_media_census', 'mm_audio_resample', 'mm_media_type',
     #   'mm_av_stats', 'pipeline_multimodal_dedup', 'sim_ivf_topk',
-    #   'x3_dual_insert_variants', 'prep_dsir_weights', 'graph_hits',
+    #   'x3_dual_insert_variants', 'quality_blocklist',
+    #   'pipeline_quality_funnel', 'prep_dsir_weights', 'graph_hits',
     #   'web_links_base_resolved', 'web_anchor_pairs', 'sketch_bloom',
     #   'sketch_countmin', 'index_phrase_match', 'web_crawl_budget',
-    #   'index_proximity_match', 'web_url_templates', 'index_collocations',
-    #   'web_redirect_chains', 'index_phrase_bm25', 'graph_reciprocity',
-    #   'quality_linear_model', 'pipeline_decontaminate',
-    #   'pipeline_frontier_bloom', 'a6_props_json', 'web_canonical_dedup',
-    #   'source_cdx_dups', 'extract_synthetic_pages', 'extract_dual_insert',
-    #   'extract_pixmap_pages', 'source_warc_extract', 'warc_revisit_dedup',
+    #   'index_proximity_match', 'web_url_templates',
+    #   'index_collocations', 'web_redirect_chains', 'index_phrase_bm25',
+    #   'graph_reciprocity', 'quality_linear_model',
+    #   'pipeline_decontaminate', 'pipeline_frontier_bloom',
+    #   'a6_props_json', 'web_canonical_dedup', 'source_cdx_dups',
+    #   'extract_synthetic_pages', 'extract_dual_insert',
+    #   'extract_pixmap_pages', 'source_warc_extract',
+    #   'source_sidecar_tiers', 'warc_revisit_dedup',
     #   'q1_pricing_summary', 'f1_existing_text_probe',
-    #   'f4_confidence_filter', 'x11_hash_bucketing', 'j2_resume_antijoin',
-    #   'j3_fallback_coalesce', 'w1_order_repair', 'w3_topk_per_group',
-    #   'k3_txt_export', 'u3_union_passthrough', 'u1_intersect_nations',
-    #   'a1_lineage_counters', 'q6_forecast_revenue',
-    #   'q12_priority_returns', 'q18_large_volume', 'q4_priority_exists',
-    #   'q13_customer_distribution', 'q16_distinct_suppliers',
-    #   'q19_disjunctive_predicates', 'q17_small_quantity_revenue',
-    #   'q21_sole_returning_supplier', 'q22_above_avg_balance',
-    #   'q3_shipping_priority', 'q5_local_supplier_volume',
-    #   'url_canonicalize', 'dedup_simhash', 'text_benchmark_contamination',
-    #   'sample_stratified_counts', 'prep_chunk_documents',
-    #   'prep_pack_sequences', 'dedup_incremental',
-    #   'dedup_incremental_near', 'prep_pii_signals', 'text_source_overlap',
-    #   'text_source_drift', 'pipeline_perplexity_gate',
+    #   'f4_confidence_filter', 'x11_hash_bucketing',
+    #   'j2_resume_antijoin', 'j3_fallback_coalesce', 'w1_order_repair',
+    #   'w3_topk_per_group', 'k3_txt_export', 'u3_union_passthrough',
+    #   'u1_intersect_nations', 'a1_lineage_counters',
+    #   'q6_forecast_revenue', 'q12_priority_returns', 'q18_large_volume',
+    #   'q4_priority_exists', 'q13_customer_distribution',
+    #   'q16_distinct_suppliers', 'q19_disjunctive_predicates',
+    #   'q17_small_quantity_revenue', 'q21_sole_returning_supplier',
+    #   'q22_above_avg_balance', 'q3_shipping_priority',
+    #   'q5_local_supplier_volume', 'url_canonicalize', 'dedup_simhash',
+    #   'text_benchmark_contamination', 'sample_stratified_counts',
+    #   'prep_chunk_documents', 'prep_pack_sequences',
+    #   'dedup_host_boilerplate', 'dedup_incremental',
+    #   'dedup_incremental_near', 'prep_pii_signals',
+    #   'text_source_overlap', 'text_source_drift',
+    #   'pipeline_perplexity_gate', 'pipeline_ccnet_buckets',
     #   'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
-    #   'pipeline_near_dedup', 'text_char_entropy', 'mm_decode_bmp',
-    #   'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
-    #   'mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
-    #   'mm_audio_segments', 'mm_video_frames', 'mm_image_near_dups']
+    #   'pipeline_near_dedup', 'dedup_lsh_verified', 'dedup_keep_best',
+    #   'dedup_cdc_chunks', 'text_char_entropy', 'mm_decode_bmp',
+    #   'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",

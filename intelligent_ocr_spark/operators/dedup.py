@@ -50,6 +50,8 @@ __all__ = [
     "near_dup_clusters",
     "keep_best_representative",
     "lsh_verified_pairs",
+    "cdc_chunk_rows",
+    "cdc_chunks",
     "remove_repeated_paragraphs",
     "winnow_fingerprints",
     "winnow_pairs",
@@ -739,7 +741,7 @@ def near_dup_clusters(
 
 def remove_repeated_paragraphs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    sep: str = "\n", doc_freq_cap: int = 2,
+    sep: str = "\n", doc_freq_cap: int = 2, scope_col: str | None = None,
 ) -> DataFrame:
     """Intra-corpus repeated-paragraph removal — the line/paragraph-level
     boilerplate pass public web pipelines (RefinedWeb/CCNet line dedup)
@@ -770,21 +772,33 @@ def remove_repeated_paragraphs(
     the over-cap set outgrows the driver, drop the hint and AQE falls
     back to a shuffled join with skew splitting — the semantics do not
     change, only the strategy.
+
+    ``scope_col`` narrows the repetition universe: with
+    ``scope_col="host"`` a paragraph counts as boilerplate only when it
+    repeats across documents of the SAME host — the per-site template
+    (nav, footer, cookie banner) removal RefinedWeb-class pipelines run,
+    which keeps legitimately popular cross-site quotations that a global
+    document-frequency cap would delete. ``None`` keeps the corpus-global
+    semantics. The over-cap set stays broadcastable either way: per-host
+    templates are few relative to the corpus.
     """
+    scope = [F.col(scope_col).alias("_scope")] if scope_col else []
+    key = ["_scope", "h"] if scope_col else ["h"]
     paras = ensure_parallelism(df).select(
+        *scope,
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
     ).filter(F.col("para") != "").withColumn("h", F.md5(F.col("para").cast("binary")))
     over_cap = (
-        paras.select("doc_id", "h")
+        paras.select(*key, "doc_id")
         .distinct()
-        .groupBy("h")
+        .groupBy(*key)
         .agg(F.count(F.lit(1)).alias("df_docs"))
         .filter(F.col("df_docs") > doc_freq_cap)
-        .select("h")
+        .select(*key)
     )
     flagged = paras.join(
-        F.broadcast(over_cap.withColumn("_drop", F.lit(1))), "h", "left"
+        F.broadcast(over_cap.withColumn("_drop", F.lit(1))), key, "left"
     )
     kept_sorted = F.transform(
         F.array_sort(
@@ -1074,3 +1088,108 @@ def keep_best_representative(
         "n_members",
         (F.col("n_members") - F.lit(1)).alias("n_removed"),
     ).orderBy("cluster_id")
+
+
+def cdc_chunk_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    mask: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (CDC) of each document — the STORAGE
+    dedup family (LBFS, Muthitacharoen et al. SOSP 2001; the idea behind
+    rsync/backup dedupe): cut wherever the hash of the ``k``-gram ENDING
+    at a position is ≡ 0 (mod ``mask``), yielding variable-size chunks
+    whose boundaries are decided by CONTENT, not offset. The property
+    fixed-size blocks lack: an insertion shifts every later fixed block,
+    but CDC boundaries RESYNC right after the edit, so a mirrored page
+    with a small edit still shares every chunk past the next cut —
+    chunk-level dedup across crawl snapshots survives small edits.
+
+    Deliberate deviation from LBFS: no min/max chunk clamps. Clamps make
+    each boundary depend on the PREVIOUS one (a sequential scan,
+    inexpressible as a per-position predicate and unsplittable); the
+    pure local rule keeps every boundary decision independent, with the
+    expected chunk size controlled by ``mask`` alone (geometric, mean ≈
+    ``mask`` chars + the k-gram tail).
+
+    Shape: boundary detection, cut-list construction and chunk slicing
+    are ALL array expressions inside ONE zero-exchange projection (no
+    per-position row explode — rows materialize only per CHUNK, ~1/mask
+    of positions). Docs shorter than ``k`` form one whole-doc chunk;
+    empty docs contribute nothing.
+
+    Returns (doc_id, chunk_idx, chunk, chunk_md5, chunk_len); chunks
+    concatenated in chunk_idx order reproduce the document exactly
+    (pinned by test).
+    """
+    t = F.col(text_col)
+    n_pos = F.length(t) - (k - 1)
+    ends = F.when(
+        n_pos >= 1,
+        F.filter(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: _md5_32(t.substr(i, F.lit(k))) % mask == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # a cut closes the chunk at the gram's LAST char; the document end is
+    # always a cut (array_union also dedupes a final-gram cut == len)
+    cut_ends = F.array_union(
+        F.transform(ends, lambda i: i + (k - 1)), F.array(F.length(t))
+    )
+    chunks = F.transform(
+        cut_ends,
+        lambda e, j: F.struct(
+            (j + 1).alias("chunk_idx"),
+            t.substr(
+                F.when(j == 0, F.lit(1)).otherwise(F.element_at(cut_ends, j) + 1),
+                e - F.when(j == 0, F.lit(0)).otherwise(F.element_at(cut_ends, j)),
+            ).alias("chunk"),
+        ),
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        .filter(F.col("c.chunk") != "")
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk").alias("chunk"),
+            F.md5(F.col("c.chunk").cast("binary")).alias("chunk_md5"),
+            F.length("c.chunk").cast("long").alias("chunk_len"),
+        )
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    mask: int = 16,
+) -> DataFrame:
+    """Duplicate-chunk inventory over :func:`cdc_chunk_rows`: every chunk
+    content appearing in ≥ 2 distinct documents, with occurrence counts —
+    the cross-snapshot shared-bytes report a crawl-storage dedup runs.
+
+    Shape: the chunking projection above plus ONE map-side-combined
+    aggregation on the chunk hash (the distinct-doc count rides the same
+    exchange as a two-phase agg). Boilerplate chunks are the hot keys;
+    they are exactly what the report is FOR, and the partial aggregation
+    collapses them before the shuffle — never a window, never a pair
+    join.
+
+    Returns (chunk_md5, chunk_len, n_docs, n_occurrences) ordered by
+    chunk_md5.
+    """
+    return (
+        cdc_chunk_rows(df, id_col, text_col, k, mask)
+        .groupBy("chunk_md5", "chunk_len")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_md5")
+    )

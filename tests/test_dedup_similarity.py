@@ -897,3 +897,98 @@ def test_lsh_verified_pairs_filters_candidates(docs, spark):
         for r in lsh_verified_pairs(docs, bands=2, threshold=0.9).collect()
     }
     assert (1, 2) in strict and (1, 3) not in strict and (2, 3) not in strict
+
+
+def _cdc_reference(text: str, k: int = 5, mask: int = 16) -> list[str]:
+    """Pure-python CDC twin for differential testing."""
+    import hashlib
+
+    if not text:
+        return []
+    ends = []
+    for i in range(1, max(len(text) - k + 1, 0) + 1):
+        gram = text[i - 1 : i - 1 + k]
+        h = int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:8], 16)
+        if h % mask == 0:
+            ends.append(i + k - 1)
+    if not ends or ends[-1] != len(text):
+        ends.append(len(text))
+    out, prev = [], 0
+    for e in ends:
+        out.append(text[prev:e])
+        prev = e
+    return out
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    """Differential: the array-expression chunking agrees with a plain
+    python CDC on varied docs (multibyte chars included), and chunks
+    concatenate back to the exact document."""
+    from intelligent_ocr_spark.operators.dedup import cdc_chunk_rows
+
+    texts = [
+        "",
+        "ab",                                  # shorter than k: one chunk
+        "the quick brown fox jumps over the lazy dog " * 12,
+        "漢字と kana が混ざった文章です。" * 9,
+        "x" * 100,                             # degenerate repetition
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = cdc_chunk_rows(docs).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    for did, text in enumerate(texts):
+        chunks = [c for _, c in sorted(got.get(did, []))]
+        assert chunks == _cdc_reference(text), did
+        assert "".join(chunks) == text
+
+
+def test_cdc_resync_after_insertion(spark):
+    """The CDC property fixed-size blocks lack: inserting a few chars
+    shifts only chunks up to the next cut — the two versions still share
+    chunks (reported by the >=2-distinct-docs inventory)."""
+    from intelligent_ocr_spark.operators.dedup import cdc_chunks
+
+    base = "the quick brown fox jumps over the lazy dog near the river " * 8
+    edited = base[:100] + "[EDIT]" + base[100:]
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    dups = cdc_chunks(docs).collect()
+    assert len(dups) >= 1
+    assert all(r["n_docs"] == 2 for r in dups)
+
+
+def test_scoped_paragraph_dedup_keeps_cross_host_quotes(spark):
+    """scope_col narrows the repetition universe: a per-host footer
+    (repeated within its host) drops, while a quotation appearing once
+    on EACH of three hosts survives — the row the global cap would
+    delete."""
+    from intelligent_ocr_spark.operators.dedup import remove_repeated_paragraphs
+
+    quote = "to be or not to be"
+    rows = []
+    for h in ("a", "b", "c"):
+        rows.append((f"{h}1", h, f"unique {h} one\nfooter of {h}\n{quote}"))
+        rows.append((f"{h}2", h, f"unique {h} two\nfooter of {h}"))
+    docs = spark.createDataFrame(rows, "doc_id string, host string, text string")
+
+    scoped = {
+        r["doc_id"]: r
+        for r in remove_repeated_paragraphs(
+            docs, doc_freq_cap=1, scope_col="host"
+        ).collect()
+    }
+    # footer dropped everywhere; the quote (1 doc per host) kept
+    assert scoped["a1"]["n_dropped"] == 1 and scoped["a1"]["n_kept"] == 2
+    assert scoped["b2"]["n_dropped"] == 1 and scoped["b2"]["n_kept"] == 1
+
+    global_ = {
+        r["doc_id"]: r
+        for r in remove_repeated_paragraphs(docs, doc_freq_cap=1).collect()
+    }
+    # the global cap ALSO deletes the cross-host quote (3 docs > 1)
+    assert global_["a1"]["n_dropped"] == 2 and global_["a1"]["n_kept"] == 1
