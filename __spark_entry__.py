@@ -3347,6 +3347,89 @@ def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_suffix_array",
+    # suffix array of the concatenated (doc_id % 31) sub-corpus: rank by
+    # plain binary string order of every suffix — the oracle sorts the
+    # materialized suffixes; Spark derives the same ranks by distributed
+    # prefix doubling without ever materializing a suffix
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0
+    ), corpus AS (
+      SELECT string_agg(text || chr(1), '' ORDER BY doc_id) AS c FROM d
+    ), p AS (
+      SELECT c, unnest(range(1, length(c) + 1)) AS pos FROM corpus
+    )
+    SELECT CAST(row_number() OVER (ORDER BY substr(c, CAST(pos AS INT))) - 1 AS BIGINT) AS rk,
+           CAST(pos AS BIGINT) AS pos
+    FROM p ORDER BY rk
+    """,
+)
+def q_dedup_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix array (prefix doubling, Lee et al. 2022's
+    exact-substring-dedup foundation) over a deterministic sub-corpus:
+    (rk, pos) with rk the lexicographic rank of the suffix at corpus
+    position pos. Every round is a range-partitioned sort + vectorized
+    two-phase fold — no global window, no driver-side corpus
+    (operators/suffix.py::suffix_array)."""
+    from intelligent_ocr_spark.operators.suffix import suffix_array
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 0)
+    return suffix_array(d)
+
+
+@_q(
+    "dedup_lcp_repeats",
+    # LCP between rank-adjacent suffixes: the oracle compares characters
+    # directly (min mismatch index over a generated series); Spark binary-
+    # lifts over the doubling levels without touching a character
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0
+    ), corpus AS (
+      SELECT string_agg(text || chr(1), '' ORDER BY doc_id) AS c FROM d
+    ), p AS (
+      SELECT c, unnest(range(1, length(c) + 1)) AS pos FROM corpus
+    ), sa AS (
+      SELECT c, pos,
+             row_number() OVER (ORDER BY substr(c, CAST(pos AS INT))) - 1 AS rk
+      FROM p
+    ), adj AS (
+      SELECT c, rk, pos AS pos_a,
+             lead(pos) OVER (ORDER BY rk) AS pos_b
+      FROM sa
+    )
+    SELECT CAST(rk AS BIGINT) AS rk,
+           CAST(pos_a AS BIGINT) AS pos_a,
+           CAST(pos_b AS BIGINT) AS pos_b,
+           CAST(coalesce(
+             (SELECT min(t.i) - 1
+              FROM unnest(range(1, least(length(c) - pos_a, length(c) - pos_b) + 2)) AS t(i)
+              WHERE substr(c, CAST(pos_a + t.i - 1 AS INT), 1)
+                    <> substr(c, CAST(pos_b + t.i - 1 AS INT), 1)),
+             least(length(c) - pos_a, length(c) - pos_b) + 1
+           ) AS BIGINT) AS lcp
+    FROM adj WHERE pos_b IS NOT NULL ORDER BY rk
+    """,
+)
+def q_dedup_lcp_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-suffix LCP table over the suffix array — max(lcp) is the
+    corpus's longest repeated substring and lcp >= L rows enumerate all
+    length-L repeats (the Lee et al. 2022 dedup scan). Binary lifting
+    over the doubling levels: O(log n) rounds of two equi-joins, no
+    character comparisons, no global window
+    (operators/suffix.py::adjacent_lcp)."""
+    from intelligent_ocr_spark.operators.suffix import (
+        adjacent_lcp,
+        suffix_array_levels,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 0)
+    sa, levels = suffix_array_levels(d)
+    return adjacent_lcp(sa, levels)
+
+
+@_q(
     "text_char_entropy",
     """
     WITH chars AS (
@@ -8339,8 +8422,8 @@ _CHANGED_THIS_ROUND = [
     # a6_props_json, web_canonical_dedup, source_cdx_dups,
     # dedup_lsh_verified, dedup_keep_best, quality_blocklist,
     # pipeline_ccnet_buckets, source_sidecar_tiers,
-    # pipeline_quality_funnel, dedup_cdc_chunks and
-    # dedup_host_boilerplate were REGISTERED after the
+    # pipeline_quality_funnel, dedup_cdc_chunks, dedup_host_boilerplate,
+    # dedup_suffix_array and dedup_lcp_repeats were REGISTERED after the
     # changed ∪ skipped-last union filled all 50 cap slots; per the
     # late-registration precedent documented at _SKIPPED_LAST_ROUND
     # they sit in the tail this round — oracled, pytest-pinned, green
