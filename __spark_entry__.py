@@ -3430,6 +3430,76 @@ def q_dedup_lcp_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_sa_spans",
+    # self-similar spans: both endpoints of every lcp>=15 adjacent pair
+    # become intervals, mapped into docs (clip at doc end), islands-merged
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0
+    ), corpus AS (
+      SELECT string_agg(text || chr(1), '' ORDER BY doc_id) AS c FROM d
+    ), p AS (
+      SELECT c, unnest(range(1, length(c) + 1)) AS pos FROM corpus
+    ), sa AS (
+      SELECT c, pos,
+             row_number() OVER (ORDER BY substr(c, CAST(pos AS INT))) - 1 AS rk
+      FROM p
+    ), adj AS (
+      SELECT c, rk, pos AS pos_a, lead(pos) OVER (ORDER BY rk) AS pos_b
+      FROM sa
+    ), lcps AS (
+      SELECT pos_a, pos_b,
+             coalesce(
+               (SELECT min(t.i) - 1
+                FROM unnest(range(1, least(length(c) - pos_a, length(c) - pos_b) + 2)) AS t(i)
+                WHERE substr(c, CAST(pos_a + t.i - 1 AS INT), 1)
+                      <> substr(c, CAST(pos_b + t.i - 1 AS INT), 1)),
+               least(length(c) - pos_a, length(c) - pos_b) + 1
+             ) AS lcp
+      FROM adj WHERE pos_b IS NOT NULL
+    ), iv AS (
+      SELECT pos_a AS s, lcp FROM lcps WHERE lcp >= 15
+      UNION ALL
+      SELECT pos_b AS s, lcp FROM lcps WHERE lcp >= 15
+    ), doclens AS (
+      SELECT doc_id, length(text) AS n_chars,
+             coalesce(sum(length(text) + 1) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d
+    ), mapped AS (
+      SELECT dl.doc_id, CAST(i.s - dl.off AS BIGINT) AS st,
+             CAST(least(i.s - dl.off + i.lcp - 1, dl.n_chars) AS BIGINT) AS e
+      FROM iv i JOIN doclens dl ON i.s > dl.off AND i.s <= dl.off + dl.n_chars
+    ), isl AS (
+      SELECT doc_id, st, e,
+             CASE WHEN st > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY st
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+             THEN 1 ELSE 0 END AS brk
+      FROM mapped
+    ), grp AS (
+      SELECT doc_id, st, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY st
+               ROWS UNBOUNDED PRECEDING) AS g
+      FROM isl
+    )
+    SELECT doc_id, min(st) AS span_start, max(e) AS span_end,
+           CAST(max(e) - min(st) + 1 AS BIGINT) AS span_len
+    FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
+    """,
+)
+def q_dedup_sa_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-similar duplicated-text spans per document (Lee et al. 2022's
+    removal targets): union of both-endpoint lcp>=15 intervals, mapped
+    back to documents through the position table (equi-join, no range
+    join), clipped at doc boundaries, islands-merged per doc
+    (operators/suffix.py::duplicate_spans)."""
+    from intelligent_ocr_spark.operators.suffix import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 0)
+    return duplicate_spans(d, min_len=15)
+
+
+@_q(
     "text_char_entropy",
     """
     WITH chars AS (
@@ -8423,7 +8493,8 @@ _CHANGED_THIS_ROUND = [
     # dedup_lsh_verified, dedup_keep_best, quality_blocklist,
     # pipeline_ccnet_buckets, source_sidecar_tiers,
     # pipeline_quality_funnel, dedup_cdc_chunks, dedup_host_boilerplate,
-    # dedup_suffix_array and dedup_lcp_repeats were REGISTERED after the
+    # dedup_suffix_array, dedup_lcp_repeats and dedup_sa_spans were
+    # REGISTERED after the
     # changed ∪ skipped-last union filled all 50 cap slots; per the
     # late-registration precedent documented at _SKIPPED_LAST_ROUND
     # they sit in the tail this round — oracled, pytest-pinned, green

@@ -55,12 +55,18 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from intelligent_ocr_spark.util import ensure_parallelism
 
-__all__ = ["corpus_positions", "suffix_array", "suffix_array_levels", "adjacent_lcp"]
+__all__ = [
+    "corpus_positions",
+    "suffix_array",
+    "suffix_array_levels",
+    "adjacent_lcp",
+    "duplicate_spans",
+]
 
 _SEP = "\x01"
 
@@ -154,6 +160,7 @@ def corpus_positions(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = _SEP,
+    with_docs: bool = False,
 ) -> DataFrame:
     """(pos, ch) rows of the concatenated corpus: documents in ``id_col``
     order, each followed by one ``sep`` char (so repeats never bridge a
@@ -165,6 +172,10 @@ def corpus_positions(
     two-phase prefix sum over per-doc lengths — one row per DOCUMENT
     (never a global window over docs), then characters explode per doc
     with their offset added: the char table is never globally sorted.
+
+    ``with_docs=True`` adds (doc_id, doc_pos, n_chars) — the corpus-pos
+    → document back-mapping :func:`duplicate_spans` joins on (doc_pos is
+    1-based within the doc; the separator row has doc_pos == n_chars+1).
     """
     sized = df.select(
         F.col(id_col).alias("_id"),
@@ -172,18 +183,27 @@ def corpus_positions(
         (F.length(text_col) + F.lit(len(sep))).alias("_len"),
     )
     with_off = _two_phase(sized, ["_id"], sum_col="_len", out_col="_off")
-    return (
+    base = (
         ensure_parallelism(with_off)
         .select(
+            "_id",
             "_off",
+            F.length("_text").alias("_n"),
             F.posexplode(F.split(F.concat(F.col("_text"), F.lit(sep)), "")).alias(
                 "_i", "ch"
             ),
         )
         # Spark's split(s, "", -1) keeps one trailing empty element
         .filter(F.col("ch") != "")
-        .select((F.col("_off") + F.col("_i") + 1).alias("pos"), "ch")
     )
+    cols = [(F.col("_off") + F.col("_i") + 1).alias("pos"), F.col("ch")]
+    if with_docs:
+        cols += [
+            F.col("_id").alias("doc_id"),
+            (F.col("_i") + 1).alias("doc_pos"),
+            F.col("_n").alias("n_chars"),
+        ]
+    return base.select(*cols)
 
 
 def suffix_array(
@@ -302,3 +322,67 @@ def adjacent_lcp(
             .localCheckpoint()  # keep the lifted plan flat across levels
         )
     return pairs.orderBy("rk")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 15,
+    sep: str = _SEP,
+) -> DataFrame:
+    """Per-document spans of text that occurs elsewhere in the corpus
+    with length ≥ ``min_len`` — the actionable output of the
+    suffix-array family (Lee et al. 2022 remove exactly these
+    "self-similar spans" from training data).
+
+    Soundness: every occurrence ``p`` of a repeated substring of length
+    ≥ L has LCP ≥ L with a rank-ADJACENT suffix (sorted suffixes sharing
+    a prefix form a contiguous rank interval), so taking BOTH endpoints
+    of every adjacent pair with ``lcp ≥ min_len`` as intervals
+    ``[p, p+lcp)`` covers all repeat occurrences; the union of those
+    intervals is the corpus's duplicated-text coverage.
+
+    Intervals are mapped back to documents through the
+    ``with_docs`` position table (plain equi-join on the corpus
+    position — never a range join), CLIPPED at the document's last char
+    (a repeat running across the shared separator into the next doc
+    contributes only its in-doc part), and merged per document with the
+    gaps-and-islands idiom over a per-DOC window (splittable: the
+    window key is the doc, the frame its own spans).
+
+    Returns (doc_id, span_start, span_end, span_len), 1-based inclusive
+    char offsets into ``text_col``, spans disjoint per doc, ordered.
+    """
+    sa, levels = suffix_array_levels(df, id_col, text_col, sep)
+    hits = adjacent_lcp(sa, levels).filter(F.col("lcp") >= min_len)
+    iv = hits.select(F.col("pos_a").alias("s"), "lcp").unionByName(
+        hits.select(F.col("pos_b").alias("s"), "lcp")
+    )
+    posmap = (
+        corpus_positions(df, id_col, text_col, sep, with_docs=True)
+        .filter(F.col("doc_pos") <= F.col("n_chars"))  # drop separator rows
+        .select("pos", "doc_id", "doc_pos", "n_chars")
+    )
+    mapped = iv.join(posmap, iv["s"] == posmap["pos"]).select(
+        "doc_id",
+        F.col("doc_pos").alias("start"),
+        F.least(F.col("doc_pos") + F.col("lcp") - 1, F.col("n_chars")).alias("end"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = (
+        mapped.withColumn(
+            "brk",
+            (F.col("start") > F.coalesce(prev_max, F.lit(-1)) + 1).cast("long"),
+        )
+        .withColumn("g", F.sum("brk").over(w))
+        .groupBy("doc_id", "g")
+        .agg(F.min("start").alias("span_start"), F.max("end").alias("span_end"))
+    )
+    return grouped.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_len"),
+    ).orderBy("doc_id", "span_start")

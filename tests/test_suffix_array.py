@@ -9,6 +9,7 @@ from intelligent_ocr_spark.operators.suffix import (
     _SEP,
     adjacent_lcp,
     corpus_positions,
+    duplicate_spans,
     suffix_array,
     suffix_array_levels,
 )
@@ -105,6 +106,70 @@ def test_adjacent_lcp_exact(spark):
         assert r["lcp"] == expect, (r, expect)
     # the planted repeat extends one space on each side (" R " in both)
     assert max(r["lcp"] for r in rows) == len(repeat) + 2
+
+
+def _dup_spans_ref(texts: list[str], min_len: int) -> list[tuple]:
+    """Independent python pipeline: sorted-suffix SA → adjacent LCP →
+    both-endpoint intervals → doc mapping with boundary clip → merge."""
+    s = _corpus(texts)
+    sa = _sa_ref(s)
+    intervals = []
+    for i in range(len(sa) - 1):
+        l = _lcp(s[sa[i] - 1 :], s[sa[i + 1] - 1 :])
+        if l >= min_len:
+            intervals += [(sa[i], l), (sa[i + 1], l)]
+    bounds, off = [], 0
+    for d, t in enumerate(texts):
+        bounds.append((d, off, len(t)))
+        off += len(t) + 1
+    per_doc: dict = {}
+    for s0, l in intervals:
+        for d, o, n in bounds:
+            if o < s0 <= o + n:
+                per_doc.setdefault(d, []).append((s0 - o, min(s0 - o + l - 1, n)))
+    out = []
+    for d, ivs in sorted(per_doc.items()):
+        merged = []
+        for st, en in sorted(ivs):
+            if merged and st <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], en))
+            else:
+                merged.append((st, en))
+        out += [(d, st, en, en - st + 1) for st, en in merged]
+    return out
+
+
+def test_duplicate_spans_match_python_reference(spark):
+    boiler = "all rights reserved worldwide"
+    texts = [
+        "intro text here " + boiler + " and a tail",
+        "other opening " + boiler + " closing words",
+        boiler,                                   # doc that IS the repeat
+        "nothing shared with anyone else at all",
+        "xx " + boiler + " yy " + boiler + " zz", # two spans, may merge
+    ]
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in duplicate_spans(_docs_df(spark, texts), min_len=12).collect()
+    ]
+    assert got == _dup_spans_ref(texts, 12)
+    # the fully-duplicated doc is covered end to end
+    full = [r for r in got if r[0] == 2]
+    assert full == [(2, 1, len(boiler), len(boiler))]
+
+
+def test_duplicate_spans_randomized(spark):
+    rng = random.Random(11)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(5, 30)))
+        for _ in range(25)
+    ]
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in duplicate_spans(_docs_df(spark, texts), min_len=14).collect()
+    ]
+    assert got == _dup_spans_ref(texts, 14)
 
 
 def test_suffix_array_empty_and_convergence_guard(spark):
