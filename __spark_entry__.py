@@ -8509,32 +8509,30 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 116 names (all
+    # which as of the round-5 final commit is these 119 names (all
     # green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: seventy-one of them were REGISTERED in round 5 after the cap
+    # NOTE: seventy-four of them were REGISTERED in round 5 after the cap
     # was already exactly full (changed ∪ skipped-last = 50); per the
     # same slot-yield rationale as the WARC rows-only entries above
     # they sit in the tail this round — all oracled and pytest-pinned
     # (known-answer vectors, plan pins, Hypothesis properties), and all
     # parity-verified this round.
-    # COVERAGE MATH FOR ROUND 6: with 166 registered queries and a
+    # COVERAGE MATH FOR ROUND 6: with 169 registered queries and a
     # 50-row driver cap, "every query gets a driver row within one
-    # round" is arithmetically impossible (2 × 50 < 166). Priority
+    # round" is arithmetically impossible (2 × 50 < 169). Priority
     # order for round 6's first 50: (1) anything changed in round 6,
     # (2) the late-r5 registrations in the tail below that have NEVER
     # had a driver correctness row, (3) rotate the remainder. Queries
     # left past the cap MUST be covered by an in-repo full
     # tools_parity.py sweep each round.
-    #   ['mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
-    #   'mm_audio_segments', 'mm_video_frames', 'mm_image_near_dups',
-    #   'mm_video_near_dups', 'mm_media_metadata', 'mm_exif_tags',
-    #   'web_pagerank', 'web_extract_links', 'pipeline_link_authority',
-    #   'sketch_hll_registers', 'index_inverted',
-    #   'pipeline_crawl_frontier', 'web_extract_links_resolved',
-    #   'web_anchor_texts', 'web_anchor_profile', 'web_sitemap_entries',
-    #   'graph_cocitation', 'graph_trustrank', 'pipeline_weighted_sample',
+    #   ['mm_exif_tags', 'web_pagerank', 'web_extract_links',
+    #   'pipeline_link_authority', 'sketch_hll_registers',
+    #   'index_inverted', 'pipeline_crawl_frontier',
+    #   'web_extract_links_resolved', 'web_anchor_texts',
+    #   'web_anchor_profile', 'web_sitemap_entries', 'graph_cocitation',
+    #   'graph_trustrank', 'pipeline_weighted_sample',
     #   'prep_leakage_split', 'pipeline_host_profile',
     #   'graph_pagerank_scaled', 'index_inverted_full',
     #   'graph_degree_stats', 'graph_spam_mass', 'web_sitemap_recursive',
@@ -8572,8 +8570,12 @@ _SKIPPED_LAST_ROUND = [
     #   'pipeline_perplexity_gate', 'pipeline_ccnet_buckets',
     #   'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
     #   'pipeline_near_dedup', 'dedup_lsh_verified', 'dedup_keep_best',
-    #   'dedup_cdc_chunks', 'text_char_entropy', 'mm_decode_bmp',
-    #   'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif']
+    #   'dedup_cdc_chunks', 'dedup_suffix_array', 'dedup_lcp_repeats',
+    #   'dedup_sa_spans', 'text_char_entropy', 'mm_decode_bmp',
+    #   'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
+    #   'mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
+    #   'mm_audio_segments', 'mm_video_frames', 'mm_image_near_dups',
+    #   'mm_video_near_dups', 'mm_media_metadata']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",
