@@ -53,9 +53,8 @@ regardless of corpus size.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from intelligent_ocr_spark.util import ensure_parallelism
