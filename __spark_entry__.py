@@ -3347,6 +3347,77 @@ def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_cdc_incremental",
+    # cross-snapshot chunk store: OLD = even doc_ids, NEW = odd; per new
+    # doc, chunks/chars already present in the old snapshot's inventory
+    """
+    WITH d AS (
+      SELECT doc_id, text, doc_id % 2 = 1 AS is_new
+      FROM documents WHERE length(text) > 0
+    ), cuts AS (
+      SELECT doc_id, text, is_new,
+             list_sort(list_distinct(list_append(
+               list_transform(
+                 list_filter(
+                   CASE WHEN length(text) >= 5
+                        THEN range(1, length(text) - 3) ELSE [] END,
+                   i -> ('0x' || substr(md5(text[CAST(i AS INT):CAST(i + 4 AS INT)]), 1, 8))::UBIGINT % 16 = 0
+                 ),
+                 i -> i + 4
+               ),
+               CAST(length(text) AS BIGINT)
+             ))) AS ends
+      FROM d
+    ), idx AS (
+      SELECT doc_id, text, is_new, ends, unnest(range(1, len(ends) + 1)) AS j
+      FROM cuts
+    ), chunks AS (
+      SELECT doc_id, is_new,
+             text[(CASE WHEN j = 1 THEN 1
+                        ELSE CAST(ends[CAST(j - 1 AS INT)] AS INT) + 1 END)
+                  : CAST(ends[CAST(j AS INT)] AS INT)] AS chunk
+      FROM idx
+    ), h AS (
+      SELECT doc_id, is_new, md5(chunk) AS chunk_md5,
+             length(chunk)::BIGINT AS chunk_len
+      FROM chunks WHERE chunk <> ''
+    ), old_store AS (
+      SELECT DISTINCT chunk_md5 FROM h WHERE NOT is_new
+    ), per_doc AS (
+      SELECT n.doc_id,
+             count(*)::BIGINT AS n_chunks,
+             count(o.chunk_md5)::BIGINT AS n_shared,
+             sum(n.chunk_len)::BIGINT AS total_chars,
+             coalesce(sum(n.chunk_len) FILTER (WHERE o.chunk_md5 IS NOT NULL), 0)::BIGINT AS shared_chars
+      FROM (SELECT * FROM h WHERE is_new) n
+      LEFT JOIN old_store o USING (chunk_md5)
+      GROUP BY n.doc_id
+    )
+    SELECT doc_id,
+           coalesce(n_chunks, 0)::BIGINT AS n_chunks,
+           coalesce(n_shared, 0)::BIGINT AS n_shared,
+           coalesce(total_chars, 0)::BIGINT AS total_chars,
+           coalesce(shared_chars, 0)::BIGINT AS shared_chars
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+    LEFT JOIN per_doc USING (doc_id) ORDER BY doc_id
+    """,
+)
+def q_dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot CDC shared-bytes: per NEW-snapshot doc, how much
+    of it a content-addressed chunk store already holds from the OLD
+    snapshot — high shared_chars on lightly-edited re-crawls is the
+    resync property the chunker exists for
+    (operators/dedup.py::cdc_incremental)."""
+    from intelligent_ocr_spark.operators.dedup import cdc_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+@_q(
     "dedup_suffix_array",
     # suffix array of the concatenated (doc_id % 31) sub-corpus: rank by
     # plain binary string order of every suffix — the oracle sorts the
@@ -8493,8 +8564,8 @@ _CHANGED_THIS_ROUND = [
     # dedup_lsh_verified, dedup_keep_best, quality_blocklist,
     # pipeline_ccnet_buckets, source_sidecar_tiers,
     # pipeline_quality_funnel, dedup_cdc_chunks, dedup_host_boilerplate,
-    # dedup_suffix_array, dedup_lcp_repeats and dedup_sa_spans were
-    # REGISTERED after the
+    # dedup_suffix_array, dedup_lcp_repeats, dedup_sa_spans and
+    # dedup_cdc_incremental were REGISTERED after the
     # changed ∪ skipped-last union filled all 50 cap slots; per the
     # late-registration precedent documented at _SKIPPED_LAST_ROUND
     # they sit in the tail this round — oracled, pytest-pinned, green
@@ -8509,30 +8580,30 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 119 names (all
+    # which as of the round-5 final commit is these 120 names (all
     # green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: seventy-four of them were REGISTERED in round 5 after the cap
+    # NOTE: seventy-five of them were REGISTERED in round 5 after the cap
     # was already exactly full (changed ∪ skipped-last = 50); per the
     # same slot-yield rationale as the WARC rows-only entries above
     # they sit in the tail this round — all oracled and pytest-pinned
     # (known-answer vectors, plan pins, Hypothesis properties), and all
     # parity-verified this round.
-    # COVERAGE MATH FOR ROUND 6: with 169 registered queries and a
+    # COVERAGE MATH FOR ROUND 6: with 170 registered queries and a
     # 50-row driver cap, "every query gets a driver row within one
-    # round" is arithmetically impossible (2 × 50 < 169). Priority
+    # round" is arithmetically impossible (2 × 50 < 170). Priority
     # order for round 6's first 50: (1) anything changed in round 6,
     # (2) the late-r5 registrations in the tail below that have NEVER
     # had a driver correctness row, (3) rotate the remainder. Queries
     # left past the cap MUST be covered by an in-repo full
     # tools_parity.py sweep each round.
-    #   ['mm_exif_tags', 'web_pagerank', 'web_extract_links',
-    #   'pipeline_link_authority', 'sketch_hll_registers',
-    #   'index_inverted', 'pipeline_crawl_frontier',
-    #   'web_extract_links_resolved', 'web_anchor_texts',
-    #   'web_anchor_profile', 'web_sitemap_entries', 'graph_cocitation',
-    #   'graph_trustrank', 'pipeline_weighted_sample',
+    #   ['mm_media_metadata', 'mm_exif_tags', 'web_pagerank',
+    #   'web_extract_links', 'pipeline_link_authority',
+    #   'sketch_hll_registers', 'index_inverted',
+    #   'pipeline_crawl_frontier', 'web_extract_links_resolved',
+    #   'web_anchor_texts', 'web_anchor_profile', 'web_sitemap_entries',
+    #   'graph_cocitation', 'graph_trustrank', 'pipeline_weighted_sample',
     #   'prep_leakage_split', 'pipeline_host_profile',
     #   'graph_pagerank_scaled', 'index_inverted_full',
     #   'graph_degree_stats', 'graph_spam_mass', 'web_sitemap_recursive',
@@ -8570,12 +8641,12 @@ _SKIPPED_LAST_ROUND = [
     #   'pipeline_perplexity_gate', 'pipeline_ccnet_buckets',
     #   'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
     #   'pipeline_near_dedup', 'dedup_lsh_verified', 'dedup_keep_best',
-    #   'dedup_cdc_chunks', 'dedup_suffix_array', 'dedup_lcp_repeats',
-    #   'dedup_sa_spans', 'text_char_entropy', 'mm_decode_bmp',
-    #   'mm_decode_png_gif', 'mm_decode_jpeg', 'mm_decode_exif',
-    #   'mm_audio_stats', 'mm_audio_g711', 'mm_audio_adpcm',
-    #   'mm_audio_segments', 'mm_video_frames', 'mm_image_near_dups',
-    #   'mm_video_near_dups', 'mm_media_metadata']
+    #   'dedup_cdc_chunks', 'dedup_cdc_incremental', 'dedup_suffix_array',
+    #   'dedup_lcp_repeats', 'dedup_sa_spans', 'text_char_entropy',
+    #   'mm_decode_bmp', 'mm_decode_png_gif', 'mm_decode_jpeg',
+    #   'mm_decode_exif', 'mm_audio_stats', 'mm_audio_g711',
+    #   'mm_audio_adpcm', 'mm_audio_segments', 'mm_video_frames',
+    #   'mm_image_near_dups', 'mm_video_near_dups']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",

@@ -52,6 +52,7 @@ __all__ = [
     "lsh_verified_pairs",
     "cdc_chunk_rows",
     "cdc_chunks",
+    "cdc_incremental",
     "remove_repeated_paragraphs",
     "winnow_fingerprints",
     "winnow_pairs",
@@ -1192,4 +1193,61 @@ def cdc_chunks(
         )
         .filter(F.col("n_docs") >= 2)
         .orderBy("chunk_md5")
+    )
+
+
+def cdc_incremental(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    mask: int = 16,
+) -> DataFrame:
+    """Cross-snapshot shared-bytes report — what a content-addressed
+    chunk store saves when the NEW crawl snapshot lands on top of the
+    OLD one: per new document, how many of its CDC chunks (and chars)
+    already exist in the old snapshot's chunk inventory. Because CDC
+    boundaries resync after edits, a lightly-edited re-crawl reports
+    high ``shared_chars`` even though its content hash changed — the
+    chunk-level complement of :func:`incremental_exact_dedup` (doc
+    level) and :func:`incremental_near_dedup` (similarity level).
+
+    Scale shape: the old snapshot collapses to its DISTINCT chunk-hash
+    set (content-addressed store keys — one row per unique chunk, never
+    the corpus), the tag is a hash equi-join, and the per-doc rollup is
+    one map-side-combined aggregation. Never a pair join, never a
+    window.
+
+    Returns (doc_id, n_chunks, n_shared, total_chars, shared_chars)
+    per NEW doc (docs with empty text report zeros), ordered by doc_id.
+    """
+    old_store = (
+        cdc_chunk_rows(old_df, id_col, text_col, k, mask)
+        .select("chunk_md5")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tagged = cdc_chunk_rows(new_df, id_col, text_col, k, mask).join(
+        old_store, "chunk_md5", "left"
+    )
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count("_hit").alias("n_shared"),
+        F.sum("chunk_len").alias("total_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("_hit").isNotNull(), F.col("chunk_len"))), F.lit(0)
+        ).alias("shared_chars"),
+    )
+    return (
+        new_df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.coalesce("total_chars", F.lit(0)).alias("total_chars"),
+            F.coalesce("shared_chars", F.lit(0)).alias("shared_chars"),
+        )
+        .orderBy("doc_id")
     )

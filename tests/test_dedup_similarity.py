@@ -992,3 +992,25 @@ def test_scoped_paragraph_dedup_keeps_cross_host_quotes(spark):
     }
     # the global cap ALSO deletes the cross-host quote (3 docs > 1)
     assert global_["a1"]["n_dropped"] == 2 and global_["a1"]["n_kept"] == 1
+
+
+def test_cdc_incremental_resync_across_snapshots(spark):
+    """A lightly-edited re-crawl in the NEW snapshot shares most of its
+    chars with the OLD snapshot's chunk store; a fresh doc shares none;
+    an empty doc reports zeros."""
+    from intelligent_ocr_spark.operators.dedup import cdc_incremental
+
+    base = "the quick brown fox jumps over the lazy dog near the river " * 8
+    old = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (1, base[:100] + "[EDIT]" + base[100:]),  # re-crawl, small insert
+            (3, "entirely different content with nothing shared at all"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in cdc_incremental(new, old).collect()}
+    assert got[1]["shared_chars"] > 0.7 * got[1]["total_chars"]
+    assert got[3]["n_shared"] == 0
+    assert got[5]["n_chunks"] == 0 and got[5]["total_chars"] == 0
