@@ -3571,6 +3571,111 @@ def q_dedup_sa_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pipeline_sa_dedup",
+    # Lee et al. end-to-end: cut every self-similar span out of every
+    # doc; verify the cleaned text by md5 (docs whose every char is
+    # duplicated clean to the empty string, NOT the original)
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0
+    ), corpus AS (
+      SELECT string_agg(text || chr(1), '' ORDER BY doc_id) AS c FROM d
+    ), p AS (
+      SELECT c, unnest(range(1, length(c) + 1)) AS pos FROM corpus
+    ), sa AS (
+      SELECT c, pos,
+             row_number() OVER (ORDER BY substr(c, CAST(pos AS INT))) - 1 AS rk
+      FROM p
+    ), adj AS (
+      SELECT c, rk, pos AS pos_a, lead(pos) OVER (ORDER BY rk) AS pos_b
+      FROM sa
+    ), lcps AS (
+      SELECT pos_a, pos_b,
+             coalesce(
+               (SELECT min(t.i) - 1
+                FROM unnest(range(1, least(length(c) - pos_a, length(c) - pos_b) + 2)) AS t(i)
+                WHERE substr(c, CAST(pos_a + t.i - 1 AS INT), 1)
+                      <> substr(c, CAST(pos_b + t.i - 1 AS INT), 1)),
+               least(length(c) - pos_a, length(c) - pos_b) + 1
+             ) AS lcp
+      FROM adj WHERE pos_b IS NOT NULL
+    ), iv AS (
+      SELECT pos_a AS s, lcp FROM lcps WHERE lcp >= 15
+      UNION ALL
+      SELECT pos_b AS s, lcp FROM lcps WHERE lcp >= 15
+    ), doclens AS (
+      SELECT doc_id, length(text) AS n_chars,
+             coalesce(sum(length(text) + 1) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d
+    ), mapped AS (
+      SELECT dl.doc_id, CAST(i.s - dl.off AS BIGINT) AS st,
+             CAST(least(i.s - dl.off + i.lcp - 1, dl.n_chars) AS BIGINT) AS e
+      FROM iv i JOIN doclens dl ON i.s > dl.off AND i.s <= dl.off + dl.n_chars
+    ), isl AS (
+      SELECT doc_id, st, e,
+             CASE WHEN st > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY st
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+             THEN 1 ELSE 0 END AS brk
+      FROM mapped
+    ), grp AS (
+      SELECT doc_id, st, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY st
+               ROWS UNBOUNDED PRECEDING) AS g
+      FROM isl
+    ), sp AS (
+      SELECT doc_id, min(st) AS span_start, max(e) AS span_end
+      FROM grp GROUP BY doc_id, g
+    ), stats AS (
+      SELECT doc_id, count(*)::BIGINT AS n_spans,
+             sum(span_end - span_start + 1)::BIGINT AS removed
+      FROM sp GROUP BY doc_id
+    ), segs AS (
+      SELECT doc_id,
+             coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS st,
+             span_start - 1 AS en
+      FROM sp
+      UNION ALL
+      SELECT doc_id, max(span_end) + 1 AS st, NULL AS en
+      FROM sp GROUP BY doc_id
+    ), clean AS (
+      SELECT s.doc_id,
+             string_agg(
+               substr(d2.text, CAST(s.st AS INT),
+                      CAST(coalesce(s.en, length(d2.text)) - s.st + 1 AS INT)),
+               '' ORDER BY s.st) AS clean_text
+      FROM segs s JOIN d d2 USING (doc_id)
+      WHERE coalesce(s.en, length(d2.text)) >= s.st
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           length(d.text)::BIGINT AS orig_chars,
+           coalesce(stats.removed, 0)::BIGINT AS removed_chars,
+           coalesce(stats.n_spans, 0)::BIGINT AS n_spans,
+           md5(CASE WHEN stats.n_spans IS NULL THEN d.text
+                    ELSE coalesce(clean.clean_text, '') END) AS clean_md5
+    FROM d LEFT JOIN stats USING (doc_id) LEFT JOIN clean USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_pipeline_sa_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Lee et al. 2022 pipeline: suffix array → adjacent LCP →
+    self-similar spans → cut every occurrence, emitting cleaned-text
+    hashes and removal stats per doc
+    (operators/suffix.py::remove_duplicate_spans)."""
+    from intelligent_ocr_spark.operators.suffix import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 0)
+    return remove_duplicate_spans(d, min_len=15).select(
+        "doc_id",
+        "orig_chars",
+        "removed_chars",
+        "n_spans",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+@_q(
     "text_char_entropy",
     """
     WITH chars AS (
@@ -8564,8 +8669,8 @@ _CHANGED_THIS_ROUND = [
     # dedup_lsh_verified, dedup_keep_best, quality_blocklist,
     # pipeline_ccnet_buckets, source_sidecar_tiers,
     # pipeline_quality_funnel, dedup_cdc_chunks, dedup_host_boilerplate,
-    # dedup_suffix_array, dedup_lcp_repeats, dedup_sa_spans and
-    # dedup_cdc_incremental were REGISTERED after the
+    # dedup_suffix_array, dedup_lcp_repeats, dedup_sa_spans,
+    # dedup_cdc_incremental and pipeline_sa_dedup were REGISTERED after the
     # changed ∪ skipped-last union filled all 50 cap slots; per the
     # late-registration precedent documented at _SKIPPED_LAST_ROUND
     # they sit in the tail this round — oracled, pytest-pinned, green
@@ -8580,26 +8685,26 @@ _SKIPPED_LAST_ROUND = [
     # below the cap before they are re-verified. At the START of round 6,
     # replace it with round 5's FINAL tail (regenerate: python -c
     # "import __spark_entry__ as e; print(list(e.queries())[50:])"),
-    # which as of the round-5 final commit is these 120 names (all
+    # which as of the round-5 final commit is these 121 names (all
     # green in r5's own full `tools_parity.py` sweeps; NOTE the
     # stable-remainder rotation index depends on registry SIZE, so this
     # list must be regenerated after the round's LAST registration).
-    # NOTE: seventy-five of them were REGISTERED in round 5 after the cap
+    # NOTE: seventy-six of them were REGISTERED in round 5 after the cap
     # was already exactly full (changed ∪ skipped-last = 50); per the
     # same slot-yield rationale as the WARC rows-only entries above
     # they sit in the tail this round — all oracled and pytest-pinned
     # (known-answer vectors, plan pins, Hypothesis properties), and all
     # parity-verified this round.
-    # COVERAGE MATH FOR ROUND 6: with 170 registered queries and a
+    # COVERAGE MATH FOR ROUND 6: with 171 registered queries and a
     # 50-row driver cap, "every query gets a driver row within one
-    # round" is arithmetically impossible (2 × 50 < 170). Priority
+    # round" is arithmetically impossible (2 × 50 < 171). Priority
     # order for round 6's first 50: (1) anything changed in round 6,
     # (2) the late-r5 registrations in the tail below that have NEVER
     # had a driver correctness row, (3) rotate the remainder. Queries
     # left past the cap MUST be covered by an in-repo full
     # tools_parity.py sweep each round.
-    #   ['mm_media_metadata', 'mm_exif_tags', 'web_pagerank',
-    #   'web_extract_links', 'pipeline_link_authority',
+    #   ['mm_video_near_dups', 'mm_media_metadata', 'mm_exif_tags',
+    #   'web_pagerank', 'web_extract_links', 'pipeline_link_authority',
     #   'sketch_hll_registers', 'index_inverted',
     #   'pipeline_crawl_frontier', 'web_extract_links_resolved',
     #   'web_anchor_texts', 'web_anchor_profile', 'web_sitemap_entries',
@@ -8642,11 +8747,11 @@ _SKIPPED_LAST_ROUND = [
     #   'dedup_winnow_fingerprints', 'dedup_winnow_pairs',
     #   'pipeline_near_dedup', 'dedup_lsh_verified', 'dedup_keep_best',
     #   'dedup_cdc_chunks', 'dedup_cdc_incremental', 'dedup_suffix_array',
-    #   'dedup_lcp_repeats', 'dedup_sa_spans', 'text_char_entropy',
-    #   'mm_decode_bmp', 'mm_decode_png_gif', 'mm_decode_jpeg',
-    #   'mm_decode_exif', 'mm_audio_stats', 'mm_audio_g711',
-    #   'mm_audio_adpcm', 'mm_audio_segments', 'mm_video_frames',
-    #   'mm_image_near_dups', 'mm_video_near_dups']
+    #   'dedup_lcp_repeats', 'dedup_sa_spans', 'pipeline_sa_dedup',
+    #   'text_char_entropy', 'mm_decode_bmp', 'mm_decode_png_gif',
+    #   'mm_decode_jpeg', 'mm_decode_exif', 'mm_audio_stats',
+    #   'mm_audio_g711', 'mm_audio_adpcm', 'mm_audio_segments',
+    #   'mm_video_frames', 'mm_image_near_dups']
     "a3_daily_rollup",
     "a4_charcount_by_lang",
     "grouping_rollup",

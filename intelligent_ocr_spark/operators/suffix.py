@@ -65,6 +65,7 @@ __all__ = [
     "suffix_array_levels",
     "adjacent_lcp",
     "duplicate_spans",
+    "remove_duplicate_spans",
 ]
 
 _SEP = "\x01"
@@ -385,3 +386,72 @@ def duplicate_spans(
         F.col("span_end").cast("long").alias("span_end"),
         (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_len"),
     ).orderBy("doc_id", "span_start")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 15,
+    sep: str = _SEP,
+) -> DataFrame:
+    """The end of the Lee et al. 2022 pipeline: CUT the self-similar
+    spans out of every document and emit the cleaned text. Matching the
+    published tool's behavior, EVERY occurrence of a flagged repeat is
+    removed (their dedup deletes each duplicated span occurrence, which
+    can delete all copies — the paper notes and accepts this).
+
+    Shape: :func:`duplicate_spans` (already merged and disjoint per
+    doc), grouped back to one array-of-spans row per document (bounded
+    by the doc's own span count — never a corpus-wide collect), then the
+    cleaned text is rebuilt in ONE projection with an ``aggregate``
+    fold over the sorted spans: each step appends the kept segment
+    before the span, the finish appends the tail after the last span.
+    Docs with no spans pass through untouched.
+
+    Returns (doc_id, clean_text, orig_chars, removed_chars, n_spans).
+    """
+    spans = duplicate_spans(df, id_col, text_col, min_len, sep)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_sp"),
+        F.sum("span_len").alias("_removed"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    ).join(per_doc, "doc_id", "left")
+    t = F.col("_text")
+    clean = F.when(F.col("_sp").isNull(), t).otherwise(
+        F.aggregate(
+            F.col("_sp"),
+            F.struct(
+                F.lit(0).cast("long").alias("p"), F.lit("").alias("s")
+            ),
+            lambda acc, x: F.struct(
+                x["span_end"].alias("p"),
+                F.concat(
+                    acc["s"],
+                    t.substr(
+                        (acc["p"] + 1).cast("int"),
+                        (x["span_start"] - acc["p"] - 1).cast("int"),
+                    ),
+                ).alias("s"),
+            ),
+            lambda acc: F.concat(
+                acc["s"],
+                t.substr(
+                    (acc["p"] + 1).cast("int"),
+                    (F.length(t) - acc["p"]).cast("int"),
+                ),
+            ),
+        )
+    )
+    return base.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(t).cast("long").alias("orig_chars"),
+        F.coalesce("_removed", F.lit(0)).cast("long").alias("removed_chars"),
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_spans"),
+    ).orderBy("doc_id")

@@ -10,6 +10,7 @@ from intelligent_ocr_spark.operators.suffix import (
     adjacent_lcp,
     corpus_positions,
     duplicate_spans,
+    remove_duplicate_spans,
     suffix_array,
     suffix_array_levels,
 )
@@ -170,6 +171,38 @@ def test_duplicate_spans_randomized(spark):
         for r in duplicate_spans(_docs_df(spark, texts), min_len=14).collect()
     ]
     assert got == _dup_spans_ref(texts, 14)
+
+
+def test_remove_duplicate_spans_matches_reference(spark):
+    """Cleaned text equals cutting the python-reference spans out of
+    each doc; untouched docs pass through byte-identical."""
+    boiler = "all rights reserved worldwide"
+    texts = [
+        "intro text here " + boiler + " and a tail",
+        "other opening " + boiler + " closing words",
+        boiler,                                    # removed entirely
+        "nothing shared with anyone else at all",  # untouched
+        "",                                        # empty doc
+    ]
+    expect_spans: dict = {}
+    for d, st, en, _ in _dup_spans_ref(texts, 12):
+        expect_spans.setdefault(d, []).append((st, en))
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(_docs_df(spark, texts), min_len=12).collect()
+    }
+    for d, text in enumerate(texts):
+        keep = [
+            ch
+            for i, ch in enumerate(text, start=1)
+            if not any(st <= i <= en for st, en in expect_spans.get(d, []))
+        ]
+        assert got[d]["clean_text"] == "".join(keep), d
+        assert got[d]["orig_chars"] == len(text)
+        assert got[d]["removed_chars"] == len(text) - len(keep)
+        assert got[d]["n_spans"] == len(expect_spans.get(d, []))
+    assert got[2]["clean_text"] == ""  # whole-doc repeat removed
+    assert got[3]["clean_text"] == texts[3]
 
 
 def test_suffix_array_empty_and_convergence_guard(spark):
