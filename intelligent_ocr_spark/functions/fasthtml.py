@@ -61,6 +61,27 @@ _ASCII_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 # attrfind_tolerant does
 _SIMPLE_ATTR = re.compile(r'([a-z][a-z0-9_-]*)="([^"&]*)"\s*')
 
+# master token regex for the ONE-matcher dispatch loop in fast_feed: one
+# C-level match classifies and consumes the three dominant token shapes
+# (data run / strict start tag / plain end tag). Each branch encodes
+# EXACTLY the conditions of the corresponding per-construct fast path
+# below, so a master miss implies the per-construct fast paths would also
+# miss and the fallback route produces the identical event stream:
+#   group 1: data run ([^<]+ — unescaped like goahead's data emit);
+#   group 2+3: '<' NAME TRAIL ATTRS '>' where NAME/TRAIL mirror
+#     tagfind_tolerant ('[a-zA-Z][^\t\n\r\f />\x00]*' then
+#     '(?:\s|/(?!>))*') and ATTRS is a run of _SIMPLE_ATTR units
+#     (possibly empty — group 3 distinguishes the no-attr fast path);
+#   group 4: '</' NAME '>' with an ascii-alnum name (unicode-alnum names
+#     — accepted by the per-construct fast path — fall through to it).
+_TOK = re.compile(
+    r"([^<]+)"
+    r"|<([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*"
+    r"((?:[a-z][a-z0-9_-]*=\"[^\"&]*\"\s*)*)>"
+    r"|</([a-zA-Z][a-zA-Z0-9]*)>"
+)
+_SIMPLE_ATTR_FIND = re.compile(r'([a-z][a-z0-9_-]*)="([^"&]*)"')
+
 
 def fast_applicable(raw: str) -> bool:
     """True when the fast port's grammar covers this input."""
@@ -216,19 +237,35 @@ def _parse_pi(raw: str, i: int) -> int:
 
 def fast_feed(handler, raw: str) -> None:
     """Port of ``goahead(end=1)`` for convert_charrefs handlers: drive
-    ``handler`` with the exact event stream HTMLParser would produce."""
+    ``handler`` with the exact event stream HTMLParser would produce.
+
+    Hot loop = one ``_TOK.match`` per token (data run / strict start tag /
+    plain end tag — ~99% of tokens on real pages); anything else falls to
+    the original per-construct ports, unchanged. Equivalence is pinned by
+    tests/test_fasthtml_differential.py (corpus + hypothesis fuzz)."""
     handle_data = handler.handle_data
+    handle_starttag = handler.handle_starttag
+    handle_endtag = handler.handle_endtag
+    tok = _TOK.match
     n = len(raw)
     i = 0
     while i < n:
-        j = raw.find("<", i)
-        if j < 0:
-            j = n
-        if i < j:
-            handle_data(unescape(raw[i:j]))
-        i = j
-        if i == n:
-            break
+        m = tok(raw, i)
+        if m is not None:
+            li = m.lastindex
+            if li == 1:
+                s = m[1]
+                handle_data(unescape(s) if "&" in s else s)
+            elif li == 4:
+                handle_endtag(m[4].lower())
+            else:
+                attrs = m[3]
+                handle_starttag(
+                    m[2].lower(),
+                    _SIMPLE_ATTR_FIND.findall(attrs) if attrs else [],
+                )
+            i = m.end()
+            continue
         nxt = raw[i + 1 : i + 2]
         if nxt and nxt in _ASCII_LETTERS:  # starttagopen: '<' + letter
             k = _parse_starttag(handler, raw, i)

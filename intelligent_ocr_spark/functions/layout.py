@@ -77,18 +77,25 @@ def _cluster_1d(
     """
     if not blocks:
         return []
-    ordered = sorted(blocks, key=lambda b: (lo(b), hi(b), b.y0, b.x0))
+    # decorate-sort: one lo/hi evaluation per block and a C-level tuple
+    # sort (the index makes the key total, which reproduces the stable
+    # tie order of the keyed sort this replaces)
+    dec = [(lo(b), hi(b), b.y0, b.x0, j) for j, b in enumerate(blocks)]
+    dec.sort()
+    first = dec[0]
     groups: list[list[Block]] = []
-    cur = [ordered[0]]
-    cur_hi = hi(ordered[0])
-    for b in ordered[1:]:
-        if lo(b) > cur_hi + gap:
+    cur = [blocks[first[4]]]
+    cur_hi = first[1]
+    for t in dec[1:]:
+        t_hi = t[1]
+        if t[0] > cur_hi + gap:
             groups.append(cur)
-            cur = [b]
-            cur_hi = hi(b)
+            cur = [blocks[t[4]]]
+            cur_hi = t_hi
         else:
-            cur.append(b)
-            cur_hi = max(cur_hi, hi(b))
+            cur.append(blocks[t[4]])
+            if t_hi > cur_hi:
+                cur_hi = t_hi
     groups.append(cur)
     return groups
 

@@ -37,6 +37,7 @@ worker — reference warm-up pattern ``core/parallel_ocr.py:149-173``).
 
 from __future__ import annotations
 
+from html import unescape
 from html.parser import HTMLParser
 from typing import Iterable, Iterator
 
@@ -47,7 +48,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from intelligent_ocr_spark.functions.charset import decode_html_bytes
-from intelligent_ocr_spark.functions.fasthtml import fast_applicable, fast_feed
+from intelligent_ocr_spark.functions.fasthtml import (
+    _SIMPLE_ATTR_FIND as _FAST_ATTRS,
+    _TOK as _FAST_TOK,
+    fast_applicable,
+    fast_feed,
+)
 from intelligent_ocr_spark.functions.layout import Block, estimate_font_size, is_vertical, reading_order
 from intelligent_ocr_spark.functions.normalize import get_normalizer, nfkc
 from intelligent_ocr_spark.functions.pixmap import (
@@ -149,11 +155,6 @@ class _PageParser(HTMLParser):
         self._dom: dict | None = None
 
     # -- helpers -------------------------------------------------------
-    @staticmethod
-    def _classes(attrs: dict[str, str | None]) -> set[str]:
-        raw = (attrs.get("class") or "") + " " + (attrs.get("id") or "")
-        return {tok for tok in raw.lower().split() if tok}
-
     def _flush_dom(self) -> None:
         if self._dom is not None:
             self.dom_blocks.append(self._dom)
@@ -163,21 +164,34 @@ class _PageParser(HTMLParser):
     _EMPTY_ATTRS: dict = {}
 
     def handle_starttag(self, tag: str, attrs_list) -> None:
-        # shared read-only empty dict: most tags carry no attributes and
-        # this handler only ever .get()s from attrs
-        attrs = dict(attrs_list) if attrs_list else self._EMPTY_ATTRS
+        # attrs stay a LIST and are scanned inline (once, at most twice):
+        # building a dict per attributed tag measurably dominates this
+        # handler at bench scale. Duplicate attribute names keep the LAST
+        # occurrence, exactly like the dict(attrs_list) this replaces.
         if tag == "html":
+            attrs = dict(attrs_list) if attrs_list else self._EMPTY_ATTRS
             self.layout = attrs.get("data-layout")
             try:
                 self.zoom = float(attrs.get("data-zoom") or 1.0)
             except ValueError:
                 self.zoom = 1.0
-        is_void = tag in _VOID_TAGS
-        if not is_void:
-            is_boiler = tag in _BOILER_TAGS or (
-                ("class" in attrs or "id" in attrs)
-                and (self._classes(attrs) & _BOILER_CLASS_TOKENS)
-            )
+        if tag not in _VOID_TAGS:
+            is_boiler = tag in _BOILER_TAGS
+            if not is_boiler and attrs_list:
+                cls = idv = None
+                seen = False
+                for k, v in attrs_list:
+                    if k == "class":
+                        cls = v
+                        seen = True
+                    elif k == "id":
+                        idv = v
+                        seen = True
+                if seen and (
+                    set(((cls or "") + " " + (idv or "")).lower().split())
+                    & _BOILER_CLASS_TOKENS
+                ):
+                    is_boiler = True
             self._stack.append((tag, is_boiler))
             if is_boiler:
                 self._boiler_depth += 1
@@ -186,20 +200,28 @@ class _PageParser(HTMLParser):
 
         if self._geo is not None:
             return
-        bbox = attrs.get("data-bbox")
-        if bbox is not None:
-            try:
-                x0, y0, x1, y1 = (float(v) for v in bbox.split(","))
-            except ValueError:
+        if attrs_list:
+            bbox = conf = kind = None
+            for k, v in attrs_list:
+                if k == "data-bbox":
+                    bbox = v
+                elif k == "data-conf":
+                    conf = v
+                elif k == "data-kind":
+                    kind = v
+            if bbox is not None:
+                try:
+                    x0, y0, x1, y1 = (float(v) for v in bbox.split(","))
+                except ValueError:
+                    return
+                self._geo = {
+                    "bbox": (x0, y0, x1, y1),
+                    "conf": float(conf or 1.0),
+                    "kind": kind or "line",
+                    "parts": [],
+                }
+                self._geo_open_depth = len(self._stack)  # incl. the geo tag itself
                 return
-            self._geo = {
-                "bbox": (x0, y0, x1, y1),
-                "conf": float(attrs.get("data-conf") or 1.0),
-                "kind": attrs.get("data-kind") or "line",
-                "parts": [],
-            }
-            self._geo_open_depth = len(self._stack)  # incl. the geo tag itself
-            return
         if tag in _BLOCK_TAGS:
             self._flush_dom()
             self._dom = {
@@ -215,17 +237,27 @@ class _PageParser(HTMLParser):
         in_geo = self._geo is not None
         if not in_geo and tag in _BLOCK_TAGS:
             self._flush_dom()
-        # pop stack down to the matching tag, unwinding boiler/link depth
-        # for EVERY implicitly-closed entry (tolerates malformed nesting)
-        for idx in range(len(self._stack) - 1, -1, -1):
-            if self._stack[idx][0] == tag:
-                for popped_tag, popped_boiler in self._stack[idx:]:
-                    if popped_boiler:
-                        self._boiler_depth = max(0, self._boiler_depth - 1)
-                    if popped_tag == "a":
-                        self._link_depth = max(0, self._link_depth - 1)
-                del self._stack[idx:]
-                break
+        stack = self._stack
+        if stack and stack[-1][0] == tag:
+            # fast path: well-nested close (the dominant case) — pop one
+            popped_tag, popped_boiler = stack.pop()
+            if popped_boiler:
+                self._boiler_depth = max(0, self._boiler_depth - 1)
+            if popped_tag == "a":
+                self._link_depth = max(0, self._link_depth - 1)
+        else:
+            # pop stack down to the matching tag, unwinding boiler/link
+            # depth for EVERY implicitly-closed entry (tolerates malformed
+            # nesting)
+            for idx in range(len(stack) - 1, -1, -1):
+                if stack[idx][0] == tag:
+                    for popped_tag, popped_boiler in stack[idx:]:
+                        if popped_boiler:
+                            self._boiler_depth = max(0, self._boiler_depth - 1)
+                        if popped_tag == "a":
+                            self._link_depth = max(0, self._link_depth - 1)
+                    del stack[idx:]
+                    break
         # geo block closes when the stack drops below its open level —
         # robust to unclosed inner tags implicitly closed by the geo
         # element's own endtag
@@ -267,15 +299,196 @@ class _PageParser(HTMLParser):
         self._flush_dom()
 
 
-def _parse_html(raw: str) -> _PageParser:
-    p = _PageParser()
+class _ScannedPage:
+    """Result shape of :func:`_scan_page` — duck-typed to the four
+    :class:`_PageParser` attributes ``extract_record`` reads."""
+
+    __slots__ = ("layout", "zoom", "geo_blocks", "dom_blocks")
+
+    def __init__(self, layout, zoom, geo_blocks, dom_blocks):
+        self.layout = layout
+        self.zoom = zoom
+        self.geo_blocks = geo_blocks
+        self.dom_blocks = dom_blocks
+
+
+def _scan_page(raw: str):
+    """Fused tokenizer + page-model scan: one loop over the master token
+    regex with the :class:`_PageParser` state machine inlined on locals —
+    no handler-call protocol, no per-tag attribute dict.
+
+    ALL-OR-NOTHING: any token outside the strict grammar (malformed tag,
+    bogus comment, self-closing slash, '&' in an attribute value) returns
+    ``None`` and the caller re-parses the page through the general
+    handler path from scratch, so equivalence holds by construction for
+    accepted pages and by fallback for everything else (pinned output-
+    identical over the generator corpus + hypothesis fuzz in
+    tests/test_fasthtml_differential.py).
+    """
+    tok = _FAST_TOK.match
+    attr_findall = _FAST_ATTRS.findall
+    layout = None
+    zoom = 1.0
+    geo_blocks: list[dict] = []
+    dom_blocks: list[dict] = []
+    stack: list[tuple[str, bool]] = []
+    boiler_depth = 0
+    link_depth = 0
+    geo: dict | None = None
+    geo_open_depth = 0
+    dom: dict | None = None
+    n = len(raw)
+    i = 0
+    while i < n:
+        m = tok(raw, i)
+        if m is None:
+            return None  # out-of-grammar token: general path re-parses
+        li = m.lastindex
+        if li == 1:  # ---- data run -------------------------------------
+            data = m[1]
+            if "&" in data:
+                data = unescape(data)
+            if geo is not None:
+                geo["parts"].append(data)
+            elif boiler_depth > 0:
+                if dom is None:
+                    dom = {"kind": "line", "parts": [], "linked": 0, "boiler": True}
+                dom["parts"].append(data)
+                dom["boiler"] = True
+                if link_depth:
+                    dom["linked"] += len(data)
+            else:
+                if dom is None:
+                    if not data.strip():
+                        i = m.end()
+                        continue
+                    dom = {"kind": "line", "parts": [], "linked": 0, "boiler": False}
+                dom["parts"].append(data)
+                if link_depth:
+                    dom["linked"] += len(data)
+        elif li == 4:  # ---- end tag ------------------------------------
+            tag = m[4].lower()
+            if tag not in _VOID_TAGS:
+                in_geo = geo is not None
+                if not in_geo and tag in _BLOCK_TAGS and dom is not None:
+                    dom_blocks.append(dom)
+                    dom = None
+                if stack and stack[-1][0] == tag:
+                    popped_tag, popped_boiler = stack.pop()
+                    if popped_boiler and boiler_depth:
+                        boiler_depth -= 1
+                    if popped_tag == "a" and link_depth:
+                        link_depth -= 1
+                else:
+                    for idx in range(len(stack) - 1, -1, -1):
+                        if stack[idx][0] == tag:
+                            for popped_tag, popped_boiler in stack[idx:]:
+                                if popped_boiler and boiler_depth:
+                                    boiler_depth -= 1
+                                if popped_tag == "a" and link_depth:
+                                    link_depth -= 1
+                            del stack[idx:]
+                            break
+                if in_geo and len(stack) < geo_open_depth:
+                    geo_blocks.append(geo)
+                    geo = None
+        else:  # ---- start tag ------------------------------------------
+            tag = m[2].lower()
+            attrs_raw = m[3]
+            attrs = attr_findall(attrs_raw) if attrs_raw else ()
+            if tag == "html":
+                layout = None
+                zv = None
+                for k, v in attrs:
+                    if k == "data-layout":
+                        layout = v
+                    elif k == "data-zoom":
+                        zv = v
+                try:
+                    zoom = float(zv or 1.0)
+                except ValueError:
+                    zoom = 1.0
+            if tag not in _VOID_TAGS:
+                is_boiler = tag in _BOILER_TAGS
+                if not is_boiler and attrs:
+                    cls = idv = None
+                    seen = False
+                    for k, v in attrs:
+                        if k == "class":
+                            cls = v
+                            seen = True
+                        elif k == "id":
+                            idv = v
+                            seen = True
+                    if seen and (
+                        set(((cls or "") + " " + (idv or "")).lower().split())
+                        & _BOILER_CLASS_TOKENS
+                    ):
+                        is_boiler = True
+                stack.append((tag, is_boiler))
+                if is_boiler:
+                    boiler_depth += 1
+                if tag == "a":
+                    link_depth += 1
+            if geo is None:
+                if attrs:
+                    bbox = conf = kind = None
+                    for k, v in attrs:
+                        if k == "data-bbox":
+                            bbox = v
+                        elif k == "data-conf":
+                            conf = v
+                        elif k == "data-kind":
+                            kind = v
+                    if bbox is not None:
+                        try:
+                            x0, y0, x1, y1 = (float(v) for v in bbox.split(","))
+                        except ValueError:
+                            i = m.end()
+                            continue
+                        geo = {
+                            "bbox": (x0, y0, x1, y1),
+                            "conf": float(conf or 1.0),
+                            "kind": kind or "line",
+                            "parts": [],
+                        }
+                        geo_open_depth = len(stack)
+                        i = m.end()
+                        continue
+                if tag in _BLOCK_TAGS:
+                    if dom is not None:
+                        dom_blocks.append(dom)
+                    dom = {
+                        "kind": "heading"
+                        if tag[0] == "h" and tag[1:].isdigit()
+                        else "line",
+                        "parts": [],
+                        "linked": 0,
+                        "boiler": boiler_depth > 0,
+                    }
+        i = m.end()
+    # close(): flush trailing open blocks (truncated fetches)
+    if geo is not None:
+        geo_blocks.append(geo)
+    if dom is not None:
+        dom_blocks.append(dom)
+    return _ScannedPage(layout, zoom, geo_blocks, dom_blocks)
+
+
+def _parse_html(raw: str):
     if fast_applicable(raw):
-        # the goahead port drives the same handler faster; inputs with
-        # script/style/marked-sections fall back to the stdlib parser
-        # (equivalence pinned by tests/test_fasthtml_differential.py)
+        # fused single-loop scan for in-grammar pages; the goahead port
+        # drives the general handler for the rest (equivalence pinned by
+        # tests/test_fasthtml_differential.py)
+        page = _scan_page(raw)
+        if page is not None:
+            return page
+        p = _PageParser()
         fast_feed(p, raw)
-    else:
-        p.feed(raw)
+        p.close()
+        return p
+    p = _PageParser()
+    p.feed(raw)
     p.close()
     return p
 

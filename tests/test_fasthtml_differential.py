@@ -40,11 +40,23 @@ def _both(raw: str):
     fast = _PageParser()
     fast_feed(fast, raw)
     fast.close()
+    # the fused single-loop scanner (round-6 optimization) must agree with
+    # the stdlib-driven handler on every page it accepts; where it bails
+    # (returns None) the general path takes over, so only acceptance is
+    # checked here
+    from intelligent_ocr_spark.operators.extract import _scan_page
+
+    fused = _scan_page(raw)
+    if fused is not None:
+        assert _state(fused) == _state(slow), ("fused scanner diverged", raw)
     return _state(slow), _state(fast)
 
 
 def test_corpus_equivalence():
+    from intelligent_ocr_spark.operators.extract import _scan_page
+
     checked = 0
+    fused_accepted = 0
     for i in range(2000):
         r = gen_row(i)
         if r["html"] is None:
@@ -58,7 +70,12 @@ def test_corpus_equivalence():
         s, f = _both(raw)
         assert s == f, r["url"]
         checked += 1
+        if _scan_page(raw) is not None:
+            fused_accepted += 1
     assert checked > 1500  # the fast path must actually cover the corpus
+    # the fused scanner must actually carry the corpus, not bail it all
+    # to the general path
+    assert fused_accepted > 1500
 
 
 _TAGS = ["p", "div", "a", "li", "h1", "td", "nav", "em", "my-tag", "br", "img"]
