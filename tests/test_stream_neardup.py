@@ -77,6 +77,70 @@ def test_stream_neardup_restart_resumes(spark, tmp_path):
     assert kept == ["u1", "u2", "u4"]  # u3 dropped against restored state
 
 
+def test_state_compaction_bounded_and_equivalent(spark, tmp_path):
+    """Round-6 compaction: after many micro-batches the state listing is
+    bounded ({consolidated base} + ≤ compact_every batch dirs) and the
+    kept output is byte-identical to the uncompacted handler's, including
+    across a replay of a compaction batch."""
+    import os
+
+    from intelligent_ocr_spark.streaming.neardup import _state_dirs
+
+    n_batches = 100
+    every = 8
+    hc = neardup_batch_handler(
+        str(tmp_path / "state_c"), str(tmp_path / "out_c"), compact_every=every
+    )
+    hu = neardup_batch_handler(
+        str(tmp_path / "state_u"), str(tmp_path / "out_u"), compact_every=0
+    )
+    vocab = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu "
+        "xi omicron pi rho sigma tau upsilon phi chi psi omega".split()
+    )
+    for b in range(n_batches):
+        rows = []
+        for j in range(2):
+            i = 2 * b + j
+            if i % 5 == 0:
+                text = BASE.replace("bank", ["bank", "delta", "shore", "ridge", "cove"][i % 4])
+            else:
+                w = [vocab[(i * 7 + t) % len(vocab)] for t in range(8)]
+                text = " ".join(w) + f" unique token run {i}"
+            rows.append((f"u{i:04d}", text))
+        bdf = spark.createDataFrame(rows, "url string, text string")
+        hc(bdf, b)
+        hu(bdf, b)
+        if b == 3 * every:  # replay a compaction batch (torn-commit path)
+            hc(bdf, b)
+
+    base, batch_dirs = _state_dirs(str(tmp_path / "state_c"))
+    assert base is not None
+    assert len(batch_dirs) <= every  # bounded listing
+    _, unbounded = _state_dirs(str(tmp_path / "state_u"))
+    assert len(unbounded) > 90  # the layout this replaces really did grow
+
+    kept_c = sorted(
+        r["url"] for r in spark.read.parquet(str(tmp_path / "out_c")).collect()
+    )
+    kept_u = sorted(
+        r["url"] for r in spark.read.parquet(str(tmp_path / "out_u")).collect()
+    )
+    assert kept_c == kept_u
+    # the consolidated state SET matches the uncompacted one exactly
+    set_c = {
+        (r["band"], r["bucket"])
+        for r in spark.read.parquet(
+            *([base] + [p for _, p in batch_dirs])
+        ).collect()
+    }
+    set_u = {
+        (r["band"], r["bucket"])
+        for r in spark.read.parquet(*[p for _, p in unbounded]).collect()
+    }
+    assert set_c == set_u
+
+
 def test_torn_batch_replay_overwrites(spark, tmp_path):
     """Replaying a batch id (the restart path for an uncommitted batch)
     overwrites its out/state directories instead of double-appending."""
