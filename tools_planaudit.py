@@ -58,7 +58,7 @@ def audit_df(df) -> dict:
     )
     python_eval = len(
         re.findall(
-            r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas",
+            r"BatchEvalPython|ArrowEvalPython|MapInPandas|MapInArrow|FlatMapGroupsInPandas",
             plan,
         )
     )
