@@ -992,7 +992,15 @@ def lsh_verified_pairs(
     content hash only (``core/checkpoint.py``); corpus-level verified
     near-dup is part of the web-corpus extension this engine adds.
     """
-    cand = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_n)
+    # eager localCheckpoint on the two multiply-consumed subtrees (the
+    # discipline near_dup_clusters and suffix_array_levels already use):
+    # `cand` feeds cand_docs twice plus the intersection join, and `sh`
+    # feeds sizes/sa/sb — without the checkpoint the corpus-wide
+    # MinHash+shingle computation re-evaluates per consumer (round-5
+    # plan audit: 51 exchanges; with it the plan drops to the family norm)
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, k, bands, shingle_n
+    ).localCheckpoint()
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -1007,6 +1015,7 @@ def lsh_verified_pairs(
             ).alias("shingle"),
         )
         .join(cand_docs, "doc_id", "left_semi")
+        .localCheckpoint()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -207,7 +207,9 @@ def test_remove_duplicate_spans_matches_reference(spark):
 
 def test_suffix_array_empty_and_convergence_guard(spark):
     assert suffix_array(_docs_df(spark, [])).count() == 0
-    df = _docs_df(spark, ["abcabc"])
+    # round-0 seeds at h=4, so forcing non-convergence in one doubling
+    # round needs a repeat the h=8 level still cannot separate
+    df = _docs_df(spark, ["abcdefghijklmnop" * 4])
     try:
         suffix_array(df, max_rounds=1)
     except RuntimeError as e:
