@@ -431,14 +431,19 @@ def ngram_jaccard_pairs(
     # Doc-frequency via a window, not a groupBy+self-join: (doc_id, shingle)
     # is already distinct (array_distinct before explode), so count(*) over
     # shingle == countDistinct(doc_id). This shuffles the ~30×-inflated
-    # explosion ONCE, and the pair self-join below reuses that same
-    # shingle-hash exchange (ReusedExchange — pinned in test_plan_shape).
+    # explosion ONCE. The capped table then feeds THREE consumers (sizes,
+    # both sides of the pair self-join); the eager localCheckpoint
+    # materializes it once instead of re-running the window+filter per
+    # consumer (ReusedExchange only shares the exchange, not the window
+    # above it) — the same discipline as lsh_verified_pairs, measured
+    # -20% min / -40% median warm at sf0.1 with identical output.
     rare = (
         sh.withColumn(
             "df_count", F.count("*").over(Window.partitionBy("shingle"))
         )
         .filter(F.col("df_count") <= doc_freq_cap)
         .select("doc_id", "shingle")
+        .localCheckpoint()
     )
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = rare.alias("a"), rare.alias("b")
