@@ -27,10 +27,18 @@ def test_bucketed_anti_join_has_no_shuffle(spark, tmp_path):
     write_bucketed(pages.select("url", "lang"), "pages_bucketed", "url", 8)
     write_bucketed(done, "ckpt_bucketed", "url", 8)
 
-    # one file per bucket: repartition(n, key) uses the same Murmur3-mod
-    # hash as the bucket id, so the aligned write never splits a bucket
+    # one file per POPULATED bucket: repartition(n, key) uses the same
+    # Murmur3-mod hash as the bucket id, so the aligned write never splits
+    # a bucket (an empty bucket writes no file, so derive the expectation
+    # from the data instead of assuming the fixture fills all 8 —
+    # round-5 advisor finding)
+    n_buckets_populated = (
+        pages.select(F.pmod(F.expr("hash(url)"), F.lit(8)).alias("b"))
+        .distinct()
+        .count()
+    )
     files = spark.table("pages_bucketed").inputFiles()
-    assert len(files) == 8
+    assert len(files) == n_buckets_populated <= 8
 
     # at test scale Catalyst would (correctly) broadcast the tiny side and
     # skip bucketing; disable broadcast to pin the at-scale plan where
