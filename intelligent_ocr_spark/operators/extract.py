@@ -37,8 +37,10 @@ worker — reference warm-up pattern ``core/parallel_ocr.py:149-173``).
 
 from __future__ import annotations
 
+import re
 from html import unescape
 from html.parser import HTMLParser
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -295,6 +297,70 @@ class _PageParser(HTMLParser):
         self._flush_dom()
 
 
+# flat geo (OCR-result) page shape: '<html ...><body>' then a contiguous
+# run of bbox DIVs with the canonical attribute order and entity-free,
+# tag-free text, then '</body></html>'. This is the dominant page shape
+# of the OCR-result domain (the reference's result pages are exactly a
+# flat list of positioned blocks), so it gets a findall-based fast path
+# that skips per-token scanning entirely. ANY deviation — extra
+# attributes, different order, '&' anywhere, stray text between divs —
+# fails the fullmatch and falls through to the fused scanner / general
+# parser, so equivalence holds by strictness (pinned by the differential
+# suite and the corpus A/B).
+_GEO_DOC = re.compile(
+    r'<html((?:\s+[a-z][a-z0-9-]*="[^"&<]*")*)\s*>'
+    r"<body>"
+    r'((?:<div class="block" data-bbox="[^"&<]*" data-conf="[^"&<]*"'
+    r' data-kind="[^"&<]*">[^<&]*</div>)*)'
+    r"</body></html>"
+)
+_GEO_DIV = re.compile(
+    r'<div class="block" data-bbox="([^"]*)" data-conf="([^"]*)"'
+    r' data-kind="([^"]*)">([^<]*)</div>'
+)
+
+
+def _scan_geo_page(raw: str):
+    """Flat geo-page fast path; None when the page is not strictly flat."""
+    m = _GEO_DOC.fullmatch(raw)
+    if m is None:
+        return None
+    layout = None
+    zv = None
+    attrs_raw = m.group(1)
+    if attrs_raw:
+        for k, v in _FAST_ATTRS.findall(attrs_raw):
+            if k == "data-layout":
+                layout = v
+            elif k == "data-zoom":
+                zv = v
+            elif k == "data-bbox":
+                return None  # the html tag itself would open a geo block
+    try:
+        zoom = float(zv or 1.0)
+    except ValueError:
+        zoom = 1.0
+    geo_blocks = []
+    for bbox, conf, kind, text in _GEO_DIV.findall(m.group(2)):
+        parts = bbox.split(",")
+        if len(parts) != 4:
+            return None  # general path treats a bad bbox div as plain DOM
+        try:
+            x0, y0, x1, y1 = (float(v) for v in parts)
+            confv = float(conf) if conf else 1.0
+        except ValueError:
+            return None
+        geo_blocks.append(
+            {
+                "bbox": (x0, y0, x1, y1),
+                "conf": confv,
+                "kind": kind if kind else "line",
+                "parts": [text] if text else [],
+            }
+        )
+    return _ScannedPage(layout, zoom, geo_blocks, [])
+
+
 class _ScannedPage:
     """Result shape of :func:`_scan_page` — duck-typed to the four
     :class:`_PageParser` attributes ``extract_record`` reads."""
@@ -473,9 +539,13 @@ def _scan_page(raw: str):
 
 def _parse_html(raw: str):
     if fast_applicable(raw):
-        # fused single-loop scan for in-grammar pages; the goahead port
-        # drives the general handler for the rest (equivalence pinned by
+        # flat geo pages take the findall fast path; other in-grammar
+        # pages the fused single-loop scan; the goahead port drives the
+        # general handler for the rest (equivalence pinned by
         # tests/test_fasthtml_differential.py)
+        page = _scan_geo_page(raw)
+        if page is not None:
+            return page
         page = _scan_page(raw)
         if page is not None:
             return page

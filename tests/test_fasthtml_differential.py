@@ -40,15 +40,16 @@ def _both(raw: str):
     fast = _PageParser()
     fast_feed(fast, raw)
     fast.close()
-    # the fused single-loop scanner (round-6 optimization) must agree with
-    # the stdlib-driven handler on every page it accepts; where it bails
-    # (returns None) the general path takes over, so only acceptance is
-    # checked here
-    from intelligent_ocr_spark.operators.extract import _scan_page
+    # the fused single-loop scanner and the flat-geo findall path
+    # (round-6 optimizations) must agree with the stdlib-driven handler
+    # on every page they accept; where they bail (None) the general path
+    # takes over, so only acceptance is checked here
+    from intelligent_ocr_spark.operators.extract import _scan_geo_page, _scan_page
 
-    fused = _scan_page(raw)
-    if fused is not None:
-        assert _state(fused) == _state(slow), ("fused scanner diverged", raw)
+    for scanner in (_scan_page, _scan_geo_page):
+        got = scanner(raw)
+        if got is not None:
+            assert _state(got) == _state(slow), (scanner.__name__, raw)
     return _state(slow), _state(fast)
 
 
