@@ -79,6 +79,7 @@ def _two_phase(
     sum_col: str | None = None,
     out_col: str = "out",
     with_total: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Two-phase distributed fold over a global sort order.
 
@@ -97,10 +98,19 @@ def _two_phase(
     key count (dense mode) / column sum (sum mode) the phase-2 collect
     already computed, so callers never pay a separate aggregation job to
     learn it (the doubling loop's convergence probe rides this).
+
+    ``n_rows``: known input row count → the range-partition count is
+    derived from it (≈128k rows per fold partition, capped at
+    defaultParallelism) instead of a flat defaultParallelism, so a small
+    corpus does not pay 32 near-empty sort tasks PER ROUND while a large
+    one keeps full parallelism (guide §2: scale-adaptive partitioning,
+    never a constant tuned to one size).
     """
     assert (dense_keys is None) != (sum_col is None)
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
+    if n_rows is not None:
+        n_parts = max(1, min(n_parts, (n_rows + (1 << 17) - 1) >> 17))
     in_cols = df.columns
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -271,6 +281,7 @@ def suffix_array_levels(
     if chars is None:
         chars = corpus_positions(df, id_col, text_col, sep)
     c = chars.localCheckpoint()
+    n = c.count()  # corpus length — also sizes every fold's partitioning
     lvl1 = c.select("pos", F.col("ch").alias("rank"))
     s1 = c.select((F.col("pos") - 1).alias("pos"), F.col("ch").alias("_c1"))
     g2 = (
@@ -286,10 +297,10 @@ def suffix_array_levels(
         "pos", F.concat("g", F.coalesce("_g2", F.lit(""))).alias("g4")
     )
     cur, distinct = _two_phase(
-        g4, ["g4"], dense_keys=["g4"], out_col="rank", with_total=True
+        g4, ["g4"], dense_keys=["g4"], out_col="rank", with_total=True,
+        n_rows=n,
     )
     cur = cur.select("pos", "rank").localCheckpoint()
-    n = cur.count()
     if n == 0:
         return cur.select(F.col("rank").alias("rk"), "pos"), []
 
@@ -308,6 +319,7 @@ def suffix_array_levels(
             dense_keys=["rank", "rank2"],
             out_col="nrank",
             with_total=True,
+            n_rows=n,
         )
         cur = cur.select("pos", F.col("nrank").alias("rank")).localCheckpoint()
         h *= 2
