@@ -457,66 +457,67 @@ def _scan_page(raw: str):
         else:  # ---- start tag ------------------------------------------
             tag = m[2].lower()
             attrs_raw = m[3]
-            attrs = attr_findall(attrs_raw) if attrs_raw else ()
-            if tag == "html":
-                layout = None
-                zv = None
-                for k, v in attrs:
-                    if k == "data-layout":
-                        layout = v
+            # ONE pass over the attr list extracts everything any branch
+            # below needs (class/id for boiler, data-* for geo/html);
+            # last occurrence wins, like the dict this code replaced
+            cls = idv = bbox = conf = kind = dlayout = zv = None
+            cls_seen = False
+            if attrs_raw:
+                for k, v in attr_findall(attrs_raw):
+                    if k == "class":
+                        cls = v
+                        cls_seen = True
+                    elif k == "id":
+                        idv = v
+                        cls_seen = True
+                    elif k == "data-bbox":
+                        bbox = v
+                    elif k == "data-conf":
+                        conf = v
+                    elif k == "data-kind":
+                        kind = v
+                    elif k == "data-layout":
+                        dlayout = v
                     elif k == "data-zoom":
                         zv = v
+            if tag == "html":
+                layout = dlayout
                 try:
                     zoom = float(zv or 1.0)
                 except ValueError:
                     zoom = 1.0
             if tag not in _VOID_TAGS:
                 is_boiler = tag in _BOILER_TAGS
-                if not is_boiler and attrs:
-                    cls = idv = None
-                    seen = False
-                    for k, v in attrs:
-                        if k == "class":
-                            cls = v
-                            seen = True
-                        elif k == "id":
-                            idv = v
-                            seen = True
-                    if seen and (
+                if (
+                    not is_boiler
+                    and cls_seen
+                    and (
                         set(((cls or "") + " " + (idv or "")).lower().split())
                         & _BOILER_CLASS_TOKENS
-                    ):
-                        is_boiler = True
+                    )
+                ):
+                    is_boiler = True
                 stack.append((tag, is_boiler))
                 if is_boiler:
                     boiler_depth += 1
                 if tag == "a":
                     link_depth += 1
             if geo is None:
-                if attrs:
-                    bbox = conf = kind = None
-                    for k, v in attrs:
-                        if k == "data-bbox":
-                            bbox = v
-                        elif k == "data-conf":
-                            conf = v
-                        elif k == "data-kind":
-                            kind = v
-                    if bbox is not None:
-                        try:
-                            x0, y0, x1, y1 = (float(v) for v in bbox.split(","))
-                        except ValueError:
-                            i = m.end()
-                            continue
-                        geo = {
-                            "bbox": (x0, y0, x1, y1),
-                            "conf": float(conf or 1.0),
-                            "kind": kind or "line",
-                            "parts": [],
-                        }
-                        geo_open_depth = len(stack)
+                if bbox is not None:
+                    try:
+                        x0, y0, x1, y1 = (float(v) for v in bbox.split(","))
+                    except ValueError:
                         i = m.end()
                         continue
+                    geo = {
+                        "bbox": (x0, y0, x1, y1),
+                        "conf": float(conf or 1.0),
+                        "kind": kind or "line",
+                        "parts": [],
+                    }
+                    geo_open_depth = len(stack)
+                    i = m.end()
+                    continue
                 if tag in _BLOCK_TAGS:
                     if dom is not None:
                         dom_blocks.append(dom)
